@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CtsParity
+
+/** Parity-layer queries: the reference's transform/dedup/graph semantics
+  * (SURVEY §2.2, §2.5, §1.3) as oracle-checked batch queries over the
+  * `events` CTS stand-in table.
+  */
+object Parity {
+  import SparkEntry.Q
+
+  private def ce(s: org.apache.spark.sql.SparkSession, d: String) =
+    CtsParity.toCloudEvents(CtsParity.eventsAsTraces(Tables.events(s, d)))
+
+  def queries: Map[String, Q] = Map(
+    // P1+P2+P3 — the full CloudEvent projection (adapter.go:220-264).
+    "p_ce_transform" -> ((s, d) => {
+      ce(s, d).select(col("id"), col("type"), col("subject"), col("time"),
+          col("status"), col("code"), col("resourceid"),
+          col("region"), col("domain"), col("tenant"))
+        .orderBy(col("id").cast("long"))
+    }),
+
+    // §2.5 — MERGE idempotency: re-delivered duplicates (window-overlap,
+    // adapter.go:93-102) collapse on trace id. Simulated by unioning the
+    // feed with itself; dropDuplicates plans as a hash aggregate.
+    "p_dedup_merge" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.unionAll(e).dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // S4/F1 — incremental time-window scan: count per type inside a poll
+    // window [from, to) — the pushed-down predicate of adapter.go:98-100.
+    "p_window_scan" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+                col("ts") <  lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("first_ts"),
+             max(col("ts")).as("last_ts"))
+        .orderBy(col("event_type"))
+    }),
+
+    // K3 — graph node table (neo4j/client.go:10-21), unique on (kind,key).
+    "k3_graph_nodes" -> ((s, d) =>
+      CtsParity.nodes(ce(s, d))
+        .orderBy(col("kind"), col("key"))),
+
+    // K3 — graph edge table, unique on (rel, src_key, dst_key).
+    "k3_graph_edges" -> ((s, d) =>
+      CtsParity.edges(ce(s, d))
+        .orderBy(col("rel"), col("src_key"), col("dst_key")))
+  )
+
+  /** The events→trace mapping (CtsParity.eventsAsTraces) replayed in ANSI
+    * SQL. Kept as a CTE fragment shared by the oracle strings. */
+  private val traceCte =
+    """WITH tr AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS trace_id, ts, value,
+      |    'web' AS service_type, event_type AS trace_type,
+      |    'user' AS resource_type, props->>'$.k' AS trace_name,
+      |    CAST(user_id AS VARCHAR) AS resource_id,
+      |    CASE WHEN event_type = 'signup' THEN ''
+      |         ELSE 'user-' || CAST(user_id AS VARCHAR) END AS resource_name,
+      |    CASE WHEN value < 10 THEN 'incident'
+      |         WHEN value < 100 THEN 'warning' ELSE 'normal' END AS trace_status,
+      |    props->>'$.k' AS code,
+      |    'region-' || CAST(user_id % 3 AS VARCHAR) AS region,
+      |    'dom-' || CAST(user_id % 5 AS VARCHAR) AS domain,
+      |    'ten-' || CAST(user_id % 7 AS VARCHAR) AS tenant
+      |  FROM events
+      |), ce AS (
+      |  SELECT trace_id AS id, 'https://cts.example/v2' AS source,
+      |    rtrim(lower(concat_ws('.', service_type, trace_type, resource_type,
+      |                          coalesce(trace_name,''))), '.') AS type,
+      |    CASE WHEN trim(coalesce(resource_name,'')) <> '' THEN resource_name
+      |         ELSE resource_id END AS subject,
+      |    ts AS time, trace_status AS status, code,
+      |    resource_id AS resourceid, region, "domain", tenant
+      |  FROM tr
+      |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "p_ce_transform" -> (traceCte +
+      """
+        |SELECT id, type, subject, time, status, code, resourceid,
+        |       region, "domain", tenant
+        |FROM ce ORDER BY CAST(id AS BIGINT)""".stripMargin),
+
+    "p_dedup_merge" ->
+      """WITH doubled AS (
+        |  SELECT * FROM events UNION ALL SELECT * FROM events
+        |), dedup AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT event_type, value,
+        |           row_number() OVER (PARTITION BY event_id) AS rn
+        |    FROM doubled) WHERE rn = 1
+        |)
+        |SELECT event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM dedup GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "p_window_scan" ->
+      """SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "k3_graph_nodes" -> (traceCte +
+      """
+        |, nodes AS (
+        |  SELECT 'REGION' AS kind, region AS key,
+        |         CAST(NULL AS TIMESTAMP) AS node_ts,
+        |         CAST(NULL AS VARCHAR) AS node_source,
+        |         CAST(NULL AS VARCHAR) AS node_type FROM ce
+        |  UNION ALL SELECT 'STATUS', status, NULL, NULL, NULL FROM ce
+        |  UNION ALL SELECT 'SUBJECT', subject, NULL, NULL, NULL FROM ce
+        |  UNION ALL SELECT 'TENANT', tenant || '|' || "domain", NULL, NULL, NULL FROM ce
+        |  UNION ALL SELECT 'RESOURCE', resourceid, NULL, NULL, NULL FROM ce
+        |  UNION ALL SELECT 'ACTION', id, time, source, type FROM ce
+        |)
+        |SELECT kind, key, min(node_ts) AS node_ts, min(node_source) AS node_source,
+        |       min(node_type) AS node_type
+        |FROM nodes GROUP BY kind, key ORDER BY kind, key""".stripMargin),
+
+    "k3_graph_edges" -> (traceCte +
+      """
+        |, e AS (
+        |  SELECT 'APPLIED_ON' AS rel, 'ACTION' AS src_kind, id AS src_key,
+        |         'RESOURCE' AS dst_kind, resourceid AS dst_key FROM ce
+        |  UNION ALL SELECT 'LOCATED_AT', 'TENANT', tenant || '|' || "domain",
+        |         'REGION', region FROM ce
+        |  UNION ALL SELECT 'MEMBER_OF', 'RESOURCE', resourceid,
+        |         'TENANT', tenant || '|' || "domain" FROM ce
+        |  UNION ALL SELECT 'WITH_STATUS', 'ACTION', id, 'STATUS', status FROM ce
+        |  UNION ALL SELECT 'PERFORMED_BY', 'ACTION', id, 'SUBJECT', subject FROM ce
+        |)
+        |SELECT DISTINCT rel, src_kind, src_key, dst_kind, dst_key
+        |FROM e ORDER BY rel, src_key, dst_key""".stripMargin)
+  )
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.CloudEventFns
+
+/** Parity layer: the `events` testdata table treated as the CTS trace feed
+  * (FIXTURES.md — events is the CTS-trace stand-in), transformed with the
+  * reference's CloudEvent derivations (adapter.go:220-264) and normalized
+  * into the 6-node/5-edge provenance graph (neo4j/client.go:10-21).
+  *
+  * Every derivation is deterministic and ANSI-SQL-expressible so the DuckDB
+  * oracle can replay it. The whole layer is a single Project over the scan —
+  * no shuffle — so it costs nothing at 100 TB.
+  */
+object CtsParity {
+
+  /** Map the events table onto the trace fields the reference touches.
+    * Deterministic context columns (region/domain/tenant — adapter.go:252-254
+    * takes them from the auth client; here derived from user_id so the
+    * oracle can reproduce them).
+    */
+  def eventsAsTraces(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").cast("string").as("trace_id"),
+      col("ts"),
+      col("value"),
+      lit("web").as("service_type"),
+      col("event_type").as("trace_type"),
+      lit("user").as("resource_type"),
+      get_json_object(col("props"), "$.k").as("trace_name"),
+      col("user_id").cast("string").as("resource_id"),
+      // signups carry no resource_name → subject falls back to resource_id
+      when(col("event_type") === "signup", lit(""))
+        .otherwise(concat(lit("user-"), col("user_id"))).as("resource_name"),
+      when(col("value") < 10, lit("incident"))
+        .when(col("value") < 100, lit("warning"))
+        .otherwise(lit("normal")).as("trace_status"),
+      get_json_object(col("props"), "$.k").as("code"),
+      concat(lit("region-"), pmod(col("user_id"), lit(3))).as("region"),
+      concat(lit("dom-"), pmod(col("user_id"), lit(5))).as("domain"),
+      concat(lit("ten-"), pmod(col("user_id"), lit(7))).as("tenant"))
+
+  /** The CloudEvent envelope (SURVEY §1.2) from trace-shaped rows. */
+  def toCloudEvents(traces: DataFrame): DataFrame =
+    traces.select(
+      col("trace_id").as("id"),
+      lit("https://cts.example/v2").as("source"),
+      CloudEventFns.eventType(col("service_type"), col("trace_type"),
+        col("resource_type"), col("trace_name")).as("type"),
+      CloudEventFns.subject(col("resource_name"), col("resource_id")).as("subject"),
+      col("ts").as("time"),
+      col("trace_status").as("status"),
+      col("code"),
+      col("resource_id").as("resourceid"),
+      col("region"), col("domain"), col("tenant"))
+
+  private def node(df: DataFrame, kind: String, key: Column,
+                   ts: Column, source: Column, typ: Column): DataFrame =
+    df.select(lit(kind).as("kind"), key.cast("string").as("key"),
+      ts.as("node_ts"), source.as("node_source"), typ.as("node_type"))
+
+  /** Graph node table — Cypher MERGE ≙ dropDuplicates on node identity
+    * (neo4j/client.go:10-21; SURVEY §2.5). Kinds REGION/STATUS/SUBJECT/
+    * TENANT/RESOURCE carry no props beyond identity; ACTION carries
+    * {timestamp, source, type}. TENANT identity is the (tenantId, domainId)
+    * composite — encoded `tenant|domain` (SURVEY §7.4 MERGE parity).
+    *
+    * Scale note: each branch is a map-side Project; the union dedups with a
+    * single hash-aggregate shuffle on (kind, key) — the minimum any MERGE
+    * semantics needs.
+    */
+  def nodes(ce: DataFrame): DataFrame = {
+    val nul = lit(null).cast("string")
+    val nults = lit(null).cast("timestamp")
+    node(ce, "REGION", col("region"), nults, nul, nul)
+      .unionAll(node(ce, "STATUS", col("status"), nults, nul, nul))
+      .unionAll(node(ce, "SUBJECT", col("subject"), nults, nul, nul))
+      .unionAll(node(ce, "TENANT", concat_ws("|", col("tenant"), col("domain")), nults, nul, nul))
+      .unionAll(node(ce, "RESOURCE", col("resourceid"), nults, nul, nul))
+      .unionAll(node(ce, "ACTION", col("id"), col("time"), col("source"), col("type")))
+      .dropDuplicates("kind", "key")
+  }
+
+  /** Graph edge table — 5 relations (neo4j/client.go:15-20), unique on
+    * (rel, src_key, dst_key). */
+  def edges(ce: DataFrame): DataFrame = {
+    def edge(rel: String, srcKind: String, src: Column,
+             dstKind: String, dst: Column): DataFrame =
+      ce.select(lit(rel).as("rel"),
+        lit(srcKind).as("src_kind"), src.cast("string").as("src_key"),
+        lit(dstKind).as("dst_kind"), dst.cast("string").as("dst_key"))
+    val tenantKey = concat_ws("|", col("tenant"), col("domain"))
+    edge("APPLIED_ON", "ACTION", col("id"), "RESOURCE", col("resourceid"))
+      .unionAll(edge("LOCATED_AT", "TENANT", tenantKey, "REGION", col("region")))
+      .unionAll(edge("MEMBER_OF", "RESOURCE", col("resourceid"), "TENANT", tenantKey))
+      .unionAll(edge("WITH_STATUS", "ACTION", col("id"), "STATUS", col("status")))
+      .unionAll(edge("PERFORMED_BY", "ACTION", col("id"), "SUBJECT", col("subject")))
+      .dropDuplicates("rel", "src_key", "dst_key")
+  }
+}
