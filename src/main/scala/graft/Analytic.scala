@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function / ordered-analytics surface (SURVEY §2.7: window
+  * functions, top-k, as-of join, range join — all absent in the reference).
+  *
+  * Scale notes:
+  *  - every window here partitions by a key (customer/user) — no global
+  *    window, so state is bounded per key and the shuffle is one hash
+  *    exchange on the partition key;
+  *  - the as-of join is the union+window merge (no join at all): O(n log n)
+  *    sort within key partitions, vs. the naive time-inequality join which
+  *    is quadratic per key;
+  *  - the range join keeps an equi key (user_id) so Spark plans a hash/SMJ
+  *    join with the range as a post-condition — never a cartesian.
+  */
+object Analytic {
+  import SparkEntry.Q
+
+  def queries: Map[String, Q] = Map(
+    // row_number / rank / lag / lead / running sum (ROWS frame — explicit,
+    // because the default RANGE frame treats date ties differently).
+    "w_window_funcs" -> ((s, d) => {
+      val wSeq = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+        row_number().over(wSeq).as("seq"),
+        rank().over(wPrice).as("price_rank"),
+        lag("o_orderdate", 1).over(wSeq).as("prev_date"),
+        lead("o_orderdate", 1).over(wSeq).as("next_date"),
+        sum("o_totalprice").over(wRun).as("run_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // top-k per group: k best-priced orders per customer via ranked window.
+    "w_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // as-of join: for each purchase, the latest click at-or-before it by the
+    // same user. Union+window merge — tag streams, sort once per user,
+    // carry the last click timestamp forward (clicks sort before purchases
+    // on ts ties so "at-or-before" includes same-instant clicks).
+    "w_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d).filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"),
+          when(col("event_type") === "click", col("ts")).as("click_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // range join (equi + interval): purchases within 5 minutes after a click
+    // by the same user. The user_id equi key bounds the join; the time range
+    // is a residual predicate — scales as a normal shuffled equi join.
+    "w_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_ts") > col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "w_window_funcs" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  row_number() OVER w_seq AS seq,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |  lag(o_orderdate, 1) OVER w_seq AS prev_date,
+        |  lead(o_orderdate, 1) OVER w_seq AS next_date,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                          ROWS UNBOUNDED PRECEDING) AS run_total
+        |FROM orders
+        |WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "w_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "w_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+        |    CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |)
+        |SELECT event_id, user_id, ts,
+        |  last_value(click_ts IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, kind, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS asof_click_ts
+        |FROM tagged QUALIFY kind = 1 ORDER BY event_id""".stripMargin,
+
+    "w_range_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.p_ts > c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 5 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+  )
+}

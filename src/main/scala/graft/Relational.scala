@@ -55,6 +55,133 @@ object Relational {
         .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // §2.7 set ops — union/intersect/except over the distinct customer sets
+    // of two order years. Each set op plans as a shuffle on the full row —
+    // the minimum; inputs are pre-distinct projections so the shuffled
+    // payload is one bigint column.
+    "q_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def custOf(year: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      val a = custOf(1995); val b = custOf(1996)
+      def tag(df: org.apache.spark.sql.DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      tag(a.union(b).distinct(), "union")
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.except(b), "except"))
+        .orderBy(col("op"))
+    }),
+
+    // §2.7 semi/anti joins — customers with vs without orders, per segment.
+    // left_semi/left_anti ship no payload from the right side; at scale the
+    // orders side reduces to its join key before the shuffle.
+    "q_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val ok = Tables.orders(s, d).select(col("o_custkey"))
+      def side(joinType: String, tagV: String) =
+        c.join(ok, c("c_custkey") === ok("o_custkey"), joinType)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(tagV).as("side"), col("c_mktsegment"), col("n"))
+      side("left_semi", "with_orders")
+        .unionAll(side("left_anti", "without_orders"))
+        .orderBy(col("side"), col("c_mktsegment"))
+    }),
+
+    // §2.7 outer join + histogram — orders-per-customer incl. zero-order
+    // customers (left join, count over the nullable side).
+    "q_outer_hist" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_orders"))
+    }),
+
+    // §2.7 rollup — region→nation supplier account totals with subtotal and
+    // grand-total rows (grouping-sets aggregate: one shuffle, rollup rows
+    // synthesized by Catalyst's Expand).
+    "q_rollup" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val nat = broadcast(Tables.nation(s, d))
+      val reg = broadcast(Tables.region(s, d))
+      sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("s_acctbal")).as("sum_acctbal"), count(lit(1)).as("n"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+                coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+                col("sum_acctbal"), col("n"))
+        .orderBy(col("region_name"), col("nation_name"))
+    }),
+
+    // §2.7 cube — all grouping combinations of the lineitem flag pair.
+    "q_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // §2.7 scalar string/math functions — pure codegen'd Project, no shuffle.
+    "q_scalar_fns" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+        size(split(col("p_name"), " ")).as("name_words"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        abs(col("p_retailprice") - 1000.0).as("price_dev"),
+        sqrt(col("p_size").cast("double")).as("size_sqrt"),
+        floor(col("p_retailprice")).as("price_floor"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.7 date/time functions over orders.
+    "q_date_fns" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.7 exact distinct aggregation — count_distinct expands to a
+    // two-phase aggregate; keys stay partitioned on the group key.
+    "q_agg_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n"),
+             sum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // §2.7 approximate distinct (HLL) — no DuckDB oracle (different sketch);
+    // driver records rows-only. The scale path: approx_count_distinct is
+    // mergeable, single pass, constant memory per group.
+    "q_approx_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -87,6 +214,87 @@ object Relational {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |             AND o_orderdate <  TIMESTAMP '1996-01-01'),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |             AND o_orderdate <  TIMESTAMP '1997-01-01')
+        |SELECT * FROM (
+        |  SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM a UNION SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'intersect', count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'except', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |) ORDER BY op""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT * FROM (
+        |  SELECT 'with_orders' AS side, c_mktsegment, count(*) AS n
+        |  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT 'without_orders', c_mktsegment, count(*)
+        |  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment
+        |) ORDER BY side, c_mktsegment""".stripMargin,
+
+    "q_outer_hist" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       sum(s_acctbal) AS sum_acctbal, count(*) AS n
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_scalar_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  length(p_name) AS name_len,
+        |  substr(p_name, 1, 8) AS name_pfx,
+        |  regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+        |  len(string_split(p_name, ' ')) AS name_words,
+        |  lpad(p_brand, 12, '#') AS brand_pad,
+        |  abs(p_retailprice - 1000.0) AS price_dev,
+        |  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+        |  floor(p_retailprice) AS price_floor
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  quarter(o_orderdate) AS qtr,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n,
+        |  sum(o_totalprice) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

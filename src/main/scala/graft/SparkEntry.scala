@@ -29,7 +29,9 @@ object SparkEntry {
       .orderBy(col("type"), col("status"))
   }
 
-  def queries: Map[String, Q] = Relational.queries ++ Parity.queries
+  def queries: Map[String, Q] =
+    Relational.queries ++ Parity.queries ++ Analytic.queries
 
-  def oracleSql: Map[String, String] = Relational.oracles ++ Parity.oracles
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Parity.oracles ++ Analytic.oracles
 }
