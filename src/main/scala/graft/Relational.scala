@@ -138,10 +138,12 @@ object Relational {
       Tables.part(s, d).select(
         col("p_partkey"),
         upper(col("p_name")).as("name_upper"),
-        length(col("p_name")).as("name_len"),
+        // casts: Spark length/size are INT, DuckDB's are BIGINT — align on
+        // BIGINT so the driver's typed hash compare matches (r01 failure)
+        length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_name"), 1, 8).as("name_pfx"),
         regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
-        size(split(col("p_name"), " ")).as("name_words"),
+        size(split(col("p_name"), " ")).cast("long").as("name_words"),
         lpad(col("p_brand"), 12, "#").as("brand_pad"),
         abs(col("p_retailprice") - 1000.0).as("price_dev"),
         sqrt(col("p_size").cast("double")).as("size_sqrt"),
@@ -164,23 +166,36 @@ object Relational {
 
     // §2.7 exact distinct aggregation — count_distinct expands to a
     // two-phase aggregate; keys stay partitioned on the group key.
+    // Money is summed in DECIMAL(18,2): double addition is order-dependent
+    // and Spark's partial-agg merge order differs from DuckDB's, so a
+    // double sum is not bit-stable (r01 hash failure). Decimal addition is
+    // exact and order-independent; the final cast back to double is a
+    // single well-defined rounding both engines share.
     "q_agg_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(count_distinct(col("o_custkey")).as("n_cust"),
              count(lit(1)).as("n"),
-             sum(col("o_totalprice")).as("sum_price"))
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
-    // §2.7 approximate distinct (HLL) — no DuckDB oracle (different sketch);
-    // driver records rows-only. The scale path: approx_count_distinct is
-    // mergeable, single pass, constant memory per group.
+    // §2.7 approximate distinct (HLL) — DuckDB's approx sketch differs, so
+    // the oracle checks a derived deterministic property instead: the HLL
+    // estimate at rsd=0.01 must land within 5% of the exact count (it is
+    // deterministic for a given input, so the boolean is hash-stable).
+    // Scale path: approx_count_distinct is mergeable, single pass,
+    // constant memory per group — the 100 TB answer to count_distinct.
     "q_approx_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+             count_distinct(col("o_custkey")).as("n_cust_exact"),
              count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+                col("n_cust_exact"), col("n"),
+                (abs(col("approx_cust") - col("n_cust_exact")) <=
+                  col("n_cust_exact") * 0.05).as("approx_within_5pct"))
         .orderBy(col("o_orderpriority"))
     })
   )
@@ -277,7 +292,7 @@ object Relational {
         |  lpad(p_brand, 12, '#') AS brand_pad,
         |  abs(p_retailprice - 1000.0) AS price_dev,
         |  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
-        |  floor(p_retailprice) AS price_floor
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_date_fns" ->
@@ -294,7 +309,14 @@ object Relational {
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n,
-        |  sum(o_totalprice) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust_exact,
+        |  count(*) AS n,
+        |  TRUE AS approx_within_5pct
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
