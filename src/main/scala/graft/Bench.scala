@@ -1,23 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): every batch query from
+  * SparkEntry.queries against SPARK_GRAFT_SF_DIR, one JSON line out.
+  *
+  * Methodology (r02 verdict): the old harness did a single `.count()` pass —
+  * Catalyst prunes Projects under a count, so projection-heavy queries
+  * measured a pruned scan, and single-iteration numbers swung 20× between
+  * rounds on unchanged code. Now each query is executed to completion
+  * through the `noop` DataSource (all rows materialized, nothing pruned,
+  * no disk write in the measurement), once as warm-up (JIT + parquet
+  * footer/codegen caches), then 3 timed iterations; the reported figure is
+  * the median. Streaming (`s_*`) queries are excluded — they time trigger
+  * machinery, not operator cost, and have their own correctness rows.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(fn: SparkEntry.Q): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val batchQueries = SparkEntry.queries.filterNot(_._1.startsWith("s_"))
+    val results = batchQueries.map { case (name, fn) =>
+      val t = try {
+        runOnce(fn) // warm-up, discarded
+        val xs = Seq.fill(3)(runOnce(fn)).sorted
+        xs(1) // median of 3
+      } catch { case _: Throwable => -1.0 }
+      name -> t
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

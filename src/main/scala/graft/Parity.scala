@@ -25,8 +25,11 @@ object Parity {
     // §2.5 — MERGE idempotency: re-delivered duplicates (window-overlap,
     // adapter.go:93-102) collapse on trace id. Simulated by unioning the
     // feed with itself; dropDuplicates plans as a hash aggregate.
+    // Project to the 3 needed columns BEFORE the dedup shuffle — the full
+    // row (incl. the props JSON string) must never ride the exchange.
     "p_dedup_merge" -> ((s, d) => {
       val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
       e.unionAll(e).dropDuplicates("event_id")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * TPC-H-ish testdata. Conventions:
   *  - every query ends in a deterministic ORDER BY with a unique tiebreak
   *    so the DuckDB hash-compare is order-stable;
-  *  - money stays `double` end-to-end (FIXTURES.md);
+  *  - money is `double` at rest (FIXTURES.md); unordered money sums go
+  *    through DECIMAL(38,2) (exact, order-independent, overflow-safe far
+  *    beyond 100 TB row counts) and cast back to double at the end;
   *  - dimension tables are broadcast; fact-fact joins shuffle on the join
   *    key and rely on AQE for skew/partition sizing at scale.
   */
@@ -93,13 +95,16 @@ object Relational {
     }),
 
     // §2.7 outer join + histogram — orders-per-customer incl. zero-order
-    // customers (left join, count over the nullable side).
+    // customers. Orders pre-aggregates to (o_custkey, n) before the join,
+    // so the join shuffle carries |distinct custkey| rows instead of
+    // |orders|, and the left join's null side becomes a 0-coalesce.
     "q_outer_hist" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("n_orders"))
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+        .select(coalesce(col("n_ord"), lit(0L)).as("n_orders"))
         .groupBy(col("n_orders"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("n_orders"))
@@ -166,17 +171,19 @@ object Relational {
 
     // §2.7 exact distinct aggregation — count_distinct expands to a
     // two-phase aggregate; keys stay partitioned on the group key.
-    // Money is summed in DECIMAL(18,2): double addition is order-dependent
-    // and Spark's partial-agg merge order differs from DuckDB's, so a
-    // double sum is not bit-stable (r01 hash failure). Decimal addition is
-    // exact and order-independent; the final cast back to double is a
-    // single well-defined rounding both engines share.
+    // Money is summed in DECIMAL: double addition is order-dependent and
+    // Spark's partial-agg merge order differs from DuckDB's, so a double
+    // sum is not bit-stable (r01 hash failure). Decimal addition is exact
+    // and order-independent; the final cast back to double is a single
+    // well-defined rounding both engines share. Input cast is (38,2) so the
+    // sum never overflows-to-NULL in non-ANSI mode (r02 ADVICE) — Spark
+    // keeps a (38,2) sum type, enough for ~1e31 rows of 1e6-scale prices.
     "q_agg_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(count_distinct(col("o_custkey")).as("n_cust"),
              count(lit(1)).as("n"),
-             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+             sum(col("o_totalprice").cast("decimal(38,2)")).cast("double").as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -186,6 +193,9 @@ object Relational {
     // deterministic for a given input, so the boolean is hash-stable).
     // Scale path: approx_count_distinct is mergeable, single pass,
     // constant memory per group — the 100 TB answer to count_distinct.
+    // NOTE (r02 ADVICE): the exact count_distinct alongside the sketch is
+    // oracle scaffolding only — a production plan would run the approx
+    // aggregate alone; its bench cost here includes the exact pass.
     "q_approx_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
@@ -309,7 +319,7 @@ object Relational {
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_approx_distinct" ->

@@ -29,7 +29,12 @@ object Tables {
     * TIMESTAMP_NS→TIMESTAMP cast in general.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Our own mains set this at session build (Verify/Bench/Smoke). The
+    // guarded set below only covers driver-owned sessions (smoke-check of
+    // SparkEntry.entry) that never ran our builder — it fires once, not on
+    // every load, so no conf churn on the hot path.
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
     // integral `div`, not `/` — a double round-trip loses sub-ms precision
     // on 2^60-scale nanosecond epochs
     apply(s, d, "events").withColumn("ts",

@@ -55,47 +55,61 @@ object CtsParity {
       col("resource_id").as("resourceid"),
       col("region"), col("domain"), col("tenant"))
 
-  private def node(df: DataFrame, kind: String, key: Column,
-                   ts: Column, source: Column, typ: Column): DataFrame =
-    df.select(lit(kind).as("kind"), key.cast("string").as("key"),
-      ts.as("node_ts"), source.as("node_source"), typ.as("node_type"))
-
   /** Graph node table — Cypher MERGE ≙ dropDuplicates on node identity
     * (neo4j/client.go:10-21; SURVEY §2.5). Kinds REGION/STATUS/SUBJECT/
     * TENANT/RESOURCE carry no props beyond identity; ACTION carries
     * {timestamp, source, type}. TENANT identity is the (tenantId, domainId)
     * composite — encoded `tenant|domain` (SURVEY §7.4 MERGE parity).
     *
-    * Scale note: each branch is a map-side Project; the union dedups with a
-    * single hash-aggregate shuffle on (kind, key) — the minimum any MERGE
-    * semantics needs.
+    * Scale note: SINGLE scan of the event feed — each row fans out to its 6
+    * node rows through one Generate (explode of an inline struct array), then
+    * one hash-aggregate shuffle on (kind, key) dedups. The earlier 6-branch
+    * union re-scanned (and re-ran the CE projection, incl. JSON parsing) per
+    * branch — a 6× read amplification that is disqualifying at 100 TB.
     */
   def nodes(ce: DataFrame): DataFrame = {
     val nul = lit(null).cast("string")
     val nults = lit(null).cast("timestamp")
-    node(ce, "REGION", col("region"), nults, nul, nul)
-      .unionAll(node(ce, "STATUS", col("status"), nults, nul, nul))
-      .unionAll(node(ce, "SUBJECT", col("subject"), nults, nul, nul))
-      .unionAll(node(ce, "TENANT", concat_ws("|", col("tenant"), col("domain")), nults, nul, nul))
-      .unionAll(node(ce, "RESOURCE", col("resourceid"), nults, nul, nul))
-      .unionAll(node(ce, "ACTION", col("id"), col("time"), col("source"), col("type")))
-      .dropDuplicates("kind", "key")
+    def n(kind: String, key: Column, ts: Column, src: Column, typ: Column) =
+      struct(lit(kind).as("kind"), key.cast("string").as("key"),
+        ts.as("node_ts"), src.as("node_source"), typ.as("node_type"))
+    ce.select(explode(array(
+        n("REGION", col("region"), nults, nul, nul),
+        n("STATUS", col("status"), nults, nul, nul),
+        n("SUBJECT", col("subject"), nults, nul, nul),
+        n("TENANT", concat_ws("|", col("tenant"), col("domain")), nults, nul, nul),
+        n("RESOURCE", col("resourceid"), nults, nul, nul),
+        n("ACTION", col("id"), col("time"), col("source"), col("type"))
+      )).as("n"))
+      .select(col("n.*"))
+      // distinct over ALL columns, not dropDuplicates(kind,key): dim nodes
+      // carry identity-only (NULL) props and ACTION keys are unique in the
+      // feed (upstream §2.5 dedup), so the result is identical — but
+      // grouping-keys-only plans as a HashAggregate with map-side partial
+      // combine, where first(string) aggregate buffers would force a
+      // SortAggregate (two extra full sorts, spill-prone at scale).
+      .distinct()
   }
 
   /** Graph edge table — 5 relations (neo4j/client.go:15-20), unique on
-    * (rel, src_key, dst_key). */
+    * (rel, src_key, dst_key). Same single-scan explode shape as `nodes`. */
   def edges(ce: DataFrame): DataFrame = {
-    def edge(rel: String, srcKind: String, src: Column,
-             dstKind: String, dst: Column): DataFrame =
-      ce.select(lit(rel).as("rel"),
+    def e(rel: String, srcKind: String, src: Column, dstKind: String, dst: Column) =
+      struct(lit(rel).as("rel"),
         lit(srcKind).as("src_kind"), src.cast("string").as("src_key"),
         lit(dstKind).as("dst_kind"), dst.cast("string").as("dst_key"))
     val tenantKey = concat_ws("|", col("tenant"), col("domain"))
-    edge("APPLIED_ON", "ACTION", col("id"), "RESOURCE", col("resourceid"))
-      .unionAll(edge("LOCATED_AT", "TENANT", tenantKey, "REGION", col("region")))
-      .unionAll(edge("MEMBER_OF", "RESOURCE", col("resourceid"), "TENANT", tenantKey))
-      .unionAll(edge("WITH_STATUS", "ACTION", col("id"), "STATUS", col("status")))
-      .unionAll(edge("PERFORMED_BY", "ACTION", col("id"), "SUBJECT", col("subject")))
-      .dropDuplicates("rel", "src_key", "dst_key")
+    ce.select(explode(array(
+        e("APPLIED_ON", "ACTION", col("id"), "RESOURCE", col("resourceid")),
+        e("LOCATED_AT", "TENANT", tenantKey, "REGION", col("region")),
+        e("MEMBER_OF", "RESOURCE", col("resourceid"), "TENANT", tenantKey),
+        e("WITH_STATUS", "ACTION", col("id"), "STATUS", col("status")),
+        e("PERFORMED_BY", "ACTION", col("id"), "SUBJECT", col("subject"))
+      )).as("e"))
+      .select(col("e.*"))
+      // all 5 columns are functionally determined by (rel, src_key,
+      // dst_key), so distinct() ≡ dropDuplicates on the identity — and
+      // stays a HashAggregate (see `nodes`).
+      .distinct()
   }
 }
