@@ -1,0 +1,438 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (extension layer; BASELINE.json
+  * north_star: dedup, similarity search, multimodal columns, text analysis)
+  * over `documents.parquet` / `embeddings.parquet`.
+  *
+  * Cross-engine determinism: every hash in this file is a polynomial
+  * char-code hash mod a prime, built from the SAME Scala constants that are
+  * interpolated into the DuckDB oracle SQL — both engines run the identical
+  * integer arithmetic, so MinHash/SimHash/LSH results hash-match exactly
+  * (no dependence on engine-private hash functions like xxhash64 vs
+  * duckdb::hash). Float work (cosine) casts float→double per element and
+  * folds left-to-right on both sides, which IEEE-754 makes bit-stable.
+  *
+  * Scale design (the point): near-dup never goes all-pairs — MinHash-LSH
+  * shuffles on (band, bucket) so candidate generation is linear in docs +
+  * bucket-local joins; SimHash buckets on 8-bit fingerprint bands
+  * (pigeonhole: hamming ≤ 3 over 4 bands ⟹ ≥ 1 exact band match); cosine
+  * top-k broadcasts the (small) query set so the big side streams map-side
+  * with one bounded top-k window at the end.
+  */
+object LlmOps {
+  import SparkEntry.Q
+
+  /** Prime modulus for all polynomial hashes (fits products in int64:
+    * acc < P ≈ 2^30, acc*31+127 < 2^35; a*h < P² ≈ 2^60). */
+  private val P = 1000000007L
+  /** Mixing multiplier for combining hashes (band buckets). */
+  private val M = 1000003L
+  /** MinHash signature size and banding: 32 hashes = 8 bands × 4 rows →
+    * LSH catch probability 1-(1-J⁴)⁸ ≈ 0.9999 at J=0.8. */
+  private val K = 32
+  private val BANDS = 8
+  private val R = K / BANDS
+  /** Per-hash affine constants, derived (not magic) from Knuth's 2654435761
+    * multiplicative-hash constant — identical literals land in the SQL. */
+  private val A: IndexedSeq[Long] = (0 until K).map(i => (2654435761L * (i + 1)) % P)
+  private val B: IndexedSeq[Long] = (0 until K).map(i => (40503L * 65537L * (i + 1) + 97531L) % P)
+
+  /** SimHash width and banding: 32-bit fingerprint, 4 bands × 8 bits. */
+  private val SIM_BITS = 32
+  private val SIM_BANDS = 4
+  private val SIM_HAM = 3
+
+  private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in")
+  private val NEAR_DUP_J = 0.5
+
+  // ---------------------------------------------------------------- Spark
+
+  /** Polynomial rolling hash of a string: fold (acc*31 + ascii(c)) % P over
+    * its characters. Pure codegen built-ins — no UDF. */
+  private def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** (doc_id, h): DISTINCT word-3-gram shingle hashes per document. The
+    * Generate (explode) fans each doc to ~|tokens| rows; the distinct is a
+    * map-side-combinable hash aggregate on (doc_id, h). */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    docs(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("w")) - 3),
+        i => concat_ws(" ",
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2),
+          element_at(col("w"), i + 3)))).as("sh"))
+      .select(col("doc_id"), polyHash(col("sh")).as("h"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs: inter/union from shingle-hash sets.
+    * `cand` must be (d1, d2) with d1 < d2. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val s1 = sh.select(col("doc_id").as("sd1"), col("h").as("h1"))
+    val s2 = sh.select(col("doc_id").as("sd2"), col("h").as("h2"))
+    cand
+      .join(s1, col("d1") === col("sd1"))
+      .join(s2, col("d2") === col("sd2") && col("h1") === col("h2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")), col("d1") === col("zd1"))
+      .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")), col("d2") === col("zd2"))
+      .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
+        (col("n_shared").cast("double") /
+          (col("n1") + col("n2") - col("n_shared")).cast("double")).as("jaccard"))
+  }
+
+  def queries: Map[String, Q] = Map(
+
+    // Exact dedup: normalize → content hash → group. The corpus has no
+    // planted byte dups, so a case-mangled mirror (re-crawl of the same
+    // page) is unioned in; normalization collapses each pair. One scan +
+    // one hash aggregate on the 64-hex digest — the 100 TB shape (the
+    // digest, not the document, rides the shuffle).
+    "l_exact_dedup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val mirror = base.select((col("doc_id") + 100000L).as("doc_id"),
+        upper(col("text")).as("text"))
+      base.unionAll(mirror)
+        .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canon_id"))
+        .filter(col("n_copies") > 1)
+        .select(col("canon_id"), col("n_copies"), col("fp"))
+        .orderBy(col("canon_id"))
+    }),
+
+    // Text analysis: token stats, BPE-ish subtoken count, type-token ratio,
+    // stopword ratio, a stopword-based language guess, a quality score, and
+    // a rolling-hash fingerprint — one codegen'd Project, no shuffle.
+    "l_text_stats" -> ((s, d) => {
+      val toks = split(lower(col("text")), " ")
+      val nTok = size(toks).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      val ttr = nDistinct.cast("double") / nTok.cast("double")
+      val stopHits = size(filter(toks, t =>
+        STOPWORDS.map(w => t === w).reduce(_ || _))).cast("long")
+      val stopRatio = stopHits.cast("double") / nTok.cast("double")
+      docs(s, d).select(
+        col("doc_id"), col("lang"),
+        nTok.as("n_tokens"),
+        nChars.as("n_chars_calc"),
+        nDistinct.as("n_distinct_tokens"),
+        ((nChars - (nTok - 1)).cast("double") / nTok.cast("double")).as("avg_token_len"),
+        ttr.as("ttr"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_subtokens"),
+        stopRatio.as("stop_ratio"),
+        when(stopRatio >= 0.05, lit("en_like")).otherwise(lit("other")).as("lang_guess"),
+        (least(lit(1.0), nTok.cast("double") / 200.0) * (lit(0.25) + lit(0.75) * ttr))
+          .as("quality"),
+        polyHash(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup via banded MinHash-LSH: shingles → K=32 affine min-hashes →
+    // 8 bands of 4 → self-join ONLY on (band, bucket) → exact-Jaccard
+    // verify of the candidates. Candidate generation is linear + bucket-
+    // local; no all-pairs anywhere — the O(n²) cartesian this replaces is
+    // the difference between feasible and impossible at 100 TB.
+    "l_minhash_lsh" -> ((s, d) => {
+      val sh = shingleHashes(s, d)
+      val mh = sh.groupBy(col("doc_id")).agg(
+        min((lit(A(0)) * col("h") + lit(B(0))) % P).as("mh0"),
+        (1 until K).map(i =>
+          min((lit(A(i)) * col("h") + lit(B(i))) % P).as(s"mh$i")): _*)
+      def bucket(j: Int): Column =
+        (R * j + 1 until R * (j + 1)).foldLeft(col(s"mh${R * j}")) {
+          (acc, i) => (acc * M + col(s"mh$i")) % P
+        }
+      val bands = mh.select(col("doc_id"), explode(array(
+        (0 until BANDS).map(j =>
+          struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bucket"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      jaccardOf(cand, sh)
+        .filter(col("jaccard") >= NEAR_DUP_J)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Near-dup ground truth: exact n-gram Jaccard over pairs sharing ≥ 1
+    // shingle (inverted-index join). Correct but quadratic on hot shingles
+    // — kept as the oracle of record; l_minhash_lsh is the scale path.
+    "l_ngram_jaccard" -> ((s, d) => {
+      val sh = shingleHashes(s, d)
+      val cand = sh.select(col("doc_id").as("d1"), col("h"))
+        .join(sh.select(col("doc_id").as("d2"), col("h")), "h")
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"))
+        .distinct()
+      jaccardOf(cand, sh)
+        .filter(col("jaccard") >= NEAR_DUP_J)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Near-dup via SimHash: 32-bit sign-sum fingerprint over shingle-hash
+    // features, bucketed on 4 8-bit bands (hamming ≤ 3 ⟹ some band equal),
+    // verified with bit_count(xor) — the constant-space alternative to
+    // MinHash. Features are 3-gram shingles, not unigrams: this corpus has
+    // a ~30-word vocabulary, so unigram sign-sums converge to the vocab
+    // distribution and every fingerprint collides (measured: 16 k pairs).
+    "l_simhash" -> ((s, d) => {
+      val tk = shingleHashes(s, d)
+      val sums = tk.groupBy(col("doc_id")).agg(
+        sum(when((shiftright(col("h"), 0) % 2) === 1, 1).otherwise(-1)).as("s0"),
+        (1 until SIM_BITS).map(b =>
+          sum(when((shiftright(col("h"), b) % 2) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+      val fp = sums.select(col("doc_id"),
+        (0 until SIM_BITS).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
+          .reduce(_ + _).as("fp"))
+      val bands = fp.select(col("doc_id"), col("fp"), explode(array(
+        (0 until SIM_BANDS).map(j =>
+          struct(lit(j).as("band"),
+            (shiftright(col("fp"), 8 * j) % 256).as("bucket"))): _*)).as("b"))
+        .select(col("doc_id"), col("fp"), col("b.band"), col("b.bucket"))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.fp").as("fp1"), col("y.fp").as("fp2"))
+        .distinct()
+        .select(col("d1"), col("d2"),
+          bit_count(col("fp1").bitwiseXOR(col("fp2"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= SIM_HAM)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Similarity search: brute-force cosine top-3 for a broadcast query
+    // set. dot/norm are per-element float→double casts folded left-to-right
+    // (bit-stable across engines). The big side never shuffles until the
+    // final per-query top-k window; at 100 TB the query set stays broadcast
+    // and the candidate scan is embarrassingly parallel.
+    "l_cosine_topk" -> ((s, d) => {
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) *
+             sqrt(dot(col("embedding"), col("embedding"))))).as("cosine"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      joined.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Multimodal column: media as an opaque binary payload + typed metadata
+    // struct + mime tag; mime predicate + size accounting stay relational
+    // (decode/resize are the stubbed mapPartitions path in
+    // operators/Multimodal.scala — the libs aren't in this container).
+    "l_multimodal" -> ((s, d) => {
+      val media = docs(s, d).select(col("doc_id"), struct(
+        when(col("doc_id") % 3 === 0, lit("image/png"))
+          .when(col("doc_id") % 3 === 1, lit("audio/ogg"))
+          .otherwise(lit("video/mp4")).as("mime"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          (col("n_chars") % 640 + 64).as("width"),
+          (col("n_chars") % 480 + 48).as("height"),
+          (col("n_chars") * 40).as("duration_ms")).as("meta")).as("media"))
+      media.filter(col("media.mime") =!= "video/mp4")
+        .select(col("doc_id"), col("media.mime").as("mime"),
+          expr("octet_length(media.payload)").cast("long").as("n_bytes"),
+          col("media.meta.width").as("width"),
+          col("media.meta.height").as("height"),
+          col("media.meta.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // --------------------------------------------------------------- oracle
+
+  /** DuckDB lambda replay of [[polyHash]] (identical arithmetic). */
+  private def sqlPoly(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % $P)"
+
+  /** Shared CTE: distinct shingle hashes + sizes (mirror of shingleHashes). */
+  private val shingleCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, ${sqlPoly("s")} AS h FROM (
+       |      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                             for i in range(1, len(w) - 1)]) AS s
+       |      FROM toks WHERE len(w) >= 3))
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private def jaccardSql(candCte: String): String =
+    s"""$shingleCte, $candCte,
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
+       |  GROUP BY c.d1, c.d2)
+       |SELECT i.d1, i.d2, i.n_shared, s1.n AS n1, s2.n AS n2,
+       |       CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) AS jaccard
+       |FROM inter i
+       |JOIN sizes s1 ON s1.doc_id = i.d1
+       |JOIN sizes s2 ON s2.doc_id = i.d2
+       |WHERE CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) >= $NEAR_DUP_J
+       |ORDER BY d1, d2""".stripMargin
+
+  private val minhashCandCte: String = {
+    val mins = (0 until K)
+      .map(i => s"min((${A(i)} * h + ${B(i)}) % $P) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until BANDS).map { j =>
+      val bucket = (R * j + 1 until R * (j + 1))
+        .foldLeft(s"mh${R * j}")((acc, i) => s"(($acc) * $M + mh$i) % $P")
+      s"SELECT doc_id, $j AS band, $bucket AS bucket FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""mh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "l_exact_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, upper(text) FROM documents
+         |)
+         |SELECT min(doc_id) AS canon_id, count(*) AS n_copies,
+         |       sha256(lower(trim(text))) AS fp
+         |FROM all_docs GROUP BY fp HAVING count(*) > 1
+         |ORDER BY canon_id""".stripMargin,
+
+    "l_text_stats" -> {
+      val stopList = STOPWORDS.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS toks,
+         |         CAST(length(text) AS BIGINT) AS n_chars_calc
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, lang, text, n_chars_calc,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS BIGINT) AS stop_hits
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, n_tokens, n_chars_calc, n_distinct_tokens,
+         |  CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+         |  CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
+         |  CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |  CASE WHEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+         |       THEN 'en_like' ELSE 'other' END AS lang_guess,
+         |  least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) *
+         |    (0.25 + 0.75 * (CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS quality,
+         |  ${sqlPoly("text")} AS fingerprint
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
+
+    "l_minhash_lsh" -> jaccardSql(minhashCandCte),
+
+    "l_ngram_jaccard" -> jaccardSql(
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin),
+
+    "l_simhash" -> {
+      val sums = (0 until SIM_BITS)
+        .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val fpExpr = (0 until SIM_BITS)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      val bandSelects = (0 until SIM_BANDS)
+        .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) % 256 AS bucket FROM fp")
+        .mkString("\n  UNION ALL ")
+      s"""$shingleCte, sums AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM sh GROUP BY doc_id
+         |), fp AS (
+         |  SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.fp AS fp1, y.fp AS fp2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fp1, fp2)) <= $SIM_HAM
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    "l_cosine_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+         |), scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(q.q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+         |      (a, b) -> a + b)
+         |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |         list_transform(q.q_emb, (x, i) -> CAST(x AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+         |         (a, b) -> a + b))
+         |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |         list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+         |         (a, b) -> a + b))) AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT q_id, rank, neighbor_id, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "l_multimodal" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         |       WHEN doc_id % 3 = 1 THEN 'audio/ogg'
+         |       ELSE 'video/mp4' END AS mime,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  n_chars % 640 + 64 AS width,
+         |  n_chars % 480 + 48 AS height,
+         |  n_chars * 40 AS duration_ms
+         |FROM documents
+         |WHERE doc_id % 3 <> 2
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -30,8 +30,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, Q] =
-    Relational.queries ++ Parity.queries ++ Analytic.queries
+    Relational.queries ++ Parity.queries ++ Analytic.queries ++ LlmOps.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Parity.oracles ++ Analytic.oracles
+    Relational.oracles ++ Parity.oracles ++ Analytic.oracles ++ LlmOps.oracles
 }
