@@ -249,6 +249,46 @@ object LlmOps {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Similarity search, scale path: random-hyperplane LSH. Each vector
+    // gets a 4-bit sign bucket from 4 deterministic integer-coefficient
+    // hyperplanes; queries probe ONLY their bucket (candidate set ~n/16
+    // here, ~n/2^bits generally), then exact cosine + top-k within it.
+    // At 100 TB this turns a full-corpus scan per query into a bucket-
+    // pruned scan — the IVF idea with hash-derived centroids. Recall vs
+    // l_cosine_topk is the quality trade; the bucket join is the cost win.
+    "l_ann_lsh" -> ((s, d) => {
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      // hyperplane p coefficient at 1-based dim i: ((A(p)*i + B(p)) % P)
+      // centered at (P-1)/2 — exact int64, exactly representable in double
+      def planeDot(emb: Column, p: Int): Column =
+        aggregate(
+          zip_with(emb, sequence(lit(1), size(emb)),
+            (x, i) => x.cast("double") *
+              ((lit(A(p)) * i.cast("long") + lit(B(p))) % P - lit((P - 1) / 2)).cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      def bucket(emb: Column): Column =
+        (0 until 4).map(p => when(planeDot(emb, p) > 0, lit(1 << p)).otherwise(lit(0)))
+          .reduce(_ + _)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bkt").as("q_bkt"))
+      val joined = e.join(broadcast(q),
+          col("bkt") === col("q_bkt") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("q_emb"), col("embedding")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) *
+             sqrt(dot(col("embedding"), col("embedding"))))).as("cosine"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      joined.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Multimodal column: media as an opaque binary payload + typed metadata
     // struct + mime tag; mime predicate + size accounting stay relational
     // (decode/resize are the stubbed mapPartitions path in
@@ -421,6 +461,40 @@ object LlmOps {
          |)
          |SELECT q_id, rank, neighbor_id, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "l_ann_lsh" -> {
+      def sqlDot(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |      (a, b) -> a + b)""".stripMargin
+      val half = (P - 1) / 2
+      def planeDot(p: Int): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * CAST((${A(p)} * i + ${B(p)}) % $P - $half AS DOUBLE))),
+           |      (a, b) -> a + b)""".stripMargin
+      val bkt = (0 until 4)
+        .map(p => s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    $bkt AS bkt
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, bkt AS q_bkt FROM b WHERE vec_id < 5
+         |), scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |    ${sqlDot("q.q_emb", "e.embedding")}
+         |    / (sqrt(${sqlDot("q.q_emb", "q.q_emb")})
+         |     * sqrt(${sqlDot("e.embedding", "e.embedding")})) AS cosine
+         |  FROM q JOIN b e ON e.bkt = q.q_bkt AND e.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT q_id, rank, neighbor_id, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
 
     "l_multimodal" ->
       s"""SELECT doc_id,
