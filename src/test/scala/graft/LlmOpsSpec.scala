@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioural checks of the LLM-pipeline suite on the sf0.001 corpus
+  * (500 docs, 25 planted near-dup pairs). The DuckDB oracle covers
+  * hash-equality; these assert the *semantics* (LSH recall, dedup shape,
+  * ranking monotonicity) that a hash-match alone wouldn't explain. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def run(name: String) = LlmOps.queries(name)(spark, d)
+
+  test("minhash-LSH finds exactly the exact-Jaccard near-dup pairs (no false results)") {
+    val lsh = run("l_minhash_lsh").select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("l_ngram_jaccard").select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair below the Jaccard threshold")
+    assert(exact.subsetOf(lsh), s"LSH missed ${(exact -- lsh).size} true near-dup pairs")
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("near-dup pairs are ordered, above threshold, with consistent set sizes") {
+    run("l_ngram_jaccard").collect().foreach { r =>
+      val (d1, d2, shared, n1, n2, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(d1 < d2)
+      assert(j >= 0.5 && j <= 1.0)
+      assert(shared <= math.min(n1, n2))
+      assert(j === shared.toDouble / (n1 + n2 - shared))
+    }
+  }
+
+  test("exact dedup collapses every mirrored doc into a 2-copy group") {
+    val groups = run("l_exact_dedup").collect()
+    assert(groups.length === 500)
+    assert(groups.forall(_.getLong(1) === 2L), "every group must pair original+mirror")
+    // canon id is always the original (mirror ids are offset by 100000)
+    assert(groups.forall(_.getLong(0) < 100000L))
+  }
+
+  test("simhash near-dups are a high-precision subset of exact near-dups") {
+    val sim = run("l_simhash").select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("l_ngram_jaccard").select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert((sim -- exact).isEmpty, "simhash flagged a pair that is not a true near-dup")
+  }
+
+  test("cosine top-k: 3 ranked neighbors per query, scores sorted and in [-1,1]") {
+    val rows = run("l_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).distinct.length === 5)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === Seq(1L, 2L, 3L))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._4 >= b._4 })
+    }
+    assert(rows.forall(r => r._4 >= -1.0000001 && r._4 <= 1.0000001))
+  }
+
+  test("ANN-LSH never beats brute force and probes only the query's bucket") {
+    val brute = run("l_cosine_topk").filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ann = run("l_ann_lsh").filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ann.foreach { case (q, cos) =>
+      assert(cos <= brute(q) + 1e-12, s"ANN rank-1 above brute-force rank-1 for query $q")
+    }
+  }
+
+  test("text stats are internally consistent") {
+    run("l_text_stats").collect().foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nDis = r.getAs[Long]("n_distinct_tokens")
+      val ttr = r.getAs[Double]("ttr")
+      val fp = r.getAs[Long]("fingerprint")
+      assert(nTok >= 1L)
+      assert(nDis >= 1L && nDis <= nTok)
+      assert(math.abs(ttr - nDis.toDouble / nTok) < 1e-15)
+      assert(fp >= 0L && fp < 1000000007L)
+      assert(r.getAs[Double]("quality") > 0.0 && r.getAs[Double]("quality") <= 1.0)
+    }
+  }
+}

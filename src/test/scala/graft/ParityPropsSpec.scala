@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CloudEventFns
+import graft.operators.CtsParity
+
+/** Property-based checks (SURVEY §5.3): ScalaCheck generators produce
+  * adversarial fixtures, evaluated in one Spark pass per property (one DF
+  * of samples, assert over all rows — not one Spark job per sample). */
+class ParityPropsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val segGen: Gen[Option[String]] = Gen.oneOf(
+    Gen.const(None),
+    Gen.const(Some("")),
+    Gen.const(Some("...")),
+    Gen.alphaNumStr.map(s => Some(s.take(12))),
+    Gen.listOfN(6, Gen.oneOf(Gen.alphaNumChar, Gen.const('.'), Gen.const(' ')))
+      .map(cs => Some(cs.mkString)))
+
+  test("property: event type is lowercase and never ends in a dot") {
+    val rows = samples(for {
+      a <- segGen; b <- segGen; c <- segGen; d <- segGen
+    } yield (a, b, c, d), 300)
+    val out = rows.toDF("a", "b", "c", "d")
+      .select(CloudEventFns.eventType(col("a"), col("b"), col("c"), col("d")).as("t"))
+      .as[String].collect()
+    assert(out.length === 300)
+    assert(out.forall(t => !t.endsWith(".")), "found type ending in '.'")
+    assert(out.forall(t => t === t.toLowerCase), "found non-lowercased type")
+  }
+
+  test("property: subject is the name iff non-blank, else the id") {
+    val rows = samples(for {
+      n <- Gen.oneOf(Gen.const(None), Gen.const(Some("")), Gen.const(Some("  ")),
+        Gen.alphaNumStr.map(s => Some(s.take(8))))
+      i <- Gen.alphaNumStr.map(_.take(8))
+    } yield (n, i), 200)
+    val out = rows.toDF("n", "i")
+      .select(col("n"), col("i"),
+        CloudEventFns.subject(col("n"), col("i")).as("s"))
+      .as[(Option[String], String, String)].collect()
+    out.foreach { case (n, i, s) =>
+      val expected = n.filter(_.trim.nonEmpty).getOrElse(i)
+      assert(s === expected, s"subject($n, $i)")
+    }
+  }
+
+  test("property: dedup output is key-unique and idempotent") {
+    val ids = samples(Gen.chooseNum(0L, 50L), 400)
+    val df = ids.map(i => (i, s"payload-$i")).toDF("event_id", "v")
+    val dedup = df.dropDuplicates("event_id")
+    assert(dedup.count() === ids.distinct.length.toLong)
+    assert(dedup.dropDuplicates("event_id").count() === dedup.count())
+    assert(dedup.groupBy("event_id").count().filter(col("count") > 1).count() === 0L)
+  }
+
+  test("property: graph nodes lose no ACTION and edges reference only existing nodes") {
+    val ce = CtsParity.toCloudEvents(CtsParity.eventsAsTraces(
+      Tables.events(spark, TestSpark.sfDir))).cache()
+    val nodes = CtsParity.nodes(ce).cache()
+    val edges = CtsParity.edges(ce).cache()
+    // every distinct trace id becomes exactly one ACTION node
+    val nIds = ce.select(col("id")).distinct().count()
+    assert(nodes.filter(col("kind") === "ACTION").count() === nIds)
+    // referential integrity: each edge endpoint exists as a node of its kind
+    val nodeKeys = nodes.select(col("kind"), col("key"))
+    val srcDangling = edges.select(col("src_kind").as("kind"), col("src_key").as("key"))
+      .except(nodeKeys).count()
+    val dstDangling = edges.select(col("dst_kind").as("kind"), col("dst_key").as("key"))
+      .except(nodeKeys).count()
+    assert(srcDangling === 0L, "dangling edge sources")
+    assert(dstDangling === 0L, "dangling edge destinations")
+    ce.unpersist(); nodes.unpersist(); edges.unpersist()
+  }
+}
