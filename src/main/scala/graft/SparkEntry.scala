@@ -30,8 +30,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, Q] =
-    Relational.queries ++ Parity.queries ++ Analytic.queries ++ LlmOps.queries
+    Relational.queries ++ Parity.queries ++ Analytic.queries ++
+      LlmOps.queries ++ graft.streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Parity.oracles ++ Analytic.oracles ++ LlmOps.oracles
+    Relational.oracles ++ Parity.oracles ++ Analytic.oracles ++
+      LlmOps.oracles ++ graft.streaming.StreamingOps.oracles
 }

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming parity — the reference's DEFAULT mode
+  * (CTS_STREAMS=true, cmd/cts_exporter/main.go:27,122-149; the streaming
+  * pagination loop is pkg/adapter/adapter.go:158-210).
+  *
+  * The deterministic harness is a file-source `readStream` over the events
+  * parquet with `Trigger.AvailableNow` — process everything that exists,
+  * checkpoint, stop — which is exactly the reference's "drain the current
+  * window, then idle" poll cycle, with Spark's checkpointed offsets
+  * replacing the hand-rolled delta tracking (adapter.go:266-271). Each
+  * query runs a REAL StreamingQuery (state store, watermark, sink commit
+  * log) and then returns the sink's content as a batch DataFrame for the
+  * driver's oracle compare.
+  *
+  * Scale notes: streaming dedup keys the state store on event_id with a
+  * watermark bound so state is evicted, not grown forever; window/session
+  * aggregates shuffle once on (key, window); the foreachBatch sink writes
+  * per-batch directories so redelivery overwrites instead of duplicating
+  * (at-least-once delivery + idempotent write = the reference's
+  * MERGE-idempotency contract, neo4j/client.go:10-21).
+  */
+object StreamingOps {
+
+  /** events.parquet schema with ts as raw nanos (nanosAsLong), supplied
+    * explicitly as streaming sources require. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events table (ns→µs timestamp restore,
+    * same as the batch loader Tables.events). */
+  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
+    // the file source wants a directory: stream the sf dir, glob-filtered
+    // to the events table (the other tables never enter the file index)
+    s.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Run `q` to completion under AvailableNow with its own checkpoint. */
+  private def drain(df: DataFrame)(start: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val writer = df.writeStream
+      .option("checkpointLocation", tmp("graft-ckpt-"))
+      .trigger(Trigger.AvailableNow())
+    start(writer).awaitTermination()
+  }
+
+  /** §2.5 streaming MERGE-dedup: two sources of the same feed (the
+    * window-overlap redelivery of adapter.go:93-102) → watermark + keyed
+    * dropDuplicates (bounded state) → foreachBatch idempotent parquet sink
+    * → batch re-read + aggregate for the oracle. */
+  def dedup(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft-dedup-")
+    val feed = readEventsStream(s, dir).unionAll(readEventsStream(s, dir))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+    drain(feed) { w =>
+      w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent: redelivered batch N lands in the same directory
+        batch.write.mode("overwrite").parquet(s"$out/b$batchId")
+      }.start()
+    }
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Tumbling event-time window aggregate (§2.7 streaming windows): 1-day
+    * windows per event type, complete mode into a memory sink (the final
+    * state equals the batch answer — no open-tail ambiguity). */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val agg = readEventsStream(s, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    drain(agg)(_.outputMode("complete").format("memory").queryName(name).start())
+    s.table(name)
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Session windows (§2.7): per-user sessions closed by a 30-minute gap.
+    * Emits (user_id, session_start, n_events) for sessions with ≥ 2
+    * events — the stateful merge the reference can't express at all. */
+  def session(s: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_session_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val agg = readEventsStream(s, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    drain(agg)(_.outputMode("complete").format("memory").queryName(name).start())
+    s.table(name)
+      .filter(col("n_events") >= 2)
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  import graft.SparkEntry.Q
+
+  def queries: Map[String, Q] = Map(
+    "s_dedup" -> ((s, d) => dedup(s, d)),
+    "s_tumbling" -> ((s, d) => tumbling(s, d)),
+    "s_session" -> ((s, d) => session(s, d))
+  )
+
+  /** Batch-SQL twins: the streaming answers must equal what DuckDB computes
+    * over the at-rest table (exactly-once + event-time semantics). */
+  def oracles: Map[String, String] = Map(
+    "s_dedup" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,
+        |       count(*) AS n, sum(value) AS sum_value
+        |FROM events
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    "s_session" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), sids AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM gaps
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sids GROUP BY user_id, sid HAVING count(*) >= 2
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

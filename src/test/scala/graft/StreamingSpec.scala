@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+/** Streaming semantics under controlled micro-batches (SURVEY §5.4):
+  * MemoryStream lets us replay the reference's window-overlap redelivery
+  * (adapter.go:93-102) batch by batch and watch the dedup state work
+  * ACROSS batches — something the batch oracle can't observe. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // base aligned to a 30-minute boundary — tumbling windows align to the
+  // epoch, so an unaligned base puts "minute 0" mid-window
+  private def ts(min: Int) = new Timestamp(1700001000000L + min * 60000L)
+
+  test("dropDuplicates state dedups redelivered ids across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = input.toDF().toDF("event_id", "ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_mem").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "click"), (2L, ts(1), "view"))
+      q.processAllAvailable()
+      // batch 2 redelivers id 2 (window overlap) and adds id 3
+      input.addData((2L, ts(1), "view"), (3L, ts(2), "click"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_mem").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L), "cross-batch redelivery must collapse")
+    } finally q.stop()
+  }
+
+  test("tumbling window aggregate emits finalized windows under watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory").queryName("tumb_mem").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (2L, ts(5)), (3L, ts(31)))
+      q.processAllAvailable()
+      // watermark = 31 - 10 = 21min: window [0,30) not yet closed
+      assert(spark.table("tumb_mem").count() === 0L)
+      input.addData((4L, ts(75)))
+      q.processAllAvailable()
+      // watermark = 65min: [0,30) (2 events) and [30,60) (1 event) finalized
+      val rows = spark.table("tumb_mem").select("n").as[Long].collect().sorted
+      assert(rows.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup answer equals the batch answer on the same feed") {
+    val streamed = StreamingOps.dedup(spark, TestSpark.sfDir).collect()
+    val batch = Parity.queries("p_dedup_merge")(spark, TestSpark.sfDir).collect()
+    assert(streamed.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      batch.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+}
