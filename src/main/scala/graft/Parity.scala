@@ -48,6 +48,31 @@ object Parity {
         .orderBy(col("event_type"))
     }),
 
+    // P3+P4+P6+P7 — the CloudEvent envelope mechanics the transform query
+    // doesn't reach: ms-epoch round trip (adapter.go:242), whole-record
+    // JSON payload (adapter.go:244), right-biased K_CE_OVERRIDES extension
+    // merge (adapter.go:256-261), id assignment (adapter.go:222). All
+    // deterministic; one codegen'd Project, no shuffle.
+    "p_ce_payload" -> ((s, d) => {
+      import graft.functions.CloudEventFns
+      val ms = unix_millis(col("ts"))
+      val base = map(
+        lit("region"), concat(lit("region-"), pmod(col("user_id"), lit(3))),
+        lit("env"), lit("prod"))
+      val overrides = CloudEventFns.mapLit(Map("env" -> "staging", "team" -> "data"))
+      val merged = CloudEventFns.mergeExtensions(base, overrides)
+      Tables.events(s, d).select(
+        CloudEventFns.ceId(col("event_id").cast("string")).as("id"),
+        ms.as("ms"),
+        CloudEventFns.msToTimestamp(ms).as("time_restored"),
+        CloudEventFns.jsonPayload(
+          col("event_id"), col("event_type"), col("user_id")).as("payload"),
+        element_at(merged, "region").as("ext_region"),
+        element_at(merged, "env").as("ext_env"),
+        element_at(merged, "team").as("ext_team"))
+        .orderBy(col("id").cast("long"))
+    }),
+
     // K3 — graph node table (neo4j/client.go:10-21), unique on (kind,key).
     "k3_graph_nodes" -> ((s, d) =>
       CtsParity.nodes(ce(s, d))
@@ -105,6 +130,19 @@ object Parity {
         |)
         |SELECT event_type, count(*) AS n, sum(value) AS sum_value
         |FROM dedup GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The merge expectation is stated directly: override keys win ('env' →
+    // 'staging'), new keys appear ('team'), untouched keys survive.
+    "p_ce_payload" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id,
+        |  epoch_ms(ts) AS ms,
+        |  make_timestamp(epoch_ms(ts) * 1000) AS time_restored,
+        |  to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |                      user_id := user_id)) AS payload,
+        |  'region-' || CAST(user_id % 3 AS VARCHAR) AS ext_region,
+        |  'staging' AS ext_env,
+        |  'data' AS ext_team
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "p_window_scan" ->
       """SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
