@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 `cts` — the CTS v2 trace feed as a first-class Spark source
+  * (north_star "custom source for CloudTrace events").
+  *
+  * The real service is a REST API paged by a continuation marker
+  * (reference: pkg/adapter/querier.go:30-37 one list call;
+  * pkg/adapter/adapter.go:106-130 batch page loop, adapter.go:158-210
+  * streaming loop). This offline implementation reads the same protocol
+  * from page fixtures on disk: `page-<marker>.json`, each a
+  * `{"traces":[...], "meta_data":{"count":N, "marker":"<next>"}}` response
+  * envelope; an empty marker ends the chain (adapter.go:125-129).
+  *
+  * Options:
+  *  - `pages`  (required): directory of page fixtures; first page marker
+  *    is `000` (the real source substitutes an HTTP client here).
+  *  - `limit`: server-side page-size cap, reference default 50
+  *    (querier.go:15 tracesLowerBound, adapter.go:101).
+  *
+  * Spark-shaped improvements over the Go loop, by construction:
+  *  - the driver only walks the (tiny) marker chain; page BODIES are
+  *    parsed by executors in parallel, one page per InputPartition —
+  *    the Go adapter accumulates all pages in one goroutine;
+  *  - the server-side From/To time filter (adapter.go:98-100) is a
+  *    pushed-down predicate (`SupportsPushDownFilters` on `time`), so
+  *    Catalyst stops re-filtering what the "server" already filtered;
+  *  - streaming offsets are committed marker positions — the checkpointed
+  *    replacement for the mutex-guarded delta tracking of
+  *    adapter.go:266-271; a restarted query resumes mid-chain.
+  */
+class CtsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cts"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CtsSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new CtsTable(properties.asScala.toMap)
+}
+
+object CtsSource {
+  /** The CTS v2 trace fields the reference touches (SURVEY §1.1, each cited
+    * from adapter.go usage). `time` is epoch-ms int64 exactly as the API
+    * ships it (adapter.go:242 applies UnixMilli downstream). */
+  val schema: StructType = StructType(Seq(
+    StructField("trace_id", StringType),
+    StructField("service_type", StringType),
+    StructField("trace_type", StringType),
+    StructField("resource_type", StringType),
+    StructField("trace_name", StringType),
+    StructField("resource_id", StringType),
+    StructField("resource_name", StringType),
+    StructField("time", LongType),
+    StructField("trace_status", StringType),
+    StructField("code", StringType),
+    StructField("user", StringType),
+    StructField("source_ip", StringType)))
+
+  private val mapper = new ObjectMapper()
+
+  def pagePath(dir: String, marker: String) = s"$dir/page-$marker.json"
+
+  private def parse(dir: String, marker: String): JsonNode =
+    mapper.readTree(new String(
+      Files.readAllBytes(Paths.get(pagePath(dir, marker))), StandardCharsets.UTF_8))
+
+  /** Follow the marker chain from page 000 — the driver-side page walk
+    * (adapter.go:106-130). Only markers are consumed here. */
+  def walkMarkers(dir: String): Vector[String] = {
+    val markers = ArrayBuffer.empty[String]
+    var m = "000"
+    while (m.nonEmpty && Files.exists(Paths.get(pagePath(dir, m)))) {
+      markers += m
+      val next = parse(dir, m).path("meta_data").path("marker").asText("")
+      m = next
+    }
+    markers.toVector
+  }
+
+  /** Parse one page body into rows — executor-side work. `limit` caps rows
+    * per page (the server's Limit parameter); `tFrom`/`tTo` replay the
+    * server-side window filter on `time`. */
+  def readPage(dir: String, marker: String, limit: Int,
+               tFrom: Option[Long], tTo: Option[Long]): Iterator[InternalRow] = {
+    val traces = parse(dir, marker).path("traces")
+    def str(n: JsonNode, f: String): Any = {
+      val v = n.path(f)
+      if (v.isMissingNode || v.isNull) null else UTF8String.fromString(v.asText)
+    }
+    traces.elements().asScala.take(limit).flatMap { t =>
+      val time = t.path("time").asLong(0L)
+      if (tFrom.exists(time < _) || tTo.exists(time >= _)) None
+      else Some(new GenericInternalRow(Array[Any](
+        str(t, "trace_id"), str(t, "service_type"), str(t, "trace_type"),
+        str(t, "resource_type"), str(t, "trace_name"), str(t, "resource_id"),
+        str(t, "resource_name"), time, str(t, "trace_status"), str(t, "code"),
+        str(t, "user"), str(t, "source_ip"))))
+    }
+  }
+}
+
+class CtsTable(props: Map[String, String]) extends Table with SupportsRead {
+  private val dir = props.getOrElse("pages",
+    throw new IllegalArgumentException("cts source requires option 'pages'"))
+  private val limit = props.get("limit").map(_.toInt).getOrElse(50)
+
+  override def name(): String = s"cts:$dir"
+  override def schema(): StructType = CtsSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CtsScanBuilder(dir, limit)
+}
+
+class CtsScanBuilder(dir: String, limit: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var tFrom: Option[Long] = None
+  private var tTo: Option[Long] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept time-range predicates — the server evaluates From/To, so Spark
+    * must not re-check them (adapter.go:98-100 ≙ F1 pushdown). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("time", v: Long) => { tFrom = maxOpt(tFrom, v); true }
+      case GreaterThan("time", v: Long)        => { tFrom = maxOpt(tFrom, v + 1); true }
+      case LessThan("time", v: Long)           => { tTo = minOpt(tTo, v); true }
+      case LessThanOrEqual("time", v: Long)    => { tTo = minOpt(tTo, v + 1); true }
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  private def maxOpt(o: Option[Long], v: Long) = Some(o.fold(v)(math.max(_, v)))
+  private def minOpt(o: Option[Long], v: Long) = Some(o.fold(v)(math.min(_, v)))
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new CtsScan(dir, limit, tFrom, tTo)
+}
+
+case class CtsInputPartition(dir: String, marker: String, limit: Int,
+                             tFrom: Option[Long], tTo: Option[Long]) extends InputPartition
+
+class CtsScan(dir: String, limit: Int, tFrom: Option[Long], tTo: Option[Long])
+    extends Scan with Batch {
+  override def readSchema(): StructType = CtsSource.schema
+  override def description(): String =
+    s"CtsScan pages=$dir limit=$limit pushedTimeFrom=$tFrom pushedTimeTo=$tTo"
+
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    CtsSource.walkMarkers(dir)
+      .map(m => CtsInputPartition(dir, m, limit, tFrom, tTo): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = CtsReaderFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CtsMicroBatchStream(dir, limit, tFrom, tTo)
+}
+
+object CtsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[CtsInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it =
+        CtsSource.readPage(part.dir, part.marker, part.limit, part.tFrom, part.tTo)
+      private var row: InternalRow = _
+      override def next(): Boolean = { if (it.hasNext) { row = it.next(); true } else false }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Offset = number of pages fully consumed; committed by the checkpoint —
+  * the durable replacement for the reference's in-memory delta tracking. */
+case class CtsOffset(pages: Int) extends Offset {
+  override def json(): String = s"""{"pages":$pages}"""
+}
+
+class CtsMicroBatchStream(dir: String, limit: Int,
+                          tFrom: Option[Long], tTo: Option[Long]) extends MicroBatchStream {
+  override def initialOffset(): Offset = CtsOffset(0)
+  override def latestOffset(): Offset = CtsOffset(CtsSource.walkMarkers(dir).length)
+  override def deserializeOffset(json: String): Offset =
+    CtsOffset("\\d+".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CtsOffset].pages
+    val e = end.asInstanceOf[CtsOffset].pages
+    CtsSource.walkMarkers(dir).slice(s, e)
+      .map(m => CtsInputPartition(dir, m, limit, tFrom, tTo): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = CtsReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
