@@ -51,13 +51,23 @@ object LlmOps {
 
   // ---------------------------------------------------------------- Spark
 
-  /** Polynomial rolling hash of a string: fold (acc*31 + ascii(c)) % P over
-    * its characters. Pure codegen built-ins — no UDF. */
-  private def polyHash(c: Column): Column =
-    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+  /** Polynomial rolling hash — the native codegen expression
+    * (graft.functions.PolyHash). The built-in spelling
+    * `aggregate(split(s,''), ...)` computes the identical value but as an
+    * interpreted higher-order function: ~100× slower and the bottleneck of
+    * the whole suite (kernel contract documented in HashKernels). */
+  private def polyHash(c: Column): Column = graft.functions.HashExprs.polyHash(c)
+
+  /** The testdata ships one small parquet file per table, so a scan plans
+    * ONE task and every hash-heavy Project downstream serializes. Spread it
+    * across the cluster first: at production scale the scan is already
+    * split into many partitions and this exchange disappears — it exists
+    * to make local[N] behave like the many-split real thing. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    spread(Tables.documents(s, d))
 
   /** (doc_id, h): DISTINCT word-3-gram shingle hashes per document. The
     * Generate (explode) fans each doc to ~|tokens| rows; the distinct is a
@@ -175,16 +185,25 @@ object LlmOps {
     }),
 
     // Near-dup ground truth: exact n-gram Jaccard over pairs sharing ≥ 1
-    // shingle (inverted-index join). Correct but quadratic on hot shingles
-    // — kept as the oracle of record; l_minhash_lsh is the scale path.
+    // shingle (inverted-index join). The intersection count comes STRAIGHT
+    // from the self-join aggregation — materializing the pair set first
+    // and re-joining it to the shingle sets (the jaccardOf shape, right
+    // for small LSH candidate lists) would multiply |pairs| × |shingles|.
+    // Still quadratic on hot shingles by nature — kept as the oracle of
+    // record; l_minhash_lsh is the scale path.
     "l_ngram_jaccard" -> ((s, d) => {
       val sh = shingleHashes(s, d)
-      val cand = sh.select(col("doc_id").as("d1"), col("h"))
-        .join(sh.select(col("doc_id").as("d2"), col("h")), "h")
-        .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"))
-        .distinct()
-      jaccardOf(cand, sh)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("d1"), col("h"))
+        .join(sh.select(col("doc_id").as("d2"), col("h").as("h2")),
+          col("h") === col("h2") && col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")), col("d1") === col("zd1"))
+        .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")), col("d2") === col("zd2"))
+        .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
+          (col("n_shared").cast("double") /
+            (col("n1") + col("n2") - col("n_shared")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= NEAR_DUP_J)
         .orderBy(col("d1"), col("d2"))
     }),
@@ -230,17 +249,17 @@ object LlmOps {
     // final per-query top-k window; at 100 TB the query set stays broadcast
     // and the candidate scan is embarrassingly parallel.
     "l_cosine_topk" -> ((s, d) => {
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-      val e = Tables.embeddings(s, d)
+      import graft.functions.HashExprs.vecDot
+      // norms are computed ONCE per vector in the scan projection (not per
+      // candidate pair); the dot is a native codegen expression
+      val e = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("q_emb"), col("embedding")) /
-            (sqrt(dot(col("q_emb"), col("q_emb"))) *
-             sqrt(dot(col("embedding"), col("embedding"))))).as("cosine"))
+          (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       joined.withColumn("rank", row_number().over(w).cast("long"))
@@ -257,30 +276,24 @@ object LlmOps {
     // pruned scan — the IVF idea with hash-derived centroids. Recall vs
     // l_cosine_topk is the quality trade; the bucket join is the cost win.
     "l_ann_lsh" -> ((s, d) => {
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
+      import graft.functions.HashExprs.{planeDot, vecDot}
       // hyperplane p coefficient at 1-based dim i: ((A(p)*i + B(p)) % P)
-      // centered at (P-1)/2 — exact int64, exactly representable in double
-      def planeDot(emb: Column, p: Int): Column =
-        aggregate(
-          zip_with(emb, sequence(lit(1), size(emb)),
-            (x, i) => x.cast("double") *
-              ((lit(A(p)) * i.cast("long") + lit(B(p))) % P - lit((P - 1) / 2)).cast("double")),
-          lit(0.0), (acc, x) => acc + x)
+      // centered at (P-1)/2 — exact int64, exactly representable in double;
+      // evaluated by the native PlaneDot codegen expression
       def bucket(emb: Column): Column =
-        (0 until 4).map(p => when(planeDot(emb, p) > 0, lit(1 << p)).otherwise(lit(0)))
+        (0 until 4).map(p => when(planeDot(emb, A(p), B(p)) > 0, lit(1 << p)).otherwise(lit(0)))
           .reduce(_ + _)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+      val e = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
+          bucket(col("embedding")).as("bkt"))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bkt").as("q_bkt"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bkt").as("q_bkt"))
       val joined = e.join(broadcast(q),
           col("bkt") === col("q_bkt") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("q_emb"), col("embedding")) /
-            (sqrt(dot(col("q_emb"), col("q_emb"))) *
-             sqrt(dot(col("embedding"), col("embedding"))))).as("cosine"))
+          (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       joined.withColumn("rank", row_number().over(w).cast("long"))

@@ -196,12 +196,31 @@ object Relational {
     // NOTE (r02 ADVICE): the exact count_distinct alongside the sketch is
     // oracle scaffolding only — a production plan would run the approx
     // aggregate alone; its bench cost here includes the exact pass.
-    "q_approx_distinct" -> ((s, d) => {
-      Tables.orders(s, d)
-        .groupBy(col("o_orderpriority"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
-             count_distinct(col("o_custkey")).as("n_cust_exact"),
+    // §2.7 UDAF — typed Aggregator (functions.udaf): quantity-weighted mean
+    // price per return flag. Plans as a normal two-phase aggregate with
+    // map-side combine — the custom-aggregate path that scales.
+    "q_custom_agg" -> ((s, d) => {
+      val wm = udaf(graft.functions.WeightedMean)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(wm(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
              count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // NB: the approx and exact aggregates run as SEPARATE aggregations
+    // joined on the tiny group key. In one agg, Catalyst's distinct
+    // rewrite regroups by (priority, custkey) and then materializes the
+    // rsd=0.01 HLL buffer (~1.6k longs) PER DISTINCT PAIR — hundreds of
+    // thousands of 13 KB sketches (measured 65 s at sf0.1 vs ~2 s split).
+    "q_approx_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val approx = o.groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+             count(lit(1)).as("n"))
+      val exact = o.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count_distinct(col("o_custkey")).as("n_cust_exact"))
+      approx.join(broadcast(exact), col("o_orderpriority") === col("prio"))
         .select(col("o_orderpriority"),
                 col("n_cust_exact"), col("n"),
                 (abs(col("approx_cust") - col("n_cust_exact")) <=
@@ -321,6 +340,12 @@ object Relational {
         |  count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_custom_agg" ->
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT o_orderpriority,

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared compute kernels, called from both interpreted eval and the
+  * generated Java (Scala objects emit static forwarders, so codegen can
+  * invoke `graft.functions.HashKernels.polyHash(...)` directly). Each
+  * kernel's arithmetic is the EXACT contract the DuckDB oracles replay
+  * (LlmOps): integer poly-hash mod 1e9+7 over code points; float→double
+  * per-element casts with a left-to-right double accumulation.
+  */
+object HashKernels {
+  final val P = 1000000007L
+
+  /** fold (acc*31 + codePoint) % P — identical to
+    * `aggregate(split(s,''), 0L, (acc,c) -> (acc*31+ascii(c)) % P)` and to
+    * DuckDB `list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    * c -> ascii(c))), ...)` for any ASCII or BMP input. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Σ double(a_i) * double(b_i), left-to-right — the zip_with/aggregate
+    * fold and DuckDB's list_reduce(list_prepend(0.0,...)) bit-for-bit. */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ double(v_i) * double((a*(i+1) + b) % P − (P−1)/2) — the integer-
+    * coefficient LSH hyperplane dot (coefficients < 2^30 are exactly
+    * representable, so the double product is well-defined). */
+  def planeDot(v: ArrayData, a: Long, b: Long): Double = {
+    val half = (P - 1) / 2
+    val n = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += v.getFloat(i).toDouble * ((a * (i + 1) + b) % P - half).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Polynomial string hash as a native Catalyst expression. The built-in
+  * spelling (`aggregate(split(s,''), ...)`) is a higher-order function:
+  * Catalyst cannot codegen the lambda, so every row walks an interpreted
+  * expression tree per CHARACTER — measured ~100× slower than this kernel
+  * and the dominant cost of the whole LLM suite. This expression stays
+  * inside whole-stage codegen (a single static call per row). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Dot product of two float vectors with double accumulation — replaces the
+  * interpreted `aggregate(zip_with(...))` fold in the cosine operators. */
+case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
+  private def isFloatArray(t: DataType) = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs ARRAY<FLOAT> inputs, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotFF($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** LSH hyperplane projection: dot of a float vector with the deterministic
+  * integer-coefficient plane (a, b) — see LlmOps.l_ann_lsh. */
+case class PlaneDot(child: Expression, a: Long, b: Long) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_plane_dot"
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.planeDot(v.asInstanceOf[ArrayData], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.planeDot($c, ${a}L, ${b}L)")
+  override protected def withNewChildInternal(newChild: Expression): PlaneDot =
+    copy(child = newChild)
+}
+
+object HashExprs {
+  private def expr(c: Column) = GraftSqlBridge.expression(c)
+
+  def polyHash(c: Column): Column = GraftSqlBridge.column(PolyHash(expr(c)))
+  def vecDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(FloatVecDot(expr(a), expr(b)))
+  def planeDot(v: Column, a: Long, b: Long): Column =
+    GraftSqlBridge.column(PlaneDot(expr(v), a, b))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** CloudEvent delivery stage — the reference's K1/K2 HTTP sink re-expressed
+  * Spark-natively (pkg/adapter/adapter.go:140-156 batch SendEvents,
+  * adapter.go:212-218 stream SendEventsStream).
+  *
+  * Shape: events serialize to their JSON envelope in the plan (codegen'd
+  * to_json Project), then `foreachPartition` drives a pluggable transport —
+  * one transport instance per partition (≙ one HTTP connection per task,
+  * where the Go code POSTs per event on one goroutine: batching by
+  * partition is the scale fix for the reference's main perf flaw, SURVEY
+  * §4). Per-event failures are isolated and COUNTED, never thrown — the
+  * multierror accumulation + IsACK sent-count of adapter.go:146-151 (F4)
+  * becomes a pair of Spark accumulators (C4), readable on the driver after
+  * the job. Delivery is at-least-once; the receiving side is idempotent
+  * (MERGE semantics, §2.5), matching the reference's contract.
+  */
+object CloudEventSink {
+
+  /** One delivery channel. `open` is called once per partition (connection
+    * setup); `send` returns the ACK (F4); `close` flushes. */
+  trait EventTransport extends Serializable {
+    def open(partitionId: Int): Unit = ()
+    def send(eventJson: String): Boolean
+    def close(): Unit = ()
+  }
+
+  /** Offline stand-in for the HTTP POST: append NDJSON to one file per
+    * partition (K_SINK ≙ a directory). */
+  class NdjsonDirTransport(dir: String) extends EventTransport {
+    @transient private var out: java.io.BufferedWriter = _
+    override def open(partitionId: Int): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      // unique file per open: partition ids repeat across micro-batches
+      out = Files.newBufferedWriter(
+        Paths.get(dir, f"part-$partitionId%05d-${java.util.UUID.randomUUID()}.ndjson"),
+        StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    override def send(eventJson: String): Boolean = { out.write(eventJson); out.write("\n"); true }
+    override def close(): Unit = if (out != null) out.close()
+  }
+
+  /** Delivery outcome — `sent` is the ACK count the reference returns from
+    * SendEvents; `failed` is the multierror cardinality. */
+  case class Delivery(sent: Long, failed: Long)
+
+  /** Serialize every column into the CE JSON envelope once, in the plan. */
+  private def toEnvelope(ce: DataFrame): DataFrame =
+    ce.select(to_json(struct(ce.columns.map(col).toIndexedSeq: _*)).as("event_json"))
+
+  /** K1 — batch delivery with per-event error isolation. A transport
+    * failure marks the event failed and moves on; the job never dies for
+    * one bad event (C4). */
+  def deliver(ce: DataFrame, transport: EventTransport): Delivery = {
+    val sc = ce.sparkSession.sparkContext
+    val sent = sc.longAccumulator("ce_sent")
+    val failed = sc.longAccumulator("ce_failed")
+    toEnvelope(ce).foreachPartition { (rows: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      transport.open(pid)
+      try rows.foreach { r =>
+        try { if (transport.send(r.getString(0))) sent.add(1) else failed.add(1) }
+        catch { case scala.util.control.NonFatal(_) => failed.add(1) }
+      } finally transport.close()
+    }
+    Delivery(sent.value, failed.value)
+  }
+
+  /** K2 — streaming delivery: same per-partition transport + accounting
+    * inside foreachBatch (at-least-once; idempotent receiver). Returns the
+    * started query; accumulators keep counting across batches. */
+  def deliverStream(ce: DataFrame, transport: EventTransport,
+                    checkpoint: String): StreamingQuery = {
+    val sc = ce.sparkSession.sparkContext
+    val sent = sc.longAccumulator("ce_sent_stream")
+    val failed = sc.longAccumulator("ce_failed_stream")
+    val w: DataStreamWriter[Row] = toEnvelope(ce).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { (rows: Iterator[Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          transport.open(pid)
+          try rows.foreach { r =>
+            try { if (transport.send(r.getString(0))) sent.add(1) else failed.add(1) }
+            catch { case scala.util.control.NonFatal(_) => failed.add(1) }
+          } finally transport.close()
+        }
+      }
+    w.start()
+  }
+
+  /** K4 — console/debug sink (the event_display of the reference deploy). */
+  def debug(ce: DataFrame, rows: Int = 10): Unit =
+    ce.show(rows, truncate = false)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CloudEventSink, CtsParity}
+import graft.operators.CloudEventSink.EventTransport
+
+/** NACKs every 7th event, throws on every 13th — neither kills the job.
+  * Top-level so the task closure doesn't capture the (non-serializable)
+  * suite instance. */
+private class FlakyTransport extends EventTransport {
+  override def send(eventJson: String): Boolean = {
+    val id = """"id":"(\d+)"""".r.findFirstMatchIn(eventJson).map(_.group(1).toLong).getOrElse(0L)
+    if (id % 13 == 0) throw new RuntimeException(s"boom $id")
+    id % 7 != 0
+  }
+}
+
+/** K1/K2 delivery semantics: ACK counting (F4) and per-event error
+  * isolation (C4) — the reference's SendEvents multierror contract
+  * (adapter.go:140-156) as accumulators. */
+class CloudEventSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ce() = CtsParity.toCloudEvents(
+    CtsParity.eventsAsTraces(Tables.events(spark, TestSpark.sfDir))).limit(200)
+
+  test("K1 batch delivery counts ACKs and isolates per-event failures") {
+    val events = ce().cache()
+    val n = events.count()
+    val d = CloudEventSink.deliver(events, new FlakyTransport)
+    assert(d.sent + d.failed === n, "every event must be accounted exactly once")
+    assert(d.failed > 0, "flaky transport must produce failures")
+    assert(d.sent > d.failed, "most deliveries succeed")
+    events.unpersist()
+  }
+
+  test("K1 file transport delivers every event exactly once per run") {
+    val out = Files.createTempDirectory("ce-sink-").toString
+    val events = ce()
+    val n = events.count()
+    val d = CloudEventSink.deliver(events, new CloudEventSink.NdjsonDirTransport(out))
+    assert(d === CloudEventSink.Delivery(n, 0))
+    val lines = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toVector
+    assert(lines.size.toLong === n)
+    assert(lines.forall(_.startsWith("""{"id":""")), "envelope serialization")
+  }
+
+  test("K2 streaming delivery ships the same events as batch (at-least-once)") {
+    val out = Files.createTempDirectory("ce-sink-stream-").toString
+    val stream = graft.streaming.StreamingOps.readEventsStream(spark, TestSpark.sfDir)
+    val ceStream = CtsParity.toCloudEvents(CtsParity.eventsAsTraces(stream))
+    val q = CloudEventSink.deliverStream(ceStream,
+      new CloudEventSink.NdjsonDirTransport(out),
+      Files.createTempDirectory("ce-sink-ckpt-").toString)
+    q.awaitTermination()
+    val delivered = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(p => Files.readAllLines(p).asScala).size
+    val expected = Tables.events(spark, TestSpark.sfDir).count()
+    assert(delivered.toLong === expected)
+  }
+}
