@@ -71,7 +71,15 @@ object LlmOps {
 
   /** (doc_id, h): DISTINCT word-3-gram shingle hashes per document. The
     * Generate (explode) fans each doc to ~|tokens| rows; the distinct is a
-    * map-side-combinable hash aggregate on (doc_id, h). */
+    * map-side-combinable hash aggregate on (doc_id, h).
+    *
+    * PERSISTED (memory+disk, spillable): every consumer references this
+    * frame several times (both sides of a self-join + the Jaccard verify),
+    * and the alias-renamed branches are not plan-identical, so Catalyst's
+    * ReuseExchange cannot dedupe them — without the persist the corpus
+    * would be re-scanned and re-shingled up to 6× per query (the K3
+    * multi-scan disease, disqualifying at 100 TB). Spark's CacheManager
+    * keys on the analyzed plan, so repeated invocations share one entry. */
   private def shingleHashes(s: SparkSession, d: String): DataFrame = {
     val w = split(lower(col("text")), " ")
     docs(s, d)
@@ -85,6 +93,7 @@ object LlmOps {
           element_at(col("w"), i + 3)))).as("sh"))
       .select(col("doc_id"), polyHash(col("sh")).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact Jaccard over candidate pairs: inter/union from shingle-hash sets.
@@ -160,10 +169,13 @@ object LlmOps {
     // the difference between feasible and impossible at 100 TB.
     "l_minhash_lsh" -> ((s, d) => {
       val sh = shingleHashes(s, d)
+      // persisted: the bands frame feeds BOTH sides of the candidate
+      // self-join (one small row per doc — cheap to hold)
       val mh = sh.groupBy(col("doc_id")).agg(
         min((lit(A(0)) * col("h") + lit(B(0))) % P).as("mh0"),
         (1 until K).map(i =>
           min((lit(A(i)) * col("h") + lit(B(i))) % P).as(s"mh$i")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def bucket(j: Int): Column =
         (R * j + 1 until R * (j + 1)).foldLeft(col(s"mh${R * j}")) {
           (acc, i) => (acc * M + col(s"mh$i")) % P
@@ -220,10 +232,12 @@ object LlmOps {
         sum(when((shiftright(col("h"), 0) % 2) === 1, 1).otherwise(-1)).as("s0"),
         (1 until SIM_BITS).map(b =>
           sum(when((shiftright(col("h"), b) % 2) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+      // persisted: both sides of the band-bucket self-join read it
       val fp = sums.select(col("doc_id"),
         (0 until SIM_BITS).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
           .reduce(_ + _).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = fp.select(col("doc_id"), col("fp"), explode(array(
         (0 until SIM_BANDS).map(j =>
           struct(lit(j).as("band"),
