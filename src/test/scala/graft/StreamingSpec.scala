@@ -61,6 +61,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: custom per-key running state across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // custom state the built-in windows can't express: emit an update only
+    // when a user's cumulative value crosses an alert threshold
+    val input = MemoryStream[(Long, Double)]
+    val alerts = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[Double]) =>
+          val total = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+          val crossed = state.getOption.getOrElse(0.0) < 100.0 && total >= 100.0
+          state.update(total)
+          if (crossed) Iterator((user, total)) else Iterator.empty
+      }.toDF("user_id", "total_at_alert")
+    val q = alerts.writeStream
+      .format("memory").queryName("fmgws_mem").outputMode("append").start()
+    try {
+      input.addData((1L, 60.0), (2L, 30.0))
+      q.processAllAvailable()
+      assert(spark.table("fmgws_mem").count() === 0L) // nobody crossed yet
+      input.addData((1L, 50.0), (2L, 20.0))           // user 1 crosses at 110
+      q.processAllAvailable()
+      val rows = spark.table("fmgws_mem").as[(Long, Double)].collect()
+      assert(rows.toSeq === Seq((1L, 110.0)), "state must carry across batches")
+      input.addData((1L, 5.0))                        // already crossed: no re-alert
+      q.processAllAvailable()
+      assert(spark.table("fmgws_mem").count() === 1L)
+    } finally q.stop()
+  }
+
   test("streaming dedup answer equals the batch answer on the same feed") {
     val streamed = StreamingOps.dedup(spark, TestSpark.sfDir).collect()
     val batch = Parity.queries("p_dedup_merge")(spark, TestSpark.sfDir).collect()
