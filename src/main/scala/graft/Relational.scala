@@ -196,6 +196,52 @@ object Relational {
     // NOTE (r02 ADVICE): the exact count_distinct alongside the sketch is
     // oracle scaffolding only — a production plan would run the approx
     // aggregate alone; its bench cost here includes the exact pass.
+    // §2.7 scalar JSON functions — schema-on-read over the events props
+    // payload: get_json_object path extraction and from_json with an
+    // explicit schema, both codegen'd in one Project.
+    "q_json_fns" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k_typed"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.7 grouping sets — explicit set list (finer control than rollup/
+    // cube): totals by (region, nation), by region, and grand total, one
+    // Expand + one shuffle.
+    "q_grouping_sets" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val nat = broadcast(Tables.nation(s, d))
+      val reg = broadcast(Tables.region(s, d))
+      sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+                coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+                col("n"))
+        .orderBy(col("region_name"), col("nation_name"))
+    }),
+
+    // §2.7 percentiles — exact interpolated percentile (both engines use
+    // the same linear-interpolation definition; the checker's 1e-9
+    // relative float tolerance absorbs last-bit interpolation drift).
+    "q_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+             expr("percentile(o_totalprice, 0.5)").as("p50"),
+             expr("percentile(o_totalprice, 0.95)").as("p95"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // §2.7 UDAF — typed Aggregator (functions.udaf): quantity-weighted mean
     // price per return flag. Plans as a normal two-phase aggregate with
     // map-side combine — the custom-aggregate path that scales.
@@ -339,6 +385,31 @@ object Relational {
         |  count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_json_fns" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS k_path,
+        |  CAST(props->>'$.k' AS BIGINT) AS k_typed,
+        |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       count(*) AS n
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_custom_agg" ->
