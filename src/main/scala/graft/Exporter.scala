@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{CloudEventSink, CtsParity}
+
+/** The reference exporter's entry point re-expressed as one Spark job
+  * (cmd/cts_exporter/main.go:67-208): CTS source → trace→CloudEvent
+  * transform → optional delivery, with the reference's two runtime toggles:
+  *
+  *  - `streams`  ≙ CTS_STREAMS (main.go:27): batch `spark.read` vs
+  *    `spark.readStream` over the SAME logical transform (C6) — the toggle
+  *    swaps the source/sink verbs, never the plan;
+  *  - `pushAndPull` ≙ CTS_X_PNP (main.go:26): collect-only vs
+  *    collect+deliver (C5) — presence/absence of the sink stage.
+  *
+  * The reference's ticker loop (main.go:118-150) is the streaming trigger;
+  * batch mode is one poll cycle. Returns the delivery accounting (F4/C4)
+  * when delivery ran.
+  */
+object Exporter {
+
+  case class Config(pages: String, outDir: String,
+                    streams: Boolean = false, pushAndPull: Boolean = true,
+                    limit: Int = 50)
+
+  private def toCloudEvents(traces: DataFrame): DataFrame =
+    CtsParity.toCloudEvents(traces
+      .withColumn("ts", timestamp_millis(col("time")))
+      .withColumn("trace_status", coalesce(col("trace_status"), lit("normal")))
+      .withColumn("code", coalesce(col("code"), lit("")))
+      // context columns the Go adapter takes from the auth client
+      // (adapter.go:252-254); deterministic stand-ins here
+      .withColumn("region", lit("eu-de"))
+      .withColumn("domain", lit("dom-0"))
+      .withColumn("tenant", lit("ten-0")))
+
+  /** One poll cycle (batch) or a drain-available run (streams=true).
+    * Returns Some(delivery) when pushAndPull enabled. */
+  def run(spark: SparkSession, cfg: Config): Option[CloudEventSink.Delivery] = {
+    val transport = new CloudEventSink.NdjsonDirTransport(cfg.outDir)
+    if (!cfg.streams) {
+      val traces = spark.read.format("cts")
+        .option("pages", cfg.pages).option("limit", cfg.limit).load()
+      val ce = toCloudEvents(traces)
+      if (cfg.pushAndPull) Some(CloudEventSink.deliver(ce, transport))
+      else { ce.write.format("noop").mode("overwrite").save(); None }
+    } else {
+      val traces = spark.readStream.format("cts")
+        .option("pages", cfg.pages).option("limit", cfg.limit).load()
+      val ce = toCloudEvents(traces)
+      if (cfg.pushAndPull) {
+        val q = CloudEventSink.deliverStream(ce, transport,
+          java.nio.file.Files.createTempDirectory("exporter-ckpt-").toString)
+        q.awaitTermination()
+      } else {
+        val q = ce.writeStream.format("console")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("exporter-ckpt-").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      None
+    }
+  }
+
+  /** CLI: Exporter <pagesDir> <outDir> [--streams] [--pull-only] */
+  def main(args: Array[String]): Unit = {
+    val pages = args(0); val out = args(1)
+    val cfg = Config(pages, out,
+      streams = args.contains("--streams"),
+      pushAndPull = !args.contains("--pull-only"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, cfg).foreach(d => println(s"delivered sent=${d.sent} failed=${d.failed}"))
+    spark.stop()
+  }
+}

@@ -101,6 +101,21 @@ object StreamingOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Sliding event-time windows (§2.7): 2-day windows advancing by 1 day —
+    * every event lands in two overlapping windows (the Expand the tumbling
+    * case doesn't exercise). */
+  def sliding(s: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val agg = readEventsStream(s, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    drain(agg)(_.outputMode("complete").format("memory").queryName(name).start())
+    s.table(name)
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** Session windows (§2.7): per-user sessions closed by a 30-minute gap.
     * Emits (user_id, session_start, n_events) for sessions with ≥ 2
     * events — the stateful merge the reference can't express at all. */
@@ -122,6 +137,7 @@ object StreamingOps {
   def queries: Map[String, Q] = Map(
     "s_dedup" -> ((s, d) => dedup(s, d)),
     "s_tumbling" -> ((s, d) => tumbling(s, d)),
+    "s_sliding" -> ((s, d) => sliding(s, d)),
     "s_session" -> ((s, d) => session(s, d))
   )
 
@@ -138,6 +154,16 @@ object StreamingOps {
         |       count(*) AS n, sum(value) AS sum_value
         |FROM events
         |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    // every event contributes to the 1-day-aligned window containing it
+    // AND the one starting a day earlier (2-day width, 1-day slide)
+    "s_sliding" ->
+      """SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT unnest([time_bucket(INTERVAL 1 DAY, ts),
+        |                 time_bucket(INTERVAL 1 DAY, ts) - INTERVAL 1 DAY]) AS win_start,
+        |         event_type
+        |  FROM events)
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
 
     "s_session" ->
       """WITH gaps AS (

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end exporter parity (cmd/cts_exporter/main.go): source →
+  * transform → delivery with the C5 (pull-and-push) and C6 (batch/stream)
+  * toggles. */
+class ExporterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def trace(id: Int): String = {
+    val t = 1700000000000L + id * 60000L
+    s"""{"trace_id":"t$id","service_type":"ECS","trace_type":"ApiCall",
+       |"resource_type":"server","trace_name":"op$id","resource_id":"r$id",
+       |"resource_name":"vm-$id","time":$t,"trace_status":"normal",
+       |"code":"200","user":"u$id","source_ip":"10.0.0.$id"}""".stripMargin.replace("\n", "")
+  }
+
+  private def fixtures(): Path = {
+    val dir = Files.createTempDirectory("exporter-pages-")
+    def page(marker: String, ids: Seq[Int], next: String): Unit =
+      Files.write(dir.resolve(s"page-$marker.json"),
+        s"""{"traces":[${ids.map(trace).mkString(",")}],"meta_data":{"count":${ids.size},"marker":"$next"}}"""
+          .getBytes(StandardCharsets.UTF_8))
+    page("000", Seq(0, 1, 2), "001")
+    page("001", Seq(3, 4), "")
+    dir
+  }
+
+  private def lines(out: String): Vector[String] =
+    Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(p => Files.readAllLines(p).asScala).toVector
+
+  test("batch exporter delivers every trace as a CloudEvent envelope") {
+    val out = Files.createTempDirectory("exporter-out-").toString
+    val d = Exporter.run(spark, Exporter.Config(fixtures().toString, out))
+    assert(d === Some(graft.operators.CloudEventSink.Delivery(5, 0)))
+    val ls = lines(out)
+    assert(ls.size === 5)
+    // envelope carries the derived type and subject (P1/P2 semantics)
+    assert(ls.forall(_.contains(""""type":"ecs.apicall.server.op""")))
+    assert(ls.forall(_.contains(""""subject":"vm-""")))
+  }
+
+  test("pull-only toggle (C5) runs the pipeline without a delivery stage") {
+    val out = Files.createTempDirectory("exporter-out-").toString
+    val d = Exporter.run(spark,
+      Exporter.Config(fixtures().toString, out, pushAndPull = false))
+    assert(d === None)
+    assert(lines(out).isEmpty)
+  }
+
+  test("streaming toggle (C6) delivers the same events through writeStream") {
+    val out = Files.createTempDirectory("exporter-out-").toString
+    Exporter.run(spark,
+      Exporter.Config(fixtures().toString, out, streams = true))
+    val ls = lines(out)
+    assert(ls.size === 5)
+    assert(ls.forall(_.startsWith("""{"id":"t""")))
+  }
+}
