@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scale
+
+/** The shuffle-shaping utilities: correctness (same answers) AND plan
+  * shape (the shuffle really disappears / spreads). */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  test("saltedAgg equals the direct aggregation on a skewed key") {
+    val events = Tables.events(spark, d)
+    // event_type is highly skewed (5 values over 10k rows)
+    val direct = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    val salted = Scale.saltedAgg(events,
+      key = col("event_type"), saltSource = col("event_id"), buckets = 8,
+      aggs = Seq(
+        ("n", count(lit(1)), sum(_)),
+        ("sv", sum(col("value")), sum(_))))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    assert(salted === direct)
+  }
+
+  test("saltedAgg's first shuffle spreads the hot key over salt buckets") {
+    val events = Tables.events(spark, d)
+    val plan = Scale.saltedAgg(events, col("event_type"), col("event_id"), 8,
+      Seq(("n", count(lit(1)), sum(_))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salt column must be part of the partial grouping")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Scale.writeBucketed(Tables.customer(spark, d), "c_bkt", "c_custkey", 4)
+      Scale.writeBucketed(
+        Tables.orders(spark, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("n")),
+        "o_bkt", "o_custkey", 4)
+      val joined = spark.table("c_bkt")
+        .join(spark.table("o_bkt"), col("c_custkey") === col("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      val n = joined.count()
+      val expected = Tables.customer(spark, d)
+        .join(Tables.orders(spark, d).select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey")).count()
+      assert(n === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS c_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+}
