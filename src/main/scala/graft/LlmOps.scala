@@ -316,6 +316,40 @@ object LlmOps {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Embedding-cosine near-dup: multi-TABLE sign-LSH (4 tables × 2
+    // hyperplanes). One k-bit table has recall p^k at similarity p; L
+    // independent tables lift it to 1-(1-p^k)^L ≈ 0.9 for cos 0.5 here —
+    // the standard recall/cost dial. Candidates come ONLY from shared
+    // (table, bucket) cells, then exact cosine ≥ 0.45 verifies. The same
+    // deterministic hyperplanes replay in the oracle, so the (bounded-
+    // recall) result is still hash-exact.
+    "l_embed_neardup" -> ((s, d) => {
+      import graft.functions.HashExprs.{planeDot, vecDot}
+      val thr = 0.45
+      def bucket(emb: Column, t: Int): Column =
+        (0 until 2).map { j =>
+          val p = 2 * t + j
+          when(planeDot(emb, A(p), B(p)) > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val e = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((0 until 4).map(t =>
+          struct(lit(t).as("tbl"), bucket(col("embedding"), t).as("bkt"))): _*)).as("c"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("c.tbl"), col("c.bkt"))
+      val cand = cells.as("x")
+        .join(cells.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+          (vecDot(col("x.embedding"), col("y.embedding")) /
+            (col("x.nrm") * col("y.nrm"))).as("cosine"))
+        .distinct()
+      cand.filter(col("cosine") >= thr)
+        .orderBy(col("v1"), col("v2"))
+    }),
+
     // Multimodal column: media as an opaque binary payload + typed metadata
     // struct + mime tag; mime predicate + size accounting stay relational
     // (decode/resize are the stubbed mapPartitions path in
@@ -521,6 +555,38 @@ object LlmOps {
          |)
          |SELECT q_id, rank, neighbor_id, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "l_embed_neardup" -> {
+      def sqlDot(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |      (a, b) -> a + b)""".stripMargin
+      val half = (P - 1) / 2
+      def planeDot(p: Int): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * CAST((${A(p)} * i + ${B(p)}) % $P - $half AS DOUBLE))),
+           |      (a, b) -> a + b)""".stripMargin
+      val cellSelects = (0 until 4).map { t =>
+        val bkt = (0 until 2).map { j =>
+          s"(CASE WHEN ${planeDot(2 * t + j)} > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, embedding, nrm, $t AS tbl, $bkt AS bkt FROM n"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), cells AS (
+         |  $cellSelects
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2,
+         |    ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+         |  FROM cells x JOIN cells y
+         |    ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |)
+         |SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.45
+         |ORDER BY v1, v2""".stripMargin
     },
 
     "l_multimodal" ->

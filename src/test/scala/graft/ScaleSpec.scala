@@ -35,6 +35,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), "salt column must be part of the partial grouping")
   }
 
+  test("date-partitioned writes prune partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("events-part-").toString
+    Tables.events(spark, d)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(day"),
+      s"day filter must prune partitions:\n$plan")
+    // the pruned scan reads one day's directory, not the whole table
+    val allDays = spark.read.parquet(out).select(col("day")).distinct().count()
+    assert(allDays > 1)
+    val expected = Tables.events(spark, d)
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(pruned.count() === expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     try {
