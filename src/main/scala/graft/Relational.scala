@@ -242,6 +242,24 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // §2.7 array functions + agg-to-array — per-order line numbers as a
+    // sorted array (collect_list alone is order-nondeterministic;
+    // sort_array pins it), with size/element/contains probes.
+    "q_array_fns" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(
+          col("l_orderkey"),
+          // rendered as a canonical string: the driver's hash compare (and
+          // pandas) can't equality-test raw array cells
+          array_join(col("lines"), ",").as("lines_csv"),
+          size(col("lines")).cast("long").as("n_lines"),
+          element_at(col("lines"), 1).as("first_line"),
+          array_contains(col("lines"), 1).as("has_line1"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // §2.7 UDAF — typed Aggregator (functions.udaf): quantity-weighted mean
     // price per return flag. Plans as a normal two-phase aggregate with
     // map-side combine — the custom-aggregate path that scales.
@@ -411,6 +429,14 @@ object Relational {
         |  quantile_cont(o_totalprice, 0.95) AS p95,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_array_fns" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines_csv,
+        |  CAST(len(list_sort(list(l_linenumber))) AS BIGINT) AS n_lines,
+        |  list_sort(list(l_linenumber))[1] AS first_line,
+        |  list_contains(list(l_linenumber), 1) AS has_line1
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_custom_agg" ->
       """SELECT l_returnflag,
