@@ -50,9 +50,10 @@ object Exporter {
         .option("pages", cfg.pages).option("limit", cfg.limit).load()
       val ce = toCloudEvents(traces)
       if (cfg.pushAndPull) {
-        val q = CloudEventSink.deliverStream(ce, transport,
+        val sd = CloudEventSink.deliverStream(ce, transport,
           java.nio.file.Files.createTempDirectory("exporter-ckpt-").toString)
-        q.awaitTermination()
+        sd.query.awaitTermination()
+        Some(sd.delivery)
       } else {
         val q = ce.writeStream.format("console")
           .option("checkpointLocation",
@@ -60,8 +61,8 @@ object Exporter {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        None
       }
-      None
     }
   }
 

@@ -35,9 +35,15 @@ object HashKernels {
   }
 
   /** Σ double(a_i) * double(b_i), left-to-right — the zip_with/aggregate
-    * fold and DuckDB's list_reduce(list_prepend(0.0,...)) bit-for-bit. */
+    * fold and DuckDB's list_reduce(list_prepend(0.0,...)) bit-for-bit.
+    * Mismatched lengths FAIL (a dimension bug must surface as an error,
+    * not a silently-truncated plausible cosine — the DuckDB twin errors on
+    * the out-of-bounds index too). */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_vec_dot: embedding dimensions differ (${n} vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {

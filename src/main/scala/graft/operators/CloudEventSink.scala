@@ -74,11 +74,20 @@ object CloudEventSink {
     Delivery(sent.value, failed.value)
   }
 
+  /** Handle on a running streaming delivery: the query plus live access to
+    * the F4/C4 accounting (accumulators keep counting across batches; read
+    * `delivery` after `query.awaitTermination()` for the final tally). */
+  case class StreamingDelivery(query: StreamingQuery,
+                               private val sentAcc: org.apache.spark.util.LongAccumulator,
+                               private val failedAcc: org.apache.spark.util.LongAccumulator) {
+    def delivery: Delivery = Delivery(sentAcc.value, failedAcc.value)
+  }
+
   /** K2 — streaming delivery: same per-partition transport + accounting
     * inside foreachBatch (at-least-once; idempotent receiver). Returns the
-    * started query; accumulators keep counting across batches. */
+    * started query WITH its accounting handle. */
   def deliverStream(ce: DataFrame, transport: EventTransport,
-                    checkpoint: String): StreamingQuery = {
+                    checkpoint: String): StreamingDelivery = {
     val sc = ce.sparkSession.sparkContext
     val sent = sc.longAccumulator("ce_sent_stream")
     val failed = sc.longAccumulator("ce_failed_stream")
@@ -95,7 +104,7 @@ object CloudEventSink {
           } finally transport.close()
         }
       }
-    w.start()
+    StreamingDelivery(w.start(), sent, failed)
   }
 
   /** K4 — console/debug sink (the event_display of the reference deploy). */

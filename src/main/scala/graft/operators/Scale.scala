@@ -17,19 +17,33 @@ object Scale {
     *
     * `aggs` maps output column → (partial aggregate, final merge), e.g.
     * count ≙ (count(*), sum(partial)); sum ≙ (sum(x), sum(partial)).
+    *
+    * `keyName` names the output key column. Temp columns are generated
+    * collision-free against the input schema and agg names, so same-named
+    * caller columns are never clobbered (and a `keyName` that collides
+    * with an agg output is rejected instead of silently shadowing it).
     */
   def saltedAgg(df: DataFrame, key: Column, saltSource: Column, buckets: Int,
-                aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
+                aggs: Seq[(String, Column, Column => Column)],
+                keyName: String = "key"): DataFrame = {
+    require(!aggs.exists(_._1 == keyName),
+      s"saltedAgg: keyName '$keyName' collides with an aggregate output name")
+    val taken = df.columns.toSet ++ aggs.map(_._1) + keyName
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val saltCol = fresh("__salt")
+    val keyCol = fresh("__key")
+    val pPrefix = fresh("__p_")
     val partial = df
-      .withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
-      .groupBy(key.as("__key"), col("__salt"))
-      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
-        aggs.tail.map { case (n, p, _) => p.as(s"__p_$n") }: _*)
+      .withColumn(saltCol, pmod(hash(saltSource), lit(buckets)))
+      .groupBy(key.as(keyCol), col(saltCol))
+      .agg(aggs.head._2.as(s"$pPrefix${aggs.head._1}"),
+        aggs.tail.map { case (n, p, _) => p.as(s"$pPrefix$n") }: _*)
     partial
-      .groupBy(col("__key"))
-      .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
-        aggs.tail.map { case (n, _, f) => f(col(s"__p_$n")).as(n) }: _*)
-      .withColumnRenamed("__key", "key")
+      .groupBy(col(keyCol))
+      .agg(aggs.head._3(col(s"$pPrefix${aggs.head._1}")).as(aggs.head._1),
+        aggs.tail.map { case (n, _, f) => f(col(s"$pPrefix$n")).as(n) }: _*)
+      .withColumnRenamed(keyCol, keyName)
   }
 
   /** Co-located join via bucketing: write both sides bucketed+sorted on

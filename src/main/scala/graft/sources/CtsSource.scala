@@ -77,6 +77,18 @@ object CtsSource {
 
   def pagePath(dir: String, marker: String) = s"$dir/page-$marker.json"
 
+  /** Parse a checkpointed offset envelope. Explicit field lookup, not a
+    * digit regex — a malformed or reshaped envelope must FAIL the restart
+    * (resuming from a guessed page count silently re-reads or skips data). */
+  def parseOffsetJson(json: String): Int = {
+    val n = try mapper.readTree(json).path("pages")
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(s"malformed cts offset: $json", e) }
+    if (!n.canConvertToInt || n.asInt() < 0)
+      throw new IllegalArgumentException(s"malformed cts offset: $json")
+    n.asInt()
+  }
+
   private def parse(dir: String, marker: String): JsonNode =
     mapper.readTree(new String(
       Files.readAllBytes(Paths.get(pagePath(dir, marker))), StandardCharsets.UTF_8))
@@ -198,7 +210,7 @@ class CtsMicroBatchStream(dir: String, limit: Int,
   override def initialOffset(): Offset = CtsOffset(0)
   override def latestOffset(): Offset = CtsOffset(CtsSource.walkMarkers(dir).length)
   override def deserializeOffset(json: String): Offset =
-    CtsOffset("\\d+".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+    CtsOffset(CtsSource.parseOffsetJson(json))
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CtsOffset].pages
     val e = end.asInstanceOf[CtsOffset].pages

@@ -65,15 +65,20 @@ object StreamingOps {
   }
 
   /** §2.5 streaming MERGE-dedup: two sources of the same feed (the
-    * window-overlap redelivery of adapter.go:93-102) → watermark + keyed
-    * dropDuplicates (bounded state) → foreachBatch idempotent parquet sink
-    * → batch re-read + aggregate for the oracle. */
+    * window-overlap redelivery of adapter.go:93-102) → watermark +
+    * `dropDuplicatesWithinWatermark` (the key-only variant keyed on
+    * event_id whose state IS evicted by the watermark — plain
+    * `dropDuplicates("event_id")` ignores the watermark unless the
+    * event-time column is a dedup key, so its state grows forever) →
+    * foreachBatch idempotent parquet sink → batch re-read + aggregate for
+    * the oracle. Redelivered duplicates carry the same event time, so they
+    * always land within the watermark delay of the original. */
   def dedup(s: SparkSession, dir: String): DataFrame = {
     val out = tmp("graft-dedup-")
     val feed = readEventsStream(s, dir).unionAll(readEventsStream(s, dir))
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .withWatermark("ts", "1 day")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     drain(feed) { w =>
       w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent: redelivered batch N lands in the same directory

@@ -56,14 +56,16 @@ class CloudEventSinkSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("ce-sink-stream-").toString
     val stream = graft.streaming.StreamingOps.readEventsStream(spark, TestSpark.sfDir)
     val ceStream = CtsParity.toCloudEvents(CtsParity.eventsAsTraces(stream))
-    val q = CloudEventSink.deliverStream(ceStream,
+    val sd = CloudEventSink.deliverStream(ceStream,
       new CloudEventSink.NdjsonDirTransport(out),
       Files.createTempDirectory("ce-sink-ckpt-").toString)
-    q.awaitTermination()
+    sd.query.awaitTermination()
     val delivered = Files.list(Paths.get(out)).iterator().asScala
       .filter(_.toString.endsWith(".ndjson"))
       .flatMap(p => Files.readAllLines(p).asScala).size
     val expected = Tables.events(spark, TestSpark.sfDir).count()
     assert(delivered.toLong === expected)
+    assert(sd.delivery === CloudEventSink.Delivery(expected, 0),
+      "streaming accounting must report the full tally after termination")
   }
 }

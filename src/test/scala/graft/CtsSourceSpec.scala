@@ -111,4 +111,14 @@ class CtsSourceSpec extends AnyFunSuite {
     // only the NEW page is delivered after restart — offsets held
     assert(delivered.toArray.map(_.toString).toSeq === Seq("t8"))
   }
+
+  test("offset deserialization parses the envelope field and rejects garbage") {
+    assert(CtsSource.parseOffsetJson("""{"pages":7}""") === 7)
+    assert(intercept[IllegalArgumentException] {
+      CtsSource.parseOffsetJson("""{"pages":"x"}""")
+    }.getMessage.contains("malformed"))
+    intercept[IllegalArgumentException] { CtsSource.parseOffsetJson("""{"v":2}""") }
+    intercept[IllegalArgumentException] { CtsSource.parseOffsetJson("not json 123") }
+    intercept[IllegalArgumentException] { CtsSource.parseOffsetJson("""{"pages":-1}""") }
+  }
 }

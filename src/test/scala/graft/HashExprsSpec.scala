@@ -47,6 +47,16 @@ class HashExprsSpec extends AnyFunSuite {
     assert(df.filter(col("fast") =!= col("slow")).count() === 0L)
   }
 
+  test("FloatVecDot fails loudly on mismatched dimensions") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(HashExprs.vecDot(col("a"), col("b")).as("d"))
+    val e = intercept[Exception] { df.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimensions differ")),
+      s"expected a dimension error, got: ${msgs(e)}")
+  }
+
   test("SQL surface: graft functions register and evaluate (96354 = poly('abc'))") {
     org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
     assert(spark.sql("SELECT graft_poly_hash('abc') AS h").head().getLong(0) === 96354L)

@@ -35,6 +35,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), "salt column must be part of the partial grouping")
   }
 
+  test("saltedAgg survives caller columns named like its temp/output columns") {
+    val events = Tables.events(spark, d)
+      .withColumn("__salt", lit("caller-owned"))
+      .withColumn("__key", lit(9))
+    val out = Scale.saltedAgg(events,
+      key = col("event_type"), saltSource = col("event_id"), buckets = 4,
+      aggs = Seq(("n", count(lit(1)), sum(_))), keyName = "etype")
+    assert(out.columns.toSeq === Seq("etype", "n"))
+    val direct = Tables.events(spark, d).groupBy(col("event_type")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet === direct)
+    // keyName colliding with an aggregate output is rejected loudly
+    intercept[IllegalArgumentException] {
+      Scale.saltedAgg(Tables.events(spark, d), col("event_type"), col("event_id"), 4,
+        Seq(("n", count(lit(1)), sum(_))), keyName = "n")
+    }
+  }
+
   test("date-partitioned writes prune partitions at the scan") {
     val out = java.nio.file.Files.createTempDirectory("events-part-").toString
     Tables.events(spark, d)
