@@ -137,13 +137,58 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Custom per-key streaming state for [[stateful]]: order-independent
+    * accumulators only (count / max / set-union), so the answer is
+    * identical however the source splits micro-batches or shuffles rows
+    * within a group. */
+  case class UserState(n: Long, maxValue: Double, types: Set[String])
+
+  /** §2.7 arbitrary stateful streaming: `flatMapGroupsWithState` keeps a
+    * custom per-user state the built-in aggregates can't express as-is (a
+    * distinct-type SET unioned across batches) and emits the running
+    * totals on every trigger (Update mode). The final answer per user is
+    * the update with the largest n — totals are monotone, so this is the
+    * last state each key reached, independent of batch layout.
+    *
+    * Scale: state is shuffled once on user_id and lives in the state
+    * store keyed per user — size O(|users| × |event-type vocabulary|),
+    * not O(events). At 100 TB the same plan holds; a TTL/timeout would
+    * bound keys for unbounded user populations. */
+  def stateful(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"graft_stateful_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val updates = readEventsStream(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Double)], st: GroupState[UserState]) =>
+          val prev = st.getOption.getOrElse(UserState(0L, Double.NegativeInfinity, Set.empty))
+          val cur = rows.foldLeft(prev) { (acc, r) =>
+            UserState(acc.n + 1, math.max(acc.maxValue, r._3), acc.types + r._2)
+          }
+          st.update(cur)
+          Iterator((uid, cur.n, cur.maxValue, cur.types.size.toLong))
+      }
+      .toDF("user_id", "n_events", "max_value", "n_types")
+    drain(updates)(_.outputMode("update").format("memory").queryName(name).start())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    s.table(name)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .orderBy(col("user_id"))
+  }
+
   import graft.SparkEntry.Q
 
   def queries: Map[String, Q] = Map(
     "s_dedup" -> ((s, d) => dedup(s, d)),
     "s_tumbling" -> ((s, d) => tumbling(s, d)),
     "s_sliding" -> ((s, d) => sliding(s, d)),
-    "s_session" -> ((s, d) => session(s, d))
+    "s_session" -> ((s, d) => session(s, d)),
+    "s_stateful" -> ((s, d) => stateful(s, d))
   )
 
   /** Batch-SQL twins: the streaming answers must equal what DuckDB computes
@@ -169,6 +214,11 @@ object StreamingOps {
         |         event_type
         |  FROM events)
         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "s_stateful" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s_session" ->
       """WITH gaps AS (
