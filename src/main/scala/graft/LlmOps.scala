@@ -81,16 +81,12 @@ object LlmOps {
     * multi-scan disease, disqualifying at 100 TB). Spark's CacheManager
     * keys on the analyzed plan, so repeated invocations share one entry. */
   private def shingleHashes(s: SparkSession, d: String): DataFrame = {
-    val w = split(lower(col("text")), " ")
+    // native n-gram kernel + built-in explode: the Generate stays inside
+    // whole-stage codegen (the previous transform/sequence/element_at
+    // spelling walked interpreted higher-order lambdas per shingle)
     docs(s, d)
-      .select(col("doc_id"), w.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("w")) - 3),
-        i => concat_ws(" ",
-          element_at(col("w"), i + 1),
-          element_at(col("w"), i + 2),
-          element_at(col("w"), i + 3)))).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.Generators.wordNGramArray(lower(col("text")), 3)).as("sh"))
       .select(col("doc_id"), polyHash(col("sh")).as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -350,6 +346,24 @@ object LlmOps {
         .orderBy(col("v1"), col("v2"))
     }),
 
+    // UDTF surface (§2.7): the corpus shingle profile through the SQL
+    // LATERAL VIEW path of the graft_shingles Generator — top-20 word
+    // 3-grams by occurrence (deterministic tiebreak on the shingle). One
+    // Generate + one hash aggregate; the limit is a TakeOrderedAndProject,
+    // never a global sort of the full profile.
+    "l_shingle_profile" -> ((s, d) => {
+      org.apache.spark.sql.GraftSqlBridge.registerFunctions(s)
+      docs(s, d).createOrReplaceTempView("graft_docs")
+      s.sql(
+        """SELECT shingle, count(*) AS n,
+          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM graft_docs
+          |LATERAL VIEW graft_shingles(lower(text), 3) t AS shingle
+          |GROUP BY shingle
+          |ORDER BY n DESC, shingle
+          |LIMIT 20""".stripMargin)
+    }),
+
     // Multimodal column: media as an opaque binary payload + typed metadata
     // struct + mime tag; mime predicate + size accounting stay relational
     // (decode/resize are the stubbed mapPartitions path in
@@ -588,6 +602,18 @@ object LlmOps {
          |SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.45
          |ORDER BY v1, v2""".stripMargin
     },
+
+    "l_shingle_profile" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                         for i in range(1, len(w) - 1)]) AS shingle
+         |  FROM toks WHERE len(w) >= 3
+         |)
+         |SELECT shingle, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM sh GROUP BY shingle
+         |ORDER BY n DESC, shingle LIMIT 20""".stripMargin,
 
     "l_multimodal" ->
       s"""SELECT doc_id,

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram (shingle) kernels — the text-pipeline fan-out that the
+  * built-in spelling (`explode(transform(sequence(...), i ->
+  * concat_ws(...)))`) evaluates as interpreted higher-order functions per
+  * row. Two Spark surfaces over one kernel:
+  *
+  *  - [[WordNGramArray]]: scalar ARRAY<STRING> expression with doGenCode —
+  *    compose with the built-in `explode`, which keeps the Generate inside
+  *    whole-stage codegen (the hot path; used by LlmOps.shingleHashes);
+  *  - [[WordNGrams]]: a true Generator (UDTF) for the SQL surface —
+  *    `LATERAL VIEW graft_shingles(text, 3) t AS shingle` — covering the
+  *    §2.7 UDTF category with genuine row-generating semantics.
+  *
+  * Tokenization contract: split on single spaces keeping empties (Java
+  * `split(" ", -1)`), identical to Spark `split(text, ' ')` and DuckDB
+  * `string_split(text, ' ')`, so oracle SQL replays it exactly.
+  */
+object NGramKernels {
+  /** All n-grams of the space-split words of `s`, joined by single spaces;
+    * empty array when there are fewer than n words. */
+  def wordNGrams(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val m = words.length - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Scalar n-gram expression: ARRAY<STRING> of word n-grams, codegen'd to a
+  * single static kernel call. Pair with the built-in `explode`. */
+case class WordNGramArray(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngram_array"
+  override protected def nullSafeEval(input: Any): Any =
+    NGramKernels.wordNGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernels.wordNGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNGramArray =
+    copy(child = newChild)
+}
+
+/** Generator (UDTF) surface: one output row per n-gram, column `shingle`.
+  * Registered as SQL function `graft_shingles` for LATERAL VIEW use.
+  * Generators run inside GenerateExec (its own operator, not a codegen'd
+  * Project), so CodegenFallback here costs nothing extra; the codegen hot
+  * path is WordNGramArray + explode. */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("shingle", StringType, nullable = false)))
+  override def prettyName: String = "graft_shingles"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val arr = NGramKernels.wordNGrams(v.asInstanceOf[UTF8String], n)
+      (0 until arr.numElements()).iterator
+        .map(i => InternalRow(arr.getUTF8String(i)))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object Generators {
+  /** n-gram width from the SQL literal argument (must be foldable). */
+  private[functions] def literalN(e: Expression): Int = {
+    require(e.foldable, s"n-gram width must be a literal, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"n-gram width must be integral, got $other")
+    }
+  }
+
+  def wordNGramArray(c: Column, n: Int): Column =
+    GraftSqlBridge.column(WordNGramArray(GraftSqlBridge.expression(c), n))
+}

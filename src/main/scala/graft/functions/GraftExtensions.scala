@@ -30,5 +30,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => PolyHash(es.head)),
     (FunctionIdentifier("graft_vec_dot"),
       info("graft_vec_dot", "graft_vec_dot(a, b) - float-vector dot with double accumulation"),
-      (es: Seq[Expression]) => FloatVecDot(es.head, es(1))))
+      (es: Seq[Expression]) => FloatVecDot(es.head, es(1))),
+    (FunctionIdentifier("graft_ngram_array"),
+      info("graft_ngram_array", "graft_ngram_array(str, n) - array of word n-grams"),
+      (es: Seq[Expression]) => WordNGramArray(es.head, Generators.literalN(es(1)))),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(str, n) - UDTF: one row per word n-gram"),
+      (es: Seq[Expression]) => WordNGrams(es.head, Generators.literalN(es(1)))))
 }
