@@ -312,6 +312,56 @@ object LlmOps {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Similarity search, IVF path: coarse quantization. 8 deterministic
+    // centroids (the corpus vectors with vec_id 100..107 — a fixed sample,
+    // standing in for trained k-means means); every vector is assigned to
+    // its max-cosine centroid via a partial-aggregatable max(struct) argmax
+    // (map-side combinable — NO window shuffle over the corpus); queries
+    // probe their nprobe=2 nearest cells only, then exact cosine top-3
+    // within the probed cells. At 100 TB the cell assignment is one
+    // broadcast-join pass and candidates shrink ~K/nprobe-fold; recall vs
+    // brute force is the dial (same trade as l_ann_lsh, different
+    // partition function — IVF adapts to the data, LSH is oblivious).
+    "l_ivf_ann" -> ((s, d) => {
+      import graft.functions.HashExprs.vecDot
+      val nprobe = 2
+      val e = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      val cent = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+      // argmax over 8 broadcast centroids: max(struct(cos, -cid)) picks the
+      // highest cosine, smallest cid on ties — lexicographic struct order
+      val asn = e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          struct((vecDot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("cos"),
+            (-col("cid")).as("ncid")).as("sc"))
+        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+        .agg(max(col("sc")).as("m"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), (-col("m.ncid")).as("cell"))
+      // per-query ranked centroid list (5×8 rows — driver-tiny, broadcast)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("qcos").desc, col("cid"))
+      val probes = q.join(broadcast(cent))
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"),
+          (vecDot(col("q_emb"), col("cemb")) / (col("q_nrm") * col("cnrm"))).as("qcos"))
+        .withColumn("prb", row_number().over(wq))
+        .filter(col("prb") <= nprobe)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid").as("q_cell"))
+      val joined = asn.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      joined.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup: multi-TABLE sign-LSH (4 tables × 2
     // hyperplanes). One k-bit table has recall p^k at similarity p; L
     // independent tables lift it to 1-(1-p^k)^L ≈ 0.9 for cos 0.5 here —
@@ -562,6 +612,43 @@ object LlmOps {
          |    / (sqrt(${sqlDot("q.q_emb", "q.q_emb")})
          |     * sqrt(${sqlDot("e.embedding", "e.embedding")})) AS cosine
          |  FROM q JOIN b e ON e.bkt = q.q_bkt AND e.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT q_id, rank, neighbor_id, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "l_ivf_ann" -> {
+      def sqlDot(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |      (a, b) -> a + b)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id BETWEEN 100 AND 107
+         |), asn AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1
+         |), probes AS (
+         |  SELECT q_id, q_emb, q_nrm, cell AS q_cell FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, e.nrm AS q_nrm, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rn <= 2
+         |), scored AS (
+         |  SELECT p.q_id, a.vec_id AS neighbor_id,
+         |    ${sqlDot("p.q_emb", "a.embedding")} / (p.q_nrm * a.nrm) AS cosine
+         |  FROM probes p JOIN asn a ON a.cell = p.q_cell AND a.vec_id <> p.q_id
          |), ranked AS (
          |  SELECT q_id, neighbor_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
