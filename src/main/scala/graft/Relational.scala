@@ -277,6 +277,60 @@ object Relational {
     // rewrite regroups by (priority, custkey) and then materializes the
     // rsd=0.01 HLL buffer (~1.6k longs) PER DISTINCT PAIR — hundreds of
     // thousands of 13 KB sketches (measured 65 s at sf0.1 vs ~2 s split).
+    // §2.7 pivot: long→wide with EXPLICIT pivot values — no
+    // distinct-collect pre-job, and the plan is a single partial-
+    // aggregatable hash aggregate over (year × 5 conditional counts),
+    // exactly the conditional-aggregation shape the oracle spells out.
+    "q_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy(col("o_year"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_year"),
+          col("1-URGENT").as("p_urgent"), col("2-HIGH").as("p_high"),
+          col("3-MEDIUM").as("p_medium"), col("4-NOT SPECIFIED").as("p_notspec"),
+          col("5-LOW").as("p_low"))
+        .orderBy(col("o_year"))
+    }),
+
+    // §2.7 statistical aggregates — second-moment family (stddev/var/
+    // corr/covar). All partial+final mergeable (sum of squares/cross
+    // products), so one scan + one 3-group shuffle at any scale.
+    "q_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          stddev_samp(col("l_quantity")).as("sd_qty"),
+          var_samp(col("l_quantity")).as("var_qty"),
+          stddev_pop(col("l_discount")).as("sdp_disc"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+          covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2.7 correlated subqueries through the SQL surface: EXISTS plans as
+    // a left-semi join, NOT EXISTS as a left-anti join, and the scalar
+    // subquery as a one-row broadcast — all three decorrelated by
+    // Catalyst into shuffle-free-or-single-shuffle joins (no per-row
+    // re-execution anywhere, the property that keeps this viable at scale).
+    "q_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM graft_customer c
+          |WHERE EXISTS (SELECT 1 FROM graft_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > (SELECT 1.5 * avg(o_totalprice)
+          |                                      FROM graft_orders))
+          |  AND NOT EXISTS (SELECT 1 FROM graft_orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     "q_approx_distinct" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val approx = o.groupBy(col("o_orderpriority"))
@@ -449,6 +503,34 @@ object Relational {
         |  count(DISTINCT o_custkey) AS n_cust_exact,
         |  count(*) AS n,
         |  TRUE AS approx_within_5pct
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+        |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  stddev_samp(l_quantity) AS sd_qty,
+        |  var_samp(l_quantity) AS var_qty,
+        |  stddev_pop(l_discount) AS sdp_disc,
+        |  corr(l_quantity, l_extendedprice) AS corr_qp,
+        |  covar_samp(l_quantity, l_extendedprice) AS covar_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
   )
 }
