@@ -328,28 +328,39 @@ object LlmOps {
       val e = spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-      val cent = e.filter(col("vec_id").between(100, 107))
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-      // argmax over 8 broadcast centroids: max(struct(cos, -cid)) picks the
-      // highest cosine, smallest cid on ties — lexicographic struct order
-      val asn = e.join(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          struct((vecDot(col("embedding"), col("cemb")) / (col("nrm") * col("cnrm"))).as("cos"),
-            (-col("cid")).as("ncid")).as("sc"))
-        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-        .agg(max(col("sc")).as("m"))
-        .select(col("vec_id"), col("embedding"), col("nrm"), (-col("m.ncid")).as("cell"))
-      // per-query ranked centroid list (5×8 rows — driver-tiny, broadcast)
+      // The codebook is DRIVER-RESIDENT by construction (in real IVF it is
+      // the k-means training output — kilobytes); collecting these 8
+      // vectors is the broadcast-codebook pattern, NOT a driver-side data
+      // loop. Inlined as literals, cell assignment becomes a pure
+      // codegen'd Project over the corpus: zero shuffle, zero join (the
+      // max(struct) aggregate alternative plans as a SortAggregate that
+      // sorts the corpus WITH its embeddings — measured and rejected).
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      def cosines(emb: Column, nrm: Column): Column = array(cents.map {
+        case (_, cemb, cnrm) => vecDot(emb, lit(cemb)) / (nrm * lit(cnrm))
+      }: _*)
+      // argmax = first index holding the max (ties → smallest cid, since
+      // centroids are sorted by cid)
+      def cellOf(cos: Column): Column =
+        element_at(lit(cents.map(_._1)), array_position(cos, array_max(cos)).cast("int"))
+      val asn = e
+        .withColumn("cell", cellOf(cosines(col("embedding"), col("nrm"))))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      // per-query probe list: top-nprobe cells of the 8 literal cosines —
+      // sort the (cos, cid) pairs descending and slice (5 query rows)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      val wq = Window.partitionBy(col("q_id"))
-        .orderBy(col("qcos").desc, col("cid"))
-      val probes = q.join(broadcast(cent))
-        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"),
-          (vecDot(col("q_emb"), col("cemb")) / (col("q_nrm") * col("cnrm"))).as("qcos"))
-        .withColumn("prb", row_number().over(wq))
-        .filter(col("prb") <= nprobe)
-        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid").as("q_cell"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+          slice(reverse(array_sort(zip_with(
+            cosines(col("embedding"), col("nrm")),
+            lit(cents.map(c => -c._1)),
+            (c, n) => struct(c.as("cos"), n.as("ncid"))))), 1, nprobe).as("probes"))
+      val probes = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(col("probes")).as("p"))
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), (-col("p.ncid")).as("q_cell"))
       val joined = asn.join(broadcast(probes),
           col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),

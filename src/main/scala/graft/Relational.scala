@@ -311,6 +311,20 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // §2.7 unpivot (melt, wide→long) — the inverse of q_pivot: per-priority
+    // measures become (measure, value) rows. Unpivot is a zero-shuffle
+    // Expand over an already-aggregated frame; money goes through the
+    // DECIMAL sum convention so the doubles compare exactly.
+    "q_unpivot" -> ((s, d) => {
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(38,2)")).cast("double").as("total_price"))
+      agg.unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("total_price")), "measure", "value")
+        .orderBy(col("o_orderpriority"), col("measure"))
+    }),
+
     // §2.7 correlated subqueries through the SQL surface: EXISTS plans as
     // a left-semi join, NOT EXISTS as a left-anti join, and the scalar
     // subquery as a one-row broadcast — all three decorrelated by
@@ -522,6 +536,16 @@ object Relational {
         |  corr(l_quantity, l_extendedprice) AS corr_qp,
         |  covar_samp(l_quantity, l_extendedprice) AS covar_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM a
+        |UNION ALL
+        |SELECT o_orderpriority, 'total_price' AS measure, total_price AS value FROM a
+        |ORDER BY o_orderpriority, measure""".stripMargin,
 
     "q_exists" ->
       """SELECT c_custkey, c_name FROM customer c
