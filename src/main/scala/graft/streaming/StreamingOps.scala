@@ -137,6 +137,54 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** §2.7 stream-static join: the unbounded event feed enriched against a
+    * static broadcast dimension (users → market segment). The static side
+    * is planned once and broadcast to every micro-batch — no state store
+    * involved, the streaming analogue of the batch broadcast-dim join. */
+  def staticJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_staticjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = readEventsStream(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    drain(agg)(_.outputMode("complete").format("memory").queryName(name).start())
+    s.table(name)
+      .select(col("c_mktsegment"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  /** §2.7 stream-stream interval join: each event joined to the SAME
+    * user's events in the following 30 minutes (two watermarked feeds;
+    * a.id < b.id orients the pair). The watermark + time-interval bound is
+    * what lets Spark evict join state — without it stream-stream state
+    * grows forever. Append-mode pairs land in an idempotent foreachBatch
+    * sink, then a batch aggregate per user feeds the oracle compare. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = tmp("graft-ssj-")
+    val a = readEventsStream(s, dir)
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 day")
+    val b = readEventsStream(s, dir)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 day")
+    val pairs = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES") &&
+        col("a_id") < col("b_id"))
+    drain(pairs) { w =>
+      w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/b$batchId")
+      }.start()
+    }
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   /** Custom per-key streaming state for [[stateful]]: order-independent
     * accumulators only (count / max / set-union), so the answer is
     * identical however the source splits micro-batches or shuffles rows
@@ -188,7 +236,9 @@ object StreamingOps {
     "s_tumbling" -> ((s, d) => tumbling(s, d)),
     "s_sliding" -> ((s, d) => sliding(s, d)),
     "s_session" -> ((s, d) => session(s, d)),
-    "s_stateful" -> ((s, d) => stateful(s, d))
+    "s_stateful" -> ((s, d) => stateful(s, d)),
+    "s_static_join" -> ((s, d) => staticJoin(s, d)),
+    "s_stream_join" -> ((s, d) => streamJoin(s, d))
   )
 
   /** Batch-SQL twins: the streaming answers must equal what DuckDB computes
@@ -219,6 +269,20 @@ object StreamingOps {
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value,
         |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "s_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "s_stream_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        | AND a.event_id < b.event_id
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     "s_session" ->
       """WITH gaps AS (
