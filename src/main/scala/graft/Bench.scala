@@ -37,7 +37,13 @@ object Bench {
     def runOnce(fn: SparkEntry.Q): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // cache lifecycle: queries persist intermediates (shingle/signature
+      // frames) for intra-query reuse; drop them between queries so
+      // CacheManager entries don't accumulate across the whole suite —
+      // each sample pays its own materialization and nothing else's
+      spark.catalog.clearCache()
+      t
     }
 
     val batchQueries = SparkEntry.queries.filterNot(_._1.startsWith("s_")).toSeq

@@ -48,6 +48,12 @@ object LlmOps {
 
   private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in")
   private val NEAR_DUP_J = 0.5
+  /** Hot-shingle document-frequency cap for the exact-Jaccard ground
+    * truth: drop shingles in > max(MIN, FRAC·N) docs. The absolute floor
+    * keeps the cap a no-op on tiny corpora; the relative term bounds the
+    * df² inverted-index join work as the corpus grows. */
+  private val NGRAM_DF_CAP_MIN = 8L
+  private val NGRAM_DF_CAP_FRAC = 0.001
 
   // ---------------------------------------------------------------- Spark
 
@@ -58,13 +64,19 @@ object LlmOps {
     * the whole suite (kernel contract documented in HashKernels). */
   private def polyHash(c: Column): Column = graft.functions.HashExprs.polyHash(c)
 
-  /** The testdata ships one small parquet file per table, so a scan plans
-    * ONE task and every hash-heavy Project downstream serializes. Spread it
-    * across the cluster first: at production scale the scan is already
-    * split into many partitions and this exchange disappears — it exists
-    * to make local[N] behave like the many-split real thing. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** The testdata ships one small parquet file per table, so a scan can
+    * plan ONE task and every hash-heavy Project downstream serializes.
+    * Widen ONLY when the scan is actually under-partitioned: an
+    * unconditional `repartition` is a full RoundRobin exchange of the
+    * corpus — document text included — before any digesting, which at
+    * 100 TB would be the single most expensive (and pointless) stage in
+    * the plan. When the scan already splits into >= parallelism tasks
+    * (the production case), this is the identity and NO exchange exists. */
+  private def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism)
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame =
     spread(Tables.documents(s, d))
@@ -197,13 +209,25 @@ object LlmOps {
     // from the self-join aggregation — materializing the pair set first
     // and re-joining it to the shingle sets (the jaccardOf shape, right
     // for small LSH candidate lists) would multiply |pairs| × |shingles|.
-    // Still quadratic on hot shingles by nature — kept as the oracle of
-    // record; l_minhash_lsh is the scale path.
+    // The inverted-index join is quadratic PER SHINGLE (df² pairs), so hot
+    // shingles are capped: any shingle in > max(8, 0.1%·N) documents is a
+    // de-facto stopword that contributes O(df²) join work and near-zero
+    // Jaccard signal — dropped from BOTH the intersections and the
+    // per-doc set sizes (and identically in the oracle SQL, so the row
+    // stays hash-exact). This bounds per-shingle work by the cap² at any
+    // corpus size; l_minhash_lsh remains the true scale path.
     "l_ngram_jaccard" -> ((s, d) => {
       val sh = shingleHashes(s, d)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("d1"), col("h"))
-        .join(sh.select(col("doc_id").as("d2"), col("h").as("h2")),
+      // metadata-only count (parquet row-group stats); the cap literal
+      // lands in the plan, the hot set is a broadcast anti-join side
+      val nDocs = Tables.documents(s, d).count()
+      val cap = math.max(NGRAM_DF_CAP_MIN.toDouble, NGRAM_DF_CAP_FRAC * nDocs)
+      val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("h"))
+      val kept = sh.join(broadcast(hot), Seq("h"), "left_anti")
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = kept.select(col("doc_id").as("d1"), col("h"))
+        .join(kept.select(col("doc_id").as("d2"), col("h").as("h2")),
           col("h") === col("h2") && col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
       inter
@@ -340,6 +364,10 @@ object LlmOps {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
+      // fail loudly on a mis-shaped corpus: an empty/partial codebook would
+      // otherwise yield an empty-but-oracle-matching (vacuous) result
+      require(cents.length == 8,
+        s"l_ivf_ann: expected centroid vec_ids 100..107 in the corpus, found ${cents.length}")
       def cosines(emb: Column, nrm: Column): Column = array(cents.map {
         case (_, cemb, cnrm) => vecDot(emb, lit(cemb)) / (nrm * lit(cnrm))
       }: _*)
@@ -543,10 +571,37 @@ object LlmOps {
 
     "l_minhash_lsh" -> jaccardSql(minhashCandCte),
 
-    "l_ngram_jaccard" -> jaccardSql(
-      """cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin),
+    // capped ground truth — the hot-shingle DF cap (> max(MIN, FRAC·N)
+    // docs) applies to intersections AND set sizes, mirroring the Spark
+    // plan exactly
+    "l_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, ${sqlPoly("s")} AS h FROM (
+         |      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                             for i in range(1, len(w) - 1)]) AS s
+         |      FROM toks WHERE len(w) >= 3))
+         |), hot AS (
+         |  SELECT h FROM sh GROUP BY h
+         |  HAVING count(*) > greatest($NGRAM_DF_CAP_MIN,
+         |                             $NGRAM_DF_CAP_FRAC * (SELECT count(*) FROM documents))
+         |), kept AS (
+         |  SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.d1, i.d2, i.n_shared, s1.n AS n1, s2.n AS n2,
+         |       CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN sizes s1 ON s1.doc_id = i.d1
+         |JOIN sizes s2 ON s2.doc_id = i.d2
+         |WHERE CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) >= $NEAR_DUP_J
+         |ORDER BY d1, d2""".stripMargin,
 
     "l_simhash" -> {
       val sums = (0 until SIM_BITS)
