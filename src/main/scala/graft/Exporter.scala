@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{CloudEventSink, CtsParity}
+import graft.functions.CloudEventFns
 
 /** The reference exporter's entry point re-expressed as one Spark job
   * (cmd/cts_exporter/main.go:67-208): CTS source → trace→CloudEvent
@@ -20,12 +21,16 @@ import graft.operators.{CloudEventSink, CtsParity}
   */
 object Exporter {
 
+  /** `overrides` ≙ K_CE_OVERRIDES (adapter.go:57-65,256-261): extension
+    * keys merged right-biased into every delivered envelope — an existing
+    * extension key is overwritten, a new key is added. */
   case class Config(pages: String, outDir: String,
                     streams: Boolean = false, pushAndPull: Boolean = true,
-                    limit: Int = 50)
+                    limit: Int = 50, overrides: Map[String, String] = Map.empty)
 
-  private def toCloudEvents(traces: DataFrame): DataFrame =
-    CtsParity.toCloudEvents(traces
+  private def toCloudEvents(traces: DataFrame,
+                            overrides: Map[String, String]): DataFrame = {
+    val base = CtsParity.toCloudEvents(traces
       .withColumn("ts", timestamp_millis(col("time")))
       .withColumn("trace_status", coalesce(col("trace_status"), lit("normal")))
       .withColumn("code", coalesce(col("code"), lit("")))
@@ -34,6 +39,16 @@ object Exporter {
       .withColumn("region", lit("eu-de"))
       .withColumn("domain", lit("dom-0"))
       .withColumn("tenant", lit("ten-0")))
+    // the envelope's extension block: context attributes + K_CE_OVERRIDES
+    // merged right-biased (P6) — one codegen'd map expression, no UDF
+    base
+      .withColumn("extensions", CloudEventFns.mergeExtensions(
+        map(lit("region"), col("region"),
+            lit("domain"), col("domain"),
+            lit("tenant"), col("tenant")),
+        CloudEventFns.mapLit(overrides)))
+      .drop("region", "domain", "tenant")
+  }
 
   /** One poll cycle (batch) or a drain-available run (streams=true).
     * Returns Some(delivery) when pushAndPull enabled. */
@@ -42,13 +57,13 @@ object Exporter {
     if (!cfg.streams) {
       val traces = spark.read.format("cts")
         .option("pages", cfg.pages).option("limit", cfg.limit).load()
-      val ce = toCloudEvents(traces)
+      val ce = toCloudEvents(traces, cfg.overrides)
       if (cfg.pushAndPull) Some(CloudEventSink.deliver(ce, transport))
       else { ce.write.format("noop").mode("overwrite").save(); None }
     } else {
       val traces = spark.readStream.format("cts")
         .option("pages", cfg.pages).option("limit", cfg.limit).load()
-      val ce = toCloudEvents(traces)
+      val ce = toCloudEvents(traces, cfg.overrides)
       if (cfg.pushAndPull) {
         val sd = CloudEventSink.deliverStream(ce, transport,
           java.nio.file.Files.createTempDirectory("exporter-ckpt-").toString)

@@ -24,23 +24,31 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object CloudEventSink {
 
-  /** One delivery channel. `open` is called once per partition (connection
-    * setup); `send` returns the ACK (F4); `close` flushes. */
+  /** One delivery channel. `open` is called once per partition per batch
+    * (connection setup) with the (batchId, partitionId) identity of the
+    * delivery attempt — an idempotent transport keys its effect on that
+    * pair, so an at-least-once redelivery REPLACES the previous attempt
+    * instead of duplicating it; `send` returns the ACK (F4); `close`
+    * flushes. */
   trait EventTransport extends Serializable {
-    def open(partitionId: Int): Unit = ()
+    def open(partitionId: Int, batchId: Long): Unit = ()
     def send(eventJson: String): Boolean
     def close(): Unit = ()
   }
 
-  /** Offline stand-in for the HTTP POST: append NDJSON to one file per
-    * partition (K_SINK ≙ a directory). */
+  /** Offline stand-in for the HTTP POST: NDJSON in one file per
+    * (batch, partition) (K_SINK ≙ a directory). The file name is
+    * DETERMINISTIC and the open truncates, so a redelivered batch
+    * overwrites its own previous attempt — delivery-side idempotency to
+    * match the receiver's MERGE idempotency (the reference leans on Neo4j
+    * MERGE alone; an at-least-once retry there duplicates in-flight sends
+    * and relies on the receiver to collapse them). */
   class NdjsonDirTransport(dir: String) extends EventTransport {
     @transient private var out: java.io.BufferedWriter = _
-    override def open(partitionId: Int): Unit = {
+    override def open(partitionId: Int, batchId: Long): Unit = {
       Files.createDirectories(Paths.get(dir))
-      // unique file per open: partition ids repeat across micro-batches
       out = Files.newBufferedWriter(
-        Paths.get(dir, f"part-$partitionId%05d-${java.util.UUID.randomUUID()}.ndjson"),
+        Paths.get(dir, f"part-b$batchId%05d-p$partitionId%05d.ndjson"),
         StandardCharsets.UTF_8,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
@@ -58,14 +66,17 @@ object CloudEventSink {
 
   /** K1 — batch delivery with per-event error isolation. A transport
     * failure marks the event failed and moves on; the job never dies for
-    * one bad event (C4). */
-  def deliver(ce: DataFrame, transport: EventTransport): Delivery = {
+    * one bad event (C4). `deliveryId` identifies the batch for transport
+    * idempotency — a rerun of the same logical batch with the same id
+    * replaces its previous attempt. */
+  def deliver(ce: DataFrame, transport: EventTransport,
+              deliveryId: Long = 0L): Delivery = {
     val sc = ce.sparkSession.sparkContext
     val sent = sc.longAccumulator("ce_sent")
     val failed = sc.longAccumulator("ce_failed")
     toEnvelope(ce).foreachPartition { (rows: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      transport.open(pid)
+      transport.open(pid, deliveryId)
       try rows.foreach { r =>
         try { if (transport.send(r.getString(0))) sent.add(1) else failed.add(1) }
         catch { case scala.util.control.NonFatal(_) => failed.add(1) }
@@ -94,10 +105,10 @@ object CloudEventSink {
     val w: DataStreamWriter[Row] = toEnvelope(ce).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.foreachPartition { (rows: Iterator[Row]) =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          transport.open(pid)
+          transport.open(pid, batchId)
           try rows.foreach { r =>
             try { if (transport.send(r.getString(0))) sent.add(1) else failed.add(1) }
             catch { case scala.util.control.NonFatal(_) => failed.add(1) }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -20,12 +20,26 @@ import org.apache.spark.sql.types._
   * log) and then returns the sink's content as a batch DataFrame for the
   * driver's oracle compare.
   *
-  * Scale notes: streaming dedup keys the state store on event_id with a
-  * watermark bound so state is evicted, not grown forever; window/session
-  * aggregates shuffle once on (key, window); the foreachBatch sink writes
-  * per-batch directories so redelivery overwrites instead of duplicating
-  * (at-least-once delivery + idempotent write = the reference's
-  * MERGE-idempotency contract, neo4j/client.go:10-21).
+  * Scale design (every query below follows it):
+  *  - NO complete-mode memory sinks: complete mode re-materializes the
+  *    entire result on the driver every trigger — a driver OOM at 100×.
+  *    Every query writes append/update output through an idempotent
+  *    `foreachBatch` parquet sink (deterministic per-batch directory +
+  *    overwrite, so at-least-once redelivery of a batch rewrites instead
+  *    of duplicating — the reference's MERGE-idempotency contract,
+  *    neo4j/client.go:10-21).
+  *  - Windowed aggregates run in APPEND mode: a window is emitted exactly
+  *    once, when the watermark passes its end ("finalized"), and its state
+  *    is evicted. The finite harness unions a far-future FLUSH SENTINEL
+  *    row into the feed so the watermark passes every real window before
+  *    the AvailableNow drain stops (in production the feed is unbounded
+  *    and the watermark advances on its own — the sentinel is harness
+  *    scaffolding, not operator semantics). The sentinel's own window
+  *    never closes, so it never appears in output.
+  *  - Stateful streaming carries an event-time TTL
+  *    (`GroupStateTimeout.EventTimeTimeout`): a key's state is dropped
+  *    once the watermark passes its newest event + TTL, so the state
+  *    store is bounded for unbounded key populations.
   */
 object StreamingOps {
 
@@ -39,6 +53,22 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** documents.parquet schema (TESTDATA.md) for the streamed-ingest rows. */
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Flush sentinel: 2100-01-01T00:00:00Z in nanos — far past any testdata
+    * horizon, far below Long.MaxValue. */
+  private val SentinelNanos = 4102444800000000000L
+  private val SentinelType = "__flush__"
+
+  private def nanosTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
   /** File-source stream over the events table (ns→µs timestamp restore,
     * same as the batch loader Tables.events). */
   def readEventsStream(s: SparkSession, dir: String): DataFrame = {
@@ -46,23 +76,56 @@ object StreamingOps {
     if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
     // the file source wants a directory: stream the sf dir, glob-filtered
     // to the events table (the other tables never enter the file index)
-    s.readStream
+    nanosTs(s.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(dir))
   }
+
+  /** File-source stream over the documents table. */
+  def readDocumentsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** One-row far-future feed unioned into windowed queries so the final
+    * real windows finalize (see the scale-design note above). Both file
+    * sources are listed into the FIRST micro-batch (no file limit is
+    * configured), so real rows are never late relative to the sentinel. */
+  private def sentinelStream(s: SparkSession): DataFrame = {
+    val dir = tmp("graft-sentinel-")
+    val row = Row(-1L, SentinelNanos, -1L, SentinelType, 0.0, "{}")
+    s.createDataFrame(java.util.Collections.singletonList(row), eventsSchema)
+      .write.mode("overwrite").parquet(dir)
+    nanosTs(s.readStream.schema(eventsSchema).parquet(dir))
+  }
+
+  private def eventsWithFlush(s: SparkSession, dir: String): DataFrame =
+    readEventsStream(s, dir).unionAll(sentinelStream(s))
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  /** Run `q` to completion under AvailableNow with its own checkpoint. */
-  private def drain(df: DataFrame)(start: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val writer = df.writeStream
+  /** Drain `df` to completion under AvailableNow into an idempotent
+    * per-batch parquet sink (deterministic `b<batchId>` directory +
+    * overwrite: a redelivered batch rewrites its own directory). Returns
+    * the sink root for batch re-read. */
+  private def drainToParquet(df: DataFrame, mode: String): String = {
+    val out = tmp("graft-sink-")
+    df.writeStream
       .option("checkpointLocation", tmp("graft-ckpt-"))
       .trigger(Trigger.AvailableNow())
-    start(writer).awaitTermination()
+      .outputMode(mode)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/b$batchId")
+      }
+      .start().awaitTermination()
+    out
   }
+
+  private def readSink(s: SparkSession, out: String): DataFrame =
+    s.read.option("recursiveFileLookup", "true").parquet(out)
 
   /** §2.5 streaming MERGE-dedup: two sources of the same feed (the
     * window-overlap redelivery of adapter.go:93-102) → watermark +
@@ -71,68 +134,91 @@ object StreamingOps {
     * `dropDuplicates("event_id")` ignores the watermark unless the
     * event-time column is a dedup key, so its state grows forever) →
     * foreachBatch idempotent parquet sink → batch re-read + aggregate for
-    * the oracle. Redelivered duplicates carry the same event time, so they
-    * always land within the watermark delay of the original. */
+    * the oracle.
+    *
+    * Collapse condition: a duplicate is dropped iff it ARRIVES before the
+    * watermark evicts the original's state — the API dedups by arrival
+    * relative to state eviction, not by event time. That holds here
+    * because both feed copies land in the same micro-batches; a genuinely
+    * delayed redelivery arriving after eviction would be re-emitted (and
+    * the downstream MERGE sink would absorb it — §2.5). */
   def dedup(s: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft-dedup-")
     val feed = readEventsStream(s, dir).unionAll(readEventsStream(s, dir))
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
-    drain(feed) { w =>
-      w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // idempotent: redelivered batch N lands in the same directory
-        batch.write.mode("overwrite").parquet(s"$out/b$batchId")
-      }.start()
-    }
-    s.read.option("recursiveFileLookup", "true").parquet(out)
+    val out = drainToParquet(feed, "append")
+    readSink(s, out)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
   }
 
+  /** Streaming document-level dedup — the LLM ingest-pipeline shape
+    * (SURVEY north_star): a streamed documents feed redelivered
+    * at-least-once, deduplicated on the sha256 CONTENT fingerprint (not
+    * the id — a re-crawl gets a new id, same bytes) under a watermark so
+    * fingerprint state is evicted, not grown forever. Event time is a
+    * deterministic ingest-time stand-in derived from doc_id (the testdata
+    * carries no document timestamp). */
+  def docDedup(s: SparkSession, dir: String): DataFrame = {
+    // anchor the synthetic ingest time well past the epoch: the initial
+    // watermark is 0 (epoch), and a row whose event time coincides with
+    // the watermark is already expired — doc_id 0 would be dropped
+    val feed = readDocumentsStream(s, dir).unionAll(readDocumentsStream(s, dir))
+      .withColumn("ts", expr("timestamp_micros(1700000000000000 + doc_id)"))
+      .withColumn("fp", sha2(lower(trim(col("text"))), 256))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("fp"))
+    val out = drainToParquet(feed, "append")
+    readSink(s, out).select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
+  }
+
   /** Tumbling event-time window aggregate (§2.7 streaming windows): 1-day
-    * windows per event type, complete mode into a memory sink (the final
-    * state equals the batch answer — no open-tail ambiguity). */
+    * windows per event type, append-mode — each window emitted once when
+    * the watermark finalizes it, state evicted. */
   def tumbling(s: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val agg = readEventsStream(s, dir)
+    val agg = eventsWithFlush(s, dir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-    drain(agg)(_.outputMode("complete").format("memory").queryName(name).start())
-    s.table(name)
+    val out = drainToParquet(agg, "append")
+    readSink(s, out)
+      .filter(col("event_type") =!= SentinelType)
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("day"), col("event_type"))
   }
 
   /** Sliding event-time windows (§2.7): 2-day windows advancing by 1 day —
     * every event lands in two overlapping windows (the Expand the tumbling
-    * case doesn't exercise). */
+    * case doesn't exercise). Append-mode finalization as in [[tumbling]]. */
   def sliding(s: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val agg = readEventsStream(s, dir)
+    val agg = eventsWithFlush(s, dir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    drain(agg)(_.outputMode("complete").format("memory").queryName(name).start())
-    s.table(name)
+    val out = drainToParquet(agg, "append")
+    readSink(s, out)
+      .filter(col("event_type") =!= SentinelType)
       .select(col("w.start").as("win_start"), col("event_type"), col("n"))
       .orderBy(col("win_start"), col("event_type"))
   }
 
   /** Session windows (§2.7): per-user sessions closed by a 30-minute gap.
     * Emits (user_id, session_start, n_events) for sessions with ≥ 2
-    * events — the stateful merge the reference can't express at all. */
+    * events — the stateful merge the reference can't express at all. A
+    * session finalizes when the watermark passes its end (no event can
+    * extend it anymore); the ≥2 filter is applied on the finalized
+    * output. */
   def session(s: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_session_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val agg = readEventsStream(s, dir)
+    val agg = eventsWithFlush(s, dir)
       .withWatermark("ts", "1 day")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    drain(agg)(_.outputMode("complete").format("memory").queryName(name).start())
-    s.table(name)
-      .filter(col("n_events") >= 2)
+    val out = drainToParquet(agg, "append")
+    readSink(s, out)
+      .filter(col("user_id") >= 0 && col("n_events") >= 2)
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
   }
@@ -140,29 +226,36 @@ object StreamingOps {
   /** §2.7 stream-static join: the unbounded event feed enriched against a
     * static broadcast dimension (users → market segment). The static side
     * is planned once and broadcast to every micro-batch — no state store
-    * involved, the streaming analogue of the batch broadcast-dim join. */
+    * involved, the streaming analogue of the batch broadcast-dim join.
+    * The aggregate runs BATCH-side over the sink (an unbounded global
+    * group-by can't finalize in append mode; the streaming stage is the
+    * enrichment, the rollup is a query over delivered output). */
   def staticJoin(s: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_staticjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val cust = graft.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val agg = readEventsStream(s, dir)
+    val enriched = readEventsStream(s, dir)
       .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("event_type"), col("value"))
+    val out = drainToParquet(enriched, "append")
+    readSink(s, out)
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-    drain(agg)(_.outputMode("complete").format("memory").queryName(name).start())
-    s.table(name)
-      .select(col("c_mktsegment"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
   /** §2.7 stream-stream interval join: each event joined to the SAME
-    * user's events in the following 30 minutes (two watermarked feeds;
-    * a.id < b.id orients the pair). The watermark + time-interval bound is
-    * what lets Spark evict join state — without it stream-stream state
-    * grows forever. Append-mode pairs land in an idempotent foreachBatch
+    * user's events STRICTLY after it within 30 minutes (two watermarked
+    * feeds; time orients the pair). The watermark + time-interval bound
+    * is what lets Spark evict join state — and the join condition must be
+    * PURELY equi + time-interval conjuncts: StreamingJoinHelper aborts
+    * state-watermark extraction wholesale when any conjunct mixes
+    * non-temporal attributes from both sides (an `a_id < b_id` orientation
+    * clause silently disables state eviction → unbounded join state — a
+    * predicate-pushdown round trip makes a post-join filter equivalent, so
+    * the SEMANTICS had to avoid the cross-side id clause, not just its
+    * placement). Append-mode pairs land in the idempotent foreachBatch
     * sink, then a batch aggregate per user feeds the oracle compare. */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    val out = tmp("graft-ssj-")
     val a = readEventsStream(s, dir)
       .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
       .withWatermark("a_ts", "1 day")
@@ -171,15 +264,10 @@ object StreamingOps {
       .withWatermark("b_ts", "1 day")
     val pairs = a.join(b,
       col("user_id") === col("b_user") &&
-        col("b_ts") >= col("a_ts") &&
-        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES") &&
-        col("a_id") < col("b_id"))
-    drain(pairs) { w =>
-      w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/b$batchId")
-      }.start()
-    }
-    s.read.option("recursiveFileLookup", "true").parquet(out)
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+    val out = drainToParquet(pairs, "append")
+    readSink(s, out)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("user_id"))
@@ -191,6 +279,10 @@ object StreamingOps {
     * within a group. */
   case class UserState(n: Long, maxValue: Double, types: Set[String])
 
+  /** State TTL for [[stateful]]: a key's state dies when the watermark
+    * passes its newest event by this much. */
+  private val StateTtlMs = 24L * 3600 * 1000
+
   /** §2.7 arbitrary stateful streaming: `flatMapGroupsWithState` keeps a
     * custom per-user state the built-in aggregates can't express as-is (a
     * distinct-type SET unioned across batches) and emits the running
@@ -200,30 +292,47 @@ object StreamingOps {
     *
     * Scale: state is shuffled once on user_id and lives in the state
     * store keyed per user — size O(|users| × |event-type vocabulary|),
-    * not O(events). At 100 TB the same plan holds; a TTL/timeout would
-    * bound keys for unbounded user populations. */
+    * not O(events) — and is BOUNDED by an event-time TTL
+    * (`EventTimeTimeout`): once the watermark passes a user's newest
+    * event + 1 day, the timeout fires and the state is removed. The
+    * sentinel feed drives the watermark far enough that every real key's
+    * timeout actually fires inside the harness run — the eviction path is
+    * exercised, not just declared. */
   def stateful(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val name = s"graft_stateful_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val updates = readEventsStream(s, dir)
-      .select(col("user_id"), col("event_type"), col("value"))
-      .as[(Long, String, Double)]
+    val feed = eventsWithFlush(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .withWatermark("ts", "1 day")
+      .as[(Long, String, Double, java.sql.Timestamp)]
+    val updates = feed
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, String, Double)], st: GroupState[UserState]) =>
-          val prev = st.getOption.getOrElse(UserState(0L, Double.NegativeInfinity, Set.empty))
-          val cur = rows.foldLeft(prev) { (acc, r) =>
-            UserState(acc.n + 1, math.max(acc.maxValue, r._3), acc.types + r._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Double, java.sql.Timestamp)],
+         st: GroupState[UserState]) =>
+          if (st.hasTimedOut) {
+            // TTL: watermark passed this key's newest event + TTL — drop
+            // the state; totals were already emitted on every update
+            st.remove()
+            Iterator.empty
+          } else {
+            val prev = st.getOption.getOrElse(UserState(0L, Double.NegativeInfinity, Set.empty))
+            var newest = Long.MinValue
+            val cur = rows.foldLeft(prev) { (acc, r) =>
+              newest = math.max(newest, r._4.getTime)
+              UserState(acc.n + 1, math.max(acc.maxValue, r._3), acc.types + r._2)
+            }
+            st.update(cur)
+            st.setTimeoutTimestamp(newest + StateTtlMs)
+            Iterator((uid, cur.n, cur.maxValue, cur.types.size.toLong))
           }
-          st.update(cur)
-          Iterator((uid, cur.n, cur.maxValue, cur.types.size.toLong))
       }
       .toDF("user_id", "n_events", "max_value", "n_types")
-    drain(updates)(_.outputMode("update").format("memory").queryName(name).start())
+    val out = drainToParquet(updates, "update")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    s.table(name)
+    readSink(s, out)
+      .filter(col("user_id") >= 0)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .orderBy(col("user_id"))
@@ -233,6 +342,7 @@ object StreamingOps {
 
   def queries: Map[String, Q] = Map(
     "s_dedup" -> ((s, d) => dedup(s, d)),
+    "s_doc_dedup" -> ((s, d) => docDedup(s, d)),
     "s_tumbling" -> ((s, d) => tumbling(s, d)),
     "s_sliding" -> ((s, d) => sliding(s, d)),
     "s_session" -> ((s, d) => session(s, d)),
@@ -248,6 +358,10 @@ object StreamingOps {
       """SELECT event_type, count(*) AS n, sum(value) AS sum_value
         |FROM (SELECT DISTINCT ON (event_id) event_id, event_type, value FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s_doc_dedup" ->
+      """SELECT doc_id, sha256(lower(trim(text))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,
@@ -280,8 +394,7 @@ object StreamingOps {
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
-        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
-        | AND a.event_id < b.event_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     "s_session" ->

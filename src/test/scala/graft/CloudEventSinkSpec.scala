@@ -52,6 +52,22 @@ class CloudEventSinkSpec extends AnyFunSuite {
     assert(lines.forall(_.startsWith("""{"id":""")), "envelope serialization")
   }
 
+  test("K1 redelivery of the same batch overwrites — no duplicate events") {
+    val out = Files.createTempDirectory("ce-sink-redeliver-").toString
+    val events = ce().cache()
+    val n = events.count()
+    val t = new CloudEventSink.NdjsonDirTransport(out)
+    CloudEventSink.deliver(events, t, deliveryId = 7L)
+    // at-least-once retry of the SAME batch: deterministic
+    // (batchId, partitionId) file naming + truncate ⇒ replaced, not added
+    CloudEventSink.deliver(events, t, deliveryId = 7L)
+    events.unpersist()
+    val lines = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(p => Files.readAllLines(p).asScala).toVector
+    assert(lines.size.toLong === n, "redelivered batch must replace its previous attempt")
+  }
+
   test("K2 streaming delivery ships the same events as batch (at-least-once)") {
     val out = Files.createTempDirectory("ce-sink-stream-").toString
     val stream = graft.streaming.StreamingOps.readEventsStream(spark, TestSpark.sfDir)

@@ -48,6 +48,19 @@ class ExporterSpec extends AnyFunSuite {
     assert(ls.forall(_.contains(""""subject":"vm-""")))
   }
 
+  test("K_CE_OVERRIDES: extension overrides merge right-biased into envelopes") {
+    val out = Files.createTempDirectory("exporter-out-").toString
+    val d = Exporter.run(spark, Exporter.Config(fixtures().toString, out,
+      overrides = Map("region" -> "eu-nl", "specversion" -> "1.0")))
+    assert(d === Some(graft.operators.CloudEventSink.Delivery(5, 0)))
+    val ls = lines(out)
+    assert(ls.size === 5)
+    // existing extension key overwritten, new key added, untouched key kept
+    assert(ls.forall(_.contains(""""region":"eu-nl"""")), "override wins over context value")
+    assert(ls.forall(_.contains(""""specversion":"1.0"""")), "new override key appears")
+    assert(ls.forall(_.contains(""""tenant":"ten-0"""")), "non-overridden key survives")
+  }
+
   test("pull-only toggle (C5) runs the pipeline without a delivery stage") {
     val out = Files.createTempDirectory("exporter-out-").toString
     val d = Exporter.run(spark,

@@ -94,6 +94,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C1 ticker loop: ProcessingTime trigger drives repeated timed cycles") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    // the reference's ticker (cmd/cts_exporter/main.go:118-150): a timed
+    // poll loop — here a real ProcessingTime trigger, not AvailableNow
+    val q = input.toDF().toDF("event_id", "ts").writeStream
+      .format("memory").queryName("pt_mem").outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("pt_mem").count() < n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spark.table("pt_mem").count() === n)
+    }
+    try {
+      input.addData((1L, ts(0)), (2L, ts(1)))
+      awaitCount(2) // a timed cycle picked up the first feed window
+      input.addData((3L, ts(2)))
+      awaitCount(3) // a LATER timed cycle picked up the next window
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2, "two separate timed cycles must have processed data")
+    } finally q.stop()
+  }
+
+  test("streaming doc dedup collapses redelivered content by fingerprint") {
+    val rows = StreamingOps.docDedup(spark, TestSpark.sfDir).collect()
+    val docs = Tables.documents(spark, TestSpark.sfDir).count()
+    assert(rows.length.toLong === docs, "one row per distinct content fingerprint")
+    assert(rows.map(_.getString(1)).distinct.length === rows.length)
+  }
+
   test("streaming dedup answer equals the batch answer on the same feed") {
     val streamed = StreamingOps.dedup(spark, TestSpark.sfDir).collect()
     val batch = Parity.queries("p_dedup_merge")(spark, TestSpark.sfDir).collect()
