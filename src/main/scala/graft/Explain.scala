@@ -2,8 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -20,11 +23,19 @@ object Explain {
         println(f"$name%-22s ${ts.map(t => f"$t%7.2f").mkString(" ")}")
       }
     } else {
-      for (q <- args.drop(1)) {
+      // --clear: isolate each query's cost (drop persisted intermediates
+      // between queries, mirroring Bench.runOnce)
+      val clear = args.contains("--clear")
+      for (q <- args.drop(1).filterNot(_.startsWith("--"))) {
         println(s"===== $q =====")
         val df = SparkEntry.queries(q)(spark, d)
         df.explain("formatted")
-        println(s"time: ${once(q)}s")
+        val ts = Seq.fill(3) {
+          val t = once(q)
+          if (clear) spark.catalog.clearCache()
+          t
+        }
+        println(s"time: ${ts.map(t => f"$t%.2f").mkString(" ")}s")
       }
     }
     spark.stop()

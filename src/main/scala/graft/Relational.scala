@@ -358,6 +358,51 @@ object Relational {
                 (abs(col("approx_cust") - col("n_cust_exact")) <=
                   col("n_cust_exact") * 0.05).as("approx_within_5pct"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Skew-safe aggregation (SURVEY §4): the same group-by answer computed
+    // through Scale.saltedAgg's two-phase (key, salt) → key plan. The
+    // events table has a handful of event types over millions of rows —
+    // the classic hot-key shape where a direct shuffle sends a whole key
+    // to one reducer; salting spreads each hot key over 32 buckets of
+    // map-side partials first, then merges 5×32 tiny rows. The oracle is
+    // the DIRECT aggregate: the salted plan must be answer-identical.
+    "q_salted_agg" -> ((s, d) => {
+      graft.operators.Scale.saltedAgg(
+        Tables.events(s, d),
+        col("event_type"), col("event_id"), buckets = 32,
+        aggs = Seq(
+          ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+          ("sum_value", sum(col("value")), (c: org.apache.spark.sql.Column) => sum(c)),
+          ("max_value", max(col("value")), (c: org.apache.spark.sql.Column) => max(c))),
+        keyName = "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // Co-located join via bucketing (SURVEY §4, Scale.writeBucketed): both
+    // sides written bucketed+sorted on the join key, then joined WITHOUT a
+    // shuffle — the exchange is paid once at write time, never again at
+    // read (the pre-shuffle trade every 100 TB warehouse leans on; at
+    // scale the write is the ingest job, the join is every query after).
+    // The oracle is the plain join — bucketing must not change the answer.
+    "q_bucketed_join" -> ((s, d) => {
+      graft.operators.Scale.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_orders_b", "o_orderkey", 16)
+      graft.operators.Scale.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        "graft_lineitem_b", "l_orderkey", 16)
+      val o = s.table("graft_orders_b")
+      val l = s.table("graft_lineitem_b")
+      // merge hint: at oracle/bench SF the dim side is broadcastable and
+      // Catalyst would skip the bucket join; force the SMJ to exercise the
+      // path that matters at 100 TB (both sides huge, neither broadcasts —
+      // bucketed scans already satisfy its distribution+order, so the join
+      // plans with NO exchange and NO sort)
+      l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -555,6 +600,18 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the direct aggregate — the salted two-phase plan must match it
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+        |       max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the plain join — the bucketed shuffle-free plan must match it
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -48,12 +48,22 @@ object Scale {
 
   /** Co-located join via bucketing: write both sides bucketed+sorted on
     * the join key so the join needs NO shuffle at read time (the classic
-    * pre-shuffle trade: pay the exchange once at write, never again).
-    * Returns the saved table names. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * pre-shuffle trade: pay the exchange once at write, never again). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    // with the in-memory catalog, a previous SESSION's managed-table
+    // directory can survive without a catalog entry; saveAsTable then
+    // refuses the orphaned location — clear it (DROP TABLE would have,
+    // had the entry survived)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(s"$wh/${table.toLowerCase}")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
