@@ -453,6 +453,64 @@ object LlmOps {
           |LIMIT 20""".stripMargin)
     }),
 
+    // Quality filtering (C4/Gopher-style rule cascade): every rule is a
+    // cheap column expression over the scan — one codegen'd Project +
+    // filter-free output (keep AND the first failing reason are both
+    // emitted, so the downstream pipeline can route drops). Zero shuffle
+    // except the oracle sort; at 100 TB this runs at scan speed.
+    "l_quality_filter" -> ((s, d) => {
+      val toks = split(lower(col("text")), " ")
+      val nTok = size(toks).cast("long")
+      val meanLen = (col("n_chars") - (nTok - 1)).cast("double") / nTok.cast("double")
+      val stopHits = size(filter(toks, t =>
+        STOPWORDS.map(w => t === w).reduce(_ || _))).cast("long")
+      val stopRatio = stopHits.cast("double") / nTok.cast("double")
+      val symbols = size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)")).cast("long")
+      val symbolRatio = symbols.cast("double") / col("n_chars").cast("double")
+      val reason = when(nTok < 20, lit("too_short"))
+        .when(meanLen < 2.0 || meanLen > 12.0, lit("token_len"))
+        .when(symbolRatio > 0.2, lit("symbols"))
+        .when(stopRatio < 0.02, lit("stopwords"))
+        .otherwise(lit("ok"))
+      docs(s, d).select(col("doc_id"), col("lang"),
+          nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
+          stopRatio.as("stop_ratio"), symbolRatio.as("symbol_ratio"),
+          (reason === "ok").as("keep"), reason.as("reason"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: keep a per-language rate using a
+    // CONTENT-hash bucket (polyHash % 1000), not rand() — reproducible
+    // across engines, runs, and partitionings (rand() samples are neither
+    // oracle-checkable nor stable under retries at scale). One Project +
+    // filter at scan speed; the rates rebalance the language mix.
+    "l_sample" -> ((s, d) => {
+      val bucket = pmod(polyHash(col("text")), lit(1000L))
+      val rate = when(col("lang") === "en", lit(100L))
+        .when(col("lang") === "zh", lit(500L))
+        .otherwise(lit(250L))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < rate)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-document repetition (quality signal: boilerplate / template
+    // spam repeats its own n-grams): duplicate-shingle ratio per doc from
+    // the SAME native n-gram kernel — array ops only, NO explode and NO
+    // shuffle (the whole profile is one Project over the scan).
+    "l_repetition" -> ((s, d) => {
+      val arr = graft.functions.Generators.wordNGramArray(lower(col("text")), 3)
+      val nSh = size(arr).cast("long")
+      val nUniq = size(array_distinct(arr)).cast("long")
+      docs(s, d).select(col("doc_id"),
+          nSh.as("n_shingles"), nUniq.as("n_distinct_shingles"),
+          when(nSh === 0, lit(0.0))
+            .otherwise(lit(1.0) - nUniq.cast("double") / nSh.cast("double"))
+            .as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal column: media as an opaque binary payload + typed metadata
     // struct + mime tag; mime predicate + size accounting stay relational
     // (decode/resize are the stubbed mapPartitions path in
@@ -767,6 +825,54 @@ object LlmOps {
          |SELECT shingle, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM sh GROUP BY shingle
          |ORDER BY n DESC, shingle LIMIT 20""".stripMargin,
+
+    "l_quality_filter" -> {
+      val stopList = STOPWORDS.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, n_chars,
+         |         string_split(lower(text), ' ') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_tok_len,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / n_chars AS symbol_ratio
+         |  FROM t
+         |), r AS (
+         |  SELECT *, CASE WHEN n_tokens < 20 THEN 'too_short'
+         |                 WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 'token_len'
+         |                 WHEN symbol_ratio > 0.2 THEN 'symbols'
+         |                 WHEN stop_ratio < 0.02 THEN 'stopwords'
+         |                 ELSE 'ok' END AS reason
+         |  FROM m)
+         |SELECT doc_id, lang, n_tokens, mean_tok_len, stop_ratio, symbol_ratio,
+         |       reason = 'ok' AS keep, reason
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "l_sample" ->
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang, ${sqlPoly("text")} % 1000 AS bucket FROM documents)
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 100
+         |                    WHEN lang = 'zh' THEN 500 ELSE 250 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "l_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |         THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+         |         ELSE [] END AS arr
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(arr) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct_shingles,
+         |  CASE WHEN len(arr) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) END AS rep_ratio
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "l_multimodal" ->
       s"""SELECT doc_id,
