@@ -69,6 +69,40 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality filter: keep agrees with reason and drops exist for real rules") {
+    val rows = run("l_quality_filter").collect()
+    assert(rows.length === Tables.documents(spark, d).count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") === (r.getAs[String]("reason") == "ok"))
+      assert(Set("ok", "too_short", "token_len", "symbols", "stopwords")(r.getAs[String]("reason")))
+    }
+    val reasons = rows.map(_.getAs[String]("reason")).toSet
+    assert(reasons.contains("ok"), "filter must keep something")
+    assert(reasons.size >= 2, "filter must also drop something")
+  }
+
+  test("stratified sample is deterministic and respects per-language rates") {
+    val a = run("l_sample").collect().map(_.getLong(0)).toSeq
+    val b = run("l_sample").collect().map(_.getLong(0)).toSeq
+    assert(a === b, "content-hash sampling must be reproducible")
+    val byLang = run("l_sample").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates are 10% en / 50% zh / 25% rest; allow generous hash-binomial slack
+    assert(byLang("en").toDouble / totals("en") < 0.25)
+    assert(byLang("zh").toDouble / totals("zh") > 0.3)
+  }
+
+  test("repetition score is bounded and consistent with its counts") {
+    run("l_repetition").collect().foreach { r =>
+      val (n, u, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(u >= 1L && u <= n)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (1.0 - u.toDouble / n)) < 1e-15)
+    }
+  }
+
   test("text stats are internally consistent") {
     run("l_text_stats").collect().foreach { r =>
       val nTok = r.getAs[Long]("n_tokens")
