@@ -81,45 +81,54 @@ object LlmOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     spread(Tables.documents(s, d))
 
-  /** (doc_id, h): DISTINCT word-3-gram shingle hashes per document. The
-    * Generate (explode) fans each doc to ~|tokens| rows; the distinct is a
-    * map-side-combinable hash aggregate on (doc_id, h).
-    *
-    * PERSISTED (memory+disk, spillable): every consumer references this
-    * frame several times (both sides of a self-join + the Jaccard verify),
-    * and the alias-renamed branches are not plan-identical, so Catalyst's
-    * ReuseExchange cannot dedupe them — without the persist the corpus
-    * would be re-scanned and re-shingled up to 6× per query (the K3
-    * multi-scan disease, disqualifying at 100 TB). Spark's CacheManager
-    * keys on the analyzed plan, so repeated invocations share one entry. */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame = {
-    // native n-gram kernel + built-in explode: the Generate stays inside
-    // whole-stage codegen (the previous transform/sequence/element_at
-    // spelling walked interpreted higher-order lambdas per shingle)
+  /** Raw (doc_id, h) shingle hashes, duplicates INCLUDED — the native
+    * n-gram kernel + built-in explode keeps the Generate inside
+    * whole-stage codegen. Duplicate-insensitive consumers (MinHash mins)
+    * aggregate this directly with map-side combine, so the shuffle
+    * carries ~|docs| combined rows, not ~|shingles|. */
+  private def rawShingleHashes(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"),
         explode(graft.functions.Generators.wordNGramArray(lower(col("text")), 3)).as("sh"))
       .select(col("doc_id"), polyHash(col("sh")).as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
 
-  /** Exact Jaccard over candidate pairs: inter/union from shingle-hash sets.
+  /** (doc_id, hs): the DISTINCT shingle-hash SET per document — ONE row
+    * per doc, the hub every shingle consumer derives from.
+    *
+    * PERSISTED (memory+disk, spillable): the Jaccard verify joins it
+    * twice, sizes read it, and the row-shaped consumers re-explode it —
+    * alias-renamed branches are not plan-identical, so Catalyst's
+    * ReuseExchange cannot dedupe them; without the persist the corpus
+    * would be re-scanned and re-shingled up to 6× per query (the K3
+    * multi-scan disease, disqualifying at 100 TB). Set-shaped beats the
+    * previous row-shaped cache: same bytes, but consumers needing rows
+    * re-explode ~|docs| cached rows with NO shuffle, instead of paying
+    * their own distinct exchange over ~|shingles| rows. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    rawShingleHashes(s, d)
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, h) DISTINCT rows — re-exploded from the cached sets. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d).select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** Exact Jaccard over candidate pairs: intersect/union via codegen'd
+    * array ops on the per-doc sets — two small joins and a Project,
+    * replacing the former shingle-level join + count aggregation (two
+    * full passes over the shingle frame + an exchange, per verify).
     * `cand` must be (d1, d2) with d1 < d2. */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val s1 = sh.select(col("doc_id").as("sd1"), col("h").as("h1"))
-    val s2 = sh.select(col("doc_id").as("sd2"), col("h").as("h2"))
+  private def jaccardOf(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
-      .join(s1, col("d1") === col("sd1"))
-      .join(s2, col("d2") === col("sd2") && col("h1") === col("h2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")), col("d1") === col("zd1"))
-      .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")), col("d2") === col("zd2"))
+      .join(sets.select(col("doc_id").as("sd1"), col("hs").as("hs1")), col("d1") === col("sd1"))
+      .join(sets.select(col("doc_id").as("sd2"), col("hs").as("hs2")), col("d2") === col("sd2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("n_shared"),
+        size(col("hs1")).cast("long").as("n1"),
+        size(col("hs2")).cast("long").as("n2"))
       .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
         (col("n_shared").cast("double") /
           (col("n1") + col("n2") - col("n_shared")).cast("double")).as("jaccard"))
-  }
 
   def queries: Map[String, Q] = Map(
 
@@ -176,9 +185,12 @@ object LlmOps {
     // local; no all-pairs anywhere — the O(n²) cartesian this replaces is
     // the difference between feasible and impossible at 100 TB.
     "l_minhash_lsh" -> ((s, d) => {
+      val sets = shingleSets(s, d)
       val sh = shingleHashes(s, d)
       // persisted: the bands frame feeds BOTH sides of the candidate
-      // self-join (one small row per doc — cheap to hold)
+      // self-join (one small row per doc — cheap to hold). Min-hash is
+      // duplicate-insensitive, and sh re-explodes from the cached sets,
+      // so this is one map-side-combined aggregate over cached rows.
       val mh = sh.groupBy(col("doc_id")).agg(
         min((lit(A(0)) * col("h") + lit(B(0))) % P).as("mh0"),
         (1 until K).map(i =>
@@ -199,7 +211,7 @@ object LlmOps {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      jaccardOf(cand, sh)
+      jaccardOf(cand, sets)
         .filter(col("jaccard") >= NEAR_DUP_J)
         .orderBy(col("d1"), col("d2"))
     }),
