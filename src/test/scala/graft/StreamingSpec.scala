@@ -106,7 +106,8 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
       .start()
     def awaitCount(n: Long): Unit = {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // generous deadline: the shared box suffers multi-minute load bursts
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       while (spark.table("pt_mem").count() < n && System.nanoTime() < deadline)
         Thread.sleep(50)
       assert(spark.table("pt_mem").count() === n)
