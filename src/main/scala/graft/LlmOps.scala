@@ -113,6 +113,99 @@ object LlmOps {
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
     shingleSets(s, d).select(col("doc_id"), explode(col("hs")).as("h"))
 
+  /** (doc_id, band, bucket): the corpus LSH index — K=32 affine min-hashes
+    * folded into BANDS=8 bucket ids per doc. The signature frame beneath
+    * it is persisted (it feeds both sides of the batch candidate
+    * self-join; one small row per doc). Min-hash is duplicate-insensitive
+    * and the rows re-explode from the cached sets, so the aggregate is
+    * map-side-combined over cached rows. */
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val mh = shingleHashes(s, d).groupBy(col("doc_id")).agg(
+      min((lit(A(0)) * col("h") + lit(B(0))) % P).as("mh0"),
+      (1 until K).map(i =>
+        min((lit(A(i)) * col("h") + lit(B(i))) % P).as(s"mh$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucket(j: Int): Column =
+      (R * j + 1 until R * (j + 1)).foldLeft(col(s"mh${R * j}")) {
+        (acc, i) => (acc * M + col(s"mh$i")) % P
+      }
+    mh.select(col("doc_id"), explode(array(
+      (0 until BANDS).map(j =>
+        struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bucket"))
+  }
+
+  /** Streaming near-dup ADMISSION CONTROL — the ingest-time shape of
+    * [[queries]]' l_minhash_lsh: each incoming document is checked against
+    * the static corpus LSH index and near-dups are flagged as they
+    * arrive. The stream side computes its MinHash signature STATELESSLY
+    * per row (shingle-hash array → 32 affine mins → band buckets — array
+    * expressions over the row, no explode, no state store), so the only
+    * streaming join is stream-bands ⋈ static-bands on (band, bucket),
+    * followed by an exact-Jaccard verify against the static sets. At
+    * 100 TB the index frames are bucketed tables instead of broadcasts
+    * and the per-row signature math is unchanged — candidate work stays
+    * proportional to bucket collisions, never corpus size.
+    *
+    * Over the harness feed (the corpus streamed against its own index)
+    * every planted pair is found twice — once from each side — and
+    * orientation + distinct collapses them, so the result provably equals
+    * the batch l_minhash_lsh row and SHARES its oracle SQL. */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    // static corpus index, built batch-side once (at scale: written as
+    // bucketed tables by the ingest job)
+    val statBands = minhashBands(s, d)
+      .select(col("doc_id").as("s_id"), col("band"), col("bucket"))
+    val statSets = shingleSets(s, d)
+      .select(col("doc_id").as("s_id2"), col("hs").as("s_hs"))
+    // stream side: per-row signature from the same kernels (HOF lambdas
+    // evaluate interpreted — the price of statelessness; the hot parts,
+    // n-gram + poly-hash, remain native expressions)
+    val hs = array_distinct(transform(
+      graft.functions.Generators.wordNGramArray(lower(col("text")), 3),
+      sh => polyHash(sh)))
+    val mins = array((0 until K).map(i =>
+      array_min(transform(col("hs"), h => (lit(A(i)) * h + lit(B(i))) % P))): _*)
+    def bucket(j: Int): Column =
+      (R * j + 1 until R * (j + 1)).foldLeft(element_at(col("mins"), R * j + 1)) {
+        (acc, i) => (acc * M + element_at(col("mins"), i + 1)) % P
+      }
+    val stream = StreamingOps.readDocumentsStream(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("hs", hs).drop("text")
+      .withColumn("mins", mins)
+      .select(col("doc_id"), col("hs"), explode(array((0 until BANDS).map(j =>
+        struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("b"))
+      .select(col("doc_id"), col("hs"), col("b.band"), col("b.bucket"))
+    // band collisions can surface a candidate up to BANDS times; the
+    // verify is re-run rather than deduped in-stream (stateless — an
+    // in-stream dropDuplicates would grow keyed state unboundedly without
+    // a watermark; the terminal distinct collapses the identical rows)
+    val flagged = stream
+      .join(broadcast(statBands),
+        stream("band") === statBands("band") &&
+          stream("bucket") === statBands("bucket") &&
+          col("doc_id") =!= col("s_id"))
+      .select(col("doc_id"), col("hs"), col("s_id"))
+      .join(broadcast(statSets), col("s_id") === col("s_id2"))
+      .select(
+        least(col("doc_id"), col("s_id")).as("d1"),
+        greatest(col("doc_id"), col("s_id")).as("d2"),
+        size(array_intersect(col("hs"), col("s_hs"))).cast("long").as("n_shared"),
+        when(col("doc_id") < col("s_id"), size(col("hs"))).otherwise(size(col("s_hs")))
+          .cast("long").as("n1"),
+        when(col("doc_id") < col("s_id"), size(col("s_hs"))).otherwise(size(col("hs")))
+          .cast("long").as("n2"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n1") + col("n2") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= NEAR_DUP_J)
+    val out = StreamingOps.drainToParquet(flagged, "append")
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .distinct() // each pair surfaces from both sides' ingest
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Exact Jaccard over candidate pairs: intersect/union via codegen'd
     * array ops on the per-doc sets — two small joins and a Project,
     * replacing the former shingle-level join + count aggregation (two
@@ -185,25 +278,7 @@ object LlmOps {
     // local; no all-pairs anywhere — the O(n²) cartesian this replaces is
     // the difference between feasible and impossible at 100 TB.
     "l_minhash_lsh" -> ((s, d) => {
-      val sets = shingleSets(s, d)
-      val sh = shingleHashes(s, d)
-      // persisted: the bands frame feeds BOTH sides of the candidate
-      // self-join (one small row per doc — cheap to hold). Min-hash is
-      // duplicate-insensitive, and sh re-explodes from the cached sets,
-      // so this is one map-side-combined aggregate over cached rows.
-      val mh = sh.groupBy(col("doc_id")).agg(
-        min((lit(A(0)) * col("h") + lit(B(0))) % P).as("mh0"),
-        (1 until K).map(i =>
-          min((lit(A(i)) * col("h") + lit(B(i))) % P).as(s"mh$i")): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def bucket(j: Int): Column =
-        (R * j + 1 until R * (j + 1)).foldLeft(col(s"mh${R * j}")) {
-          (acc, i) => (acc * M + col(s"mh$i")) % P
-        }
-      val bands = mh.select(col("doc_id"), explode(array(
-        (0 until BANDS).map(j =>
-          struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.bucket"))
+      val bands = minhashBands(s, d)
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") &&
@@ -211,7 +286,7 @@ object LlmOps {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      jaccardOf(cand, sets)
+      jaccardOf(cand, shingleSets(s, d))
         .filter(col("jaccard") >= NEAR_DUP_J)
         .orderBy(col("d1"), col("d2"))
     }),

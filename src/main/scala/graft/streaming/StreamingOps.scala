@@ -111,7 +111,7 @@ object StreamingOps {
     * per-batch parquet sink (deterministic `b<batchId>` directory +
     * overwrite: a redelivered batch rewrites its own directory). Returns
     * the sink root for batch re-read. */
-  private def drainToParquet(df: DataFrame, mode: String): String = {
+  private[graft] def drainToParquet(df: DataFrame, mode: String): String = {
     val out = tmp("graft-sink-")
     df.writeStream
       .option("checkpointLocation", tmp("graft-ckpt-"))
@@ -343,6 +343,7 @@ object StreamingOps {
   def queries: Map[String, Q] = Map(
     "s_dedup" -> ((s, d) => dedup(s, d)),
     "s_doc_dedup" -> ((s, d) => docDedup(s, d)),
+    "s_neardup" -> ((s, d) => graft.LlmOps.streamNearDup(s, d)),
     "s_tumbling" -> ((s, d) => tumbling(s, d)),
     "s_sliding" -> ((s, d) => sliding(s, d)),
     "s_session" -> ((s, d) => session(s, d)),
@@ -362,6 +363,11 @@ object StreamingOps {
     "s_doc_dedup" ->
       """SELECT doc_id, sha256(lower(trim(text))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // streaming admission control provably equals the batch LSH row (each
+    // pair surfaces from both sides' ingest; orientation + distinct
+    // collapses them) — the oracle IS the batch oracle
+    "s_neardup" -> graft.LlmOps.oracles("l_minhash_lsh"),
 
     "s_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,
