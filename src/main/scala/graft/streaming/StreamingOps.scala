@@ -160,7 +160,11 @@ object StreamingOps {
     * the id — a re-crawl gets a new id, same bytes) under a watermark so
     * fingerprint state is evicted, not grown forever. Event time is a
     * deterministic ingest-time stand-in derived from doc_id (the testdata
-    * carries no document timestamp). */
+    * carries no document timestamp). Output is the surviving FINGERPRINT
+    * set: when distinct documents share content (the corpus has such
+    * pairs at sf0.1), WHICH doc survives depends on arrival order inside
+    * the micro-batch — the fingerprint is the deterministic identity;
+    * canonical-id selection is the batch l_exact_dedup row's job. */
   def docDedup(s: SparkSession, dir: String): DataFrame = {
     // anchor the synthetic ingest time well past the epoch: the initial
     // watermark is 0 (epoch), and a row whose event time coincides with
@@ -172,7 +176,7 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("fp"))
     val out = drainToParquet(feed, "append")
-    readSink(s, out).select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
+    readSink(s, out).select(col("fp")).orderBy(col("fp"))
   }
 
   /** Tumbling event-time window aggregate (§2.7 streaming windows): 1-day
@@ -361,8 +365,8 @@ object StreamingOps {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s_doc_dedup" ->
-      """SELECT doc_id, sha256(lower(trim(text))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT DISTINCT sha256(lower(trim(text))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
 
     // streaming admission control provably equals the batch LSH row (each
     // pair surfaces from both sides' ingest; orientation + distinct
