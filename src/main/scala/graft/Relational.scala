@@ -360,6 +360,27 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Approximate percentile (mergeable quantile sketch): the exact
+    // `percentile` buffers EVERY group value in the aggregation buffer —
+    // disqualifying at 100 TB — while approx_percentile keeps a bounded
+    // sketch that partial-aggregates map-side and merges. Oracle pattern
+    // as q_approx_distinct: exact quantile is the hash-checked answer, the
+    // sketch result is asserted within tolerance (a sketch value itself is
+    // engine-specific and not hash-comparable).
+    "q_approx_percentile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val approx = o.groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+             count(lit(1)).as("n"))
+      val exact = o.groupBy(col("o_orderpriority").as("prio"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50_exact"))
+      approx.join(broadcast(exact), col("o_orderpriority") === col("prio"))
+        .select(col("o_orderpriority"), col("p50_exact"), col("n"),
+          (abs(col("ap50") - col("p50_exact")) <= col("p50_exact") * 0.05)
+            .as("approx_within_5pct"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Skew-safe aggregation (SURVEY §4): the same group-by answer computed
     // through Scale.saltedAgg's two-phase (key, salt) → key plan. The
     // events table has a handful of event types over millions of rows —
@@ -601,6 +622,13 @@ object Relational {
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+        |  count(*) AS n,
+        |  TRUE AS approx_within_5pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the direct aggregate — the salted two-phase plan must match it
     "q_salted_agg" ->
