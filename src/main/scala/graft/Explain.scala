@@ -11,13 +11,15 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // flags may appear anywhere: Explain [--clear|--bench-order] <sfDir> <query...>
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val d = positional.headOption.getOrElse("/root/testdata/sf0.01")
     def once(q: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save()
       (System.nanoTime()-t0)/1e9
     }
-    if (args.length > 1 && args(1) == "--bench-order") {
+    if (flags.contains("--bench-order")) {
       for ((name, _) <- SparkEntry.queries.filterNot(_._1.startsWith("s_"))) {
         val ts = Seq.fill(4)(once(name))
         println(f"$name%-22s ${ts.map(t => f"$t%7.2f").mkString(" ")}")
@@ -25,8 +27,8 @@ object Explain {
     } else {
       // --clear: isolate each query's cost (drop persisted intermediates
       // between queries, mirroring Bench.runOnce)
-      val clear = args.contains("--clear")
-      for (q <- args.drop(1).filterNot(_.startsWith("--"))) {
+      val clear = flags.contains("--clear")
+      for (q <- positional.drop(1)) {
         println(s"===== $q =====")
         val df = SparkEntry.queries(q)(spark, d)
         df.explain("formatted")

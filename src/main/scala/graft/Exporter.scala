@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{CloudEventSink, CtsParity}
-import graft.functions.CloudEventFns
 
 /** The reference exporter's entry point re-expressed as one Spark job
   * (cmd/cts_exporter/main.go:67-208): CTS source → trace→CloudEvent
@@ -23,10 +22,23 @@ object Exporter {
 
   /** `overrides` ≙ K_CE_OVERRIDES (adapter.go:57-65,256-261): extension
     * keys merged right-biased into every delivered envelope — an existing
-    * extension key is overwritten, a new key is added. */
+    * extension key is overwritten, a new key is added.
+    *
+    * `cycle` ≙ the poll-cycle counter of the reference's ticker loop
+    * (main.go:118-150): it becomes the delivery id, so a RETRY of the same
+    * cycle replaces its previous attempt while successive cycles never
+    * collide in the sink. Callers running repeated cycles against one
+    * outDir must increment it. */
   case class Config(pages: String, outDir: String,
                     streams: Boolean = false, pushAndPull: Boolean = true,
-                    limit: Int = 50, overrides: Map[String, String] = Map.empty)
+                    limit: Int = 50, overrides: Map[String, String] = Map.empty,
+                    cycle: Long = 0L)
+
+  /** The six extension attributes the reference sets on every envelope
+    * (adapter.go:249-254) — all FLAT at the top level of the CE JSON, the
+    * layout the CE SDK's JSON event format serializes. */
+  private val baseExtensionKeys =
+    Seq("status", "code", "resourceid", "region", "domain", "tenant")
 
   private def toCloudEvents(traces: DataFrame,
                             overrides: Map[String, String]): DataFrame = {
@@ -39,15 +51,17 @@ object Exporter {
       .withColumn("region", lit("eu-de"))
       .withColumn("domain", lit("dom-0"))
       .withColumn("tenant", lit("ten-0")))
-    // the envelope's extension block: context attributes + K_CE_OVERRIDES
-    // merged right-biased (P6) — one codegen'd map expression, no UDF
-    base
-      .withColumn("extensions", CloudEventFns.mergeExtensions(
-        map(lit("region"), col("region"),
-            lit("domain"), col("domain"),
-            lit("tenant"), col("tenant")),
-        CloudEventFns.mapLit(overrides)))
-      .drop("region", "domain", "tenant")
+    // K_CE_OVERRIDES merge (adapter.go:256-261): SetExtension overwrites
+    // an existing attribute in place and adds unknown keys — flat on the
+    // envelope, never nested. The override map is driver-side config, so
+    // the merge is a pure column substitution (still one codegen Project);
+    // the map-typed merge (CloudEventFns.mergeExtensions, P6) remains the
+    // row-varying path and is oracle-checked in p_ce_payload.
+    val overridden = baseExtensionKeys.foldLeft(base) { (df, k) =>
+      overrides.get(k).fold(df)(v => df.withColumn(k, lit(v)))
+    }
+    overrides.keys.filterNot(baseExtensionKeys.contains).toSeq.sorted
+      .foldLeft(overridden)((df, k) => df.withColumn(k, lit(overrides(k))))
   }
 
   /** One poll cycle (batch) or a drain-available run (streams=true).
@@ -58,7 +72,7 @@ object Exporter {
       val traces = spark.read.format("cts")
         .option("pages", cfg.pages).option("limit", cfg.limit).load()
       val ce = toCloudEvents(traces, cfg.overrides)
-      if (cfg.pushAndPull) Some(CloudEventSink.deliver(ce, transport))
+      if (cfg.pushAndPull) Some(CloudEventSink.deliver(ce, transport, cfg.cycle))
       else { ce.write.format("noop").mode("overwrite").save(); None }
     } else {
       val traces = spark.readStream.format("cts")

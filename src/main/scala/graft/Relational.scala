@@ -407,14 +407,25 @@ object Relational {
     // scale the write is the ingest job, the join is every query after).
     // The oracle is the plain join — bucketing must not change the answer.
     "q_bucketed_join" -> ((s, d) => {
-      graft.operators.Scale.writeBucketed(
-        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_orders_b", "o_orderkey", 16)
-      graft.operators.Scale.writeBucketed(
-        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
-        "graft_lineitem_b", "l_orderkey", 16)
-      val o = s.table("graft_orders_b")
-      val l = s.table("graft_lineitem_b")
+      // ingest ONCE per (session, sf dir) — the design being measured is
+      // pay-the-exchange-at-write-time, so repeated query builds (Bench
+      // samples) must time only the shuffle-free join, not re-pay the
+      // write. The dir rides in the table name so a session that switches
+      // SF dirs never reads a stale table. Single-session assumption: the
+      // in-memory catalog + warehouse dir are not shared across sessions.
+      val tag = java.lang.Integer.toHexString(d.hashCode).replace('-', 'm')
+      val ordersTbl = s"graft_orders_b_$tag"
+      val lineitemTbl = s"graft_lineitem_b_$tag"
+      if (!s.catalog.tableExists(ordersTbl))
+        graft.operators.Scale.writeBucketed(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          ordersTbl, "o_orderkey", 16)
+      if (!s.catalog.tableExists(lineitemTbl))
+        graft.operators.Scale.writeBucketed(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+          lineitemTbl, "l_orderkey", 16)
+      val o = s.table(ordersTbl)
+      val l = s.table(lineitemTbl)
       // merge hint: at oracle/bench SF the dim side is broadcastable and
       // Catalyst would skip the bucket join; force the SMJ to exercise the
       // path that matters at 100 TB (both sides huge, neither broadcasts —

@@ -31,29 +31,64 @@ object CloudEventSink {
     * instead of duplicating it; `send` returns the ACK (F4); `close`
     * flushes. */
   trait EventTransport extends Serializable {
+    /** Driver-side hook, called once per delivery attempt BEFORE any
+      * partition task runs: an idempotent transport clears leftovers of a
+      * previous attempt of the SAME delivery here (a redelivery that plans
+      * fewer partitions must not leave the old attempt's extra part files
+      * behind). */
+    def beginDelivery(deliveryId: Long): Unit = ()
     def open(partitionId: Int, batchId: Long): Unit = ()
     def send(eventJson: String): Boolean
     def close(): Unit = ()
   }
 
   /** Offline stand-in for the HTTP POST: NDJSON in one file per
-    * (batch, partition) (K_SINK ≙ a directory). The file name is
-    * DETERMINISTIC and the open truncates, so a redelivered batch
-    * overwrites its own previous attempt — delivery-side idempotency to
-    * match the receiver's MERGE idempotency (the reference leans on Neo4j
-    * MERGE alone; an at-least-once retry there duplicates in-flight sends
-    * and relies on the receiver to collapse them). */
+    * (delivery, partition) (K_SINK ≙ a directory). The final file name is
+    * DETERMINISTIC per (deliveryId, partitionId), so a redelivery of the
+    * same delivery replaces its previous attempt — delivery-side
+    * idempotency to match the receiver's MERGE idempotency (the reference
+    * leans on Neo4j MERGE alone; an at-least-once retry there duplicates
+    * in-flight sends and relies on the receiver to collapse them).
+    *
+    * Two robustness rules (a file-commit protocol in miniature, the same
+    * shape Spark's own FileCommitProtocol uses):
+    *  - each ATTEMPT writes a unique temp file and atomically renames it
+    *    to the final name on close — two concurrent attempts of one
+    *    partition (speculation, zombie task during retry) can never
+    *    interleave bytes; last rename wins whole;
+    *  - `beginDelivery` (driver-side, before tasks launch) deletes the
+    *    delivery's previous part files, so a redelivered batch that plans
+    *    FEWER partitions leaves no stale parts from the wider attempt. */
   class NdjsonDirTransport(dir: String) extends EventTransport {
     @transient private var out: java.io.BufferedWriter = _
+    @transient private var tmp: java.nio.file.Path = _
+    @transient private var dst: java.nio.file.Path = _
+    override def beginDelivery(deliveryId: Long): Unit = {
+      val d = Paths.get(dir)
+      if (Files.isDirectory(d)) {
+        val prefix = f"part-b$deliveryId%05d-"
+        val it = Files.list(d)
+        try it.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix)) Files.deleteIfExists(p)
+        } finally it.close()
+      }
+    }
     override def open(partitionId: Int, batchId: Long): Unit = {
       Files.createDirectories(Paths.get(dir))
-      out = Files.newBufferedWriter(
-        Paths.get(dir, f"part-b$batchId%05d-p$partitionId%05d.ndjson"),
-        StandardCharsets.UTF_8,
+      dst = Paths.get(dir, f"part-b$batchId%05d-p$partitionId%05d.ndjson")
+      tmp = Files.createTempFile(Paths.get(dir), s".${dst.getFileName}.", ".tmp")
+      out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
     override def send(eventJson: String): Boolean = { out.write(eventJson); out.write("\n"); true }
-    override def close(): Unit = if (out != null) out.close()
+    override def close(): Unit = if (out != null) {
+      out.close()
+      try Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+    }
   }
 
   /** Delivery outcome — `sent` is the ACK count the reference returns from
@@ -66,14 +101,18 @@ object CloudEventSink {
 
   /** K1 — batch delivery with per-event error isolation. A transport
     * failure marks the event failed and moves on; the job never dies for
-    * one bad event (C4). `deliveryId` identifies the batch for transport
-    * idempotency — a rerun of the same logical batch with the same id
-    * replaces its previous attempt. */
+    * one bad event (C4). `deliveryId` identifies the LOGICAL batch for
+    * transport idempotency — a rerun with the SAME id replaces its
+    * previous attempt; distinct deliveries (successive poll cycles,
+    * main.go:118-150) MUST carry distinct ids or they overwrite each
+    * other, which is why there is no default: the caller owns the cycle
+    * counter. */
   def deliver(ce: DataFrame, transport: EventTransport,
-              deliveryId: Long = 0L): Delivery = {
+              deliveryId: Long): Delivery = {
     val sc = ce.sparkSession.sparkContext
     val sent = sc.longAccumulator("ce_sent")
     val failed = sc.longAccumulator("ce_failed")
+    transport.beginDelivery(deliveryId)
     toEnvelope(ce).foreachPartition { (rows: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       transport.open(pid, deliveryId)
@@ -106,6 +145,7 @@ object CloudEventSink {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        transport.beginDelivery(batchId) // foreachBatch body runs driver-side
         batch.foreachPartition { (rows: Iterator[Row]) =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
           transport.open(pid, batchId)

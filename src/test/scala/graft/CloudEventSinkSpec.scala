@@ -31,7 +31,7 @@ class CloudEventSinkSpec extends AnyFunSuite {
   test("K1 batch delivery counts ACKs and isolates per-event failures") {
     val events = ce().cache()
     val n = events.count()
-    val d = CloudEventSink.deliver(events, new FlakyTransport)
+    val d = CloudEventSink.deliver(events, new FlakyTransport, deliveryId = 0L)
     assert(d.sent + d.failed === n, "every event must be accounted exactly once")
     assert(d.failed > 0, "flaky transport must produce failures")
     assert(d.sent > d.failed, "most deliveries succeed")
@@ -42,7 +42,8 @@ class CloudEventSinkSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("ce-sink-").toString
     val events = ce()
     val n = events.count()
-    val d = CloudEventSink.deliver(events, new CloudEventSink.NdjsonDirTransport(out))
+    val d = CloudEventSink.deliver(events, new CloudEventSink.NdjsonDirTransport(out),
+      deliveryId = 0L)
     assert(d === CloudEventSink.Delivery(n, 0))
     val lines = Files.list(Paths.get(out)).iterator().asScala
       .filter(_.toString.endsWith(".ndjson"))
@@ -66,6 +67,40 @@ class CloudEventSinkSpec extends AnyFunSuite {
       .filter(_.toString.endsWith(".ndjson"))
       .flatMap(p => Files.readAllLines(p).asScala).toVector
     assert(lines.size.toLong === n, "redelivered batch must replace its previous attempt")
+  }
+
+  test("K1 successive DISTINCT deliveries accumulate — no silent overwrite") {
+    val out = Files.createTempDirectory("ce-sink-cycles-").toString
+    val events = ce().cache()
+    val n = events.count()
+    val t = new CloudEventSink.NdjsonDirTransport(out)
+    // two poll cycles of the reference ticker loop (main.go:118-150) into
+    // one sink dir: distinct delivery ids must keep both batches
+    CloudEventSink.deliver(events, t, deliveryId = 0L)
+    CloudEventSink.deliver(events, t, deliveryId = 1L)
+    events.unpersist()
+    val lines = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.toString.endsWith(".ndjson"))
+      .flatMap(p => Files.readAllLines(p).asScala).toVector
+    assert(lines.size.toLong === 2 * n, "distinct deliveries must not collide")
+  }
+
+  test("K1 narrower redelivery leaves no stale part files or temp files") {
+    val out = Files.createTempDirectory("ce-sink-narrow-").toString
+    val events = ce().cache()
+    val n = events.count()
+    val t = new CloudEventSink.NdjsonDirTransport(out)
+    // first attempt fans out over 8 partitions, the retry over 2: the
+    // 6 extra part files of attempt 1 must be cleared by beginDelivery
+    CloudEventSink.deliver(events.repartition(8), t, deliveryId = 3L)
+    CloudEventSink.deliver(events.repartition(2), t, deliveryId = 3L)
+    events.unpersist()
+    val files = Files.list(Paths.get(out)).iterator().asScala.toVector
+    val parts = files.filter(_.toString.endsWith(".ndjson"))
+    assert(parts.size === 2, "only the retry's partitions may remain")
+    assert(!files.exists(_.toString.endsWith(".tmp")), "temp files are renamed away")
+    val lines = parts.flatMap(p => Files.readAllLines(p).asScala)
+    assert(lines.size.toLong === n, "no events duplicated by the stale wide attempt")
   }
 
   test("K2 streaming delivery ships the same events as batch (at-least-once)") {

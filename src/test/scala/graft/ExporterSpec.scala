@@ -48,17 +48,25 @@ class ExporterSpec extends AnyFunSuite {
     assert(ls.forall(_.contains(""""subject":"vm-""")))
   }
 
-  test("K_CE_OVERRIDES: extension overrides merge right-biased into envelopes") {
+  test("K_CE_OVERRIDES: extension overrides merge flat into envelopes") {
     val out = Files.createTempDirectory("exporter-out-").toString
     val d = Exporter.run(spark, Exporter.Config(fixtures().toString, out,
-      overrides = Map("region" -> "eu-nl", "specversion" -> "1.0")))
+      overrides = Map("region" -> "eu-nl", "status" -> "audited",
+                      "specversion" -> "1.0")))
     assert(d === Some(graft.operators.CloudEventSink.Delivery(5, 0)))
     val ls = lines(out)
     assert(ls.size === 5)
-    // existing extension key overwritten, new key added, untouched key kept
+    // existing extension keys overwritten IN PLACE (adapter.go:249-261 sets
+    // status/code/resourceid/region/domain/tenant as flat CE attributes and
+    // SetExtension replaces them), new key added, untouched key kept
     assert(ls.forall(_.contains(""""region":"eu-nl"""")), "override wins over context value")
+    assert(ls.forall(_.contains(""""status":"audited"""")), "base attribute overridable")
+    assert(ls.forall(!_.contains(""""status":"normal"""")), "no second conflicting value")
     assert(ls.forall(_.contains(""""specversion":"1.0"""")), "new override key appears")
     assert(ls.forall(_.contains(""""tenant":"ten-0"""")), "non-overridden key survives")
+    assert(ls.forall(!_.contains(""""extensions"""")),
+      "extensions are flat on the envelope, matching the CE JSON format")
+    assert(ls.forall(_.contains(""""resourceid":"r""")), "all six base attrs present")
   }
 
   test("pull-only toggle (C5) runs the pipeline without a delivery stage") {
