@@ -82,6 +82,33 @@ object Analytic {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
+    }),
+
+    // Batch sessionization: split each user's event stream into sessions at
+    // inactivity gaps > 8 h, then aggregate per session — the batch twin of
+    // the streaming session_window row (s_session). Classic two-window
+    // shape: ONE hash exchange on user_id serves both the gap-detection
+    // window and the running-sum window (same partitioning+ordering), then
+    // the per-session aggregate reuses it too (partial agg within the
+    // already-partitioned data; keys are (user_id, session_idx) which is a
+    // refinement of user_id partitioning — AQE sees no new exchange).
+    // Per-user state is bounded by that user's events, never global.
+    "w_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapUs = 8L * 3600 * 1000000 // 8 h in microseconds, exact longs
+      val prevUs = lag(unix_micros(col("ts")), 1).over(w)
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(prevUs.isNull || unix_micros(col("ts")) - prevUs > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
     })
   )
 
@@ -125,6 +152,25 @@ object Analytic {
         |JOIN (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id
         | AND p.p_ts > c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 5 MINUTE
-        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "w_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       sum(value) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
   )
 }

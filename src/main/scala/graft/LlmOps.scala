@@ -55,6 +55,10 @@ object LlmOps {
   private val NGRAM_DF_CAP_MIN = 8L
   private val NGRAM_DF_CAP_FRAC = 0.001
 
+  /** BM25 query terms, in the FIXED order both engines fold per-term score
+    * contributions (cross-engine-deterministic double addition). */
+  private val BM25_TERMS = Seq("spark", "join", "stream")
+
   // ---------------------------------------------------------------- Spark
 
   /** Polynomial rolling hash — the native codegen expression
@@ -619,6 +623,106 @@ object LlmOps {
           col("media.meta.height").as("height"),
           col("media.meta.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup CLUSTER formation — the step between pair detection and
+    // actually deduplicating a corpus: connected components over the
+    // verified near-dup pair graph (A~B, B~C ⇒ {A,B,C} one cluster, keep
+    // one representative). Iterative min-label propagation: each pass is
+    // one hash-shuffle join on the vertex id (the standard distributed CC
+    // shape; converges in O(cluster diameter) passes, and near-dup
+    // clusters are shallow — chains longer than a handful of hops mean
+    // the threshold is wrong, not the algorithm). The expensive part —
+    // the LSH pipeline producing the pairs — runs ONCE and is persisted;
+    // the loop only touches the tiny pair/label frames. Docs in no pair
+    // are singletons and excluded by construction. At 100 TB the label
+    // frame is (doc_id, label) longs — the documents never enter the
+    // loop.
+    "l_dedup_clusters" -> ((s, d) => {
+      val bands = minhashBands(s, d)
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val pairs = jaccardOf(cand, shingleSets(s, d))
+        .filter(col("jaccard") >= NEAR_DUP_J)
+        .select(col("d1"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      var labels = edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 25) {
+        val prop = edges.join(labels, col("src") === col("v"))
+          .select(col("dst").as("v"), col("label"))
+        val next = labels.unionAll(prop)
+          .groupBy(col("v")).agg(min(col("label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      val sized = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("label").as("sz_label"), col("n_members"))
+      labels
+        .join(sized, col("label") === col("sz_label"))
+        .select(col("label").as("cluster_id"), col("v").as("doc_id"),
+          col("n_members"), (col("v") === col("label")).as("keep"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+
+    // BM25 keyword search top-10 (Robertson k1=1.2, b=0.75) — the lexical
+    // retrieval half of a training-data pipeline (quality-by-relevance
+    // filters, eval-set decontamination lookups). Scale shape: tokens are
+    // filtered to the query terms BEFORE the shuffle, so the tf aggregate
+    // moves only matching (doc, term) rows — never the corpus; df and the
+    // (n_docs, avgdl) stats are scalar-sized frames joined by broadcast;
+    // the final top-10 is a TakeOrderedAndProject, not a global sort. The
+    // per-doc score folds term contributions in FIXED term order (pivot
+    // style) so the double addition order is engine-independent — the
+    // same cross-engine-determinism discipline as the hash kernels.
+    "l_bm25" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val dl = toks
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // persisted: df derives from tf — without the persist the whole
+      // tokenize+explode pipeline (a corpus scan) would run twice
+      val tf = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+        .filter(col("tok").isin(BM25_TERMS: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val contrib = tf
+        .join(broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("tok"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("c"))
+      contrib.groupBy(col("doc_id"))
+        .agg(
+          BM25_TERMS.map(t =>
+              coalesce(max(when(col("tok") === t, col("c"))), lit(0.0)))
+            .reduce(_ + _).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score"))
     })
   )
 
@@ -972,6 +1076,69 @@ object LlmOps {
          |  n_chars * 40 AS duration_ms
          |FROM documents
          |WHERE doc_id % 3 <> 2
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // connected components as a recursive transitive closure (tiny pair
+    // graph) — min reachable id per vertex ≙ the Spark label propagation
+    "l_dedup_clusters" -> {
+      val withRec = shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$withRec, $minhashCandCte,
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS n_shared
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
+         |  GROUP BY c.d1, c.d2),
+         |pairs AS (
+         |  SELECT i.d1, i.d2
+         |  FROM inter i
+         |  JOIN sizes s1 ON s1.doc_id = i.d1
+         |  JOIN sizes s2 ON s2.doc_id = i.d2
+         |  WHERE CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) >= $NEAR_DUP_J),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS r FROM edges
+         |  UNION
+         |  SELECT re.v, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+         |labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |sized AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |          FROM labels GROUP BY cluster_id)
+         |SELECT l.cluster_id, l.doc_id, z.n_members, l.doc_id = l.cluster_id AS keep
+         |FROM labels l JOIN sized z ON z.cluster_id = l.cluster_id
+         |ORDER BY l.cluster_id, l.doc_id""".stripMargin
+    },
+
+    // BM25: identical arithmetic, identical FIXED-order per-term fold
+    "l_bm25" -> {
+      val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+      val foldSql = BM25_TERMS
+        .map(t => s"coalesce(max(CASE WHEN tok = '$t' THEN c END), 0.0)")
+        .mkString("\n  + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+         |), tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+         |  WHERE tok IN ($termList) GROUP BY doc_id, tok
+         |), df AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+         |), contrib AS (
+         |  SELECT t.doc_id, t.tok,
+         |    ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+         |      (t.tf * 2.2) /
+         |      (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS c
+         |  FROM tf t JOIN df f ON f.tok = t.tok
+         |  JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN stats s)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  $foldSql AS score
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    }
   )
 }

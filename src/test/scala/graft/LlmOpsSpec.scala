@@ -116,4 +116,47 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("quality") > 0.0 && r.getAs[Double]("quality") <= 1.0)
     }
   }
+
+  test("dedup clusters: transitive closure of the near-dup pairs, one keeper each") {
+    val pairs = run("l_minhash_lsh").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = run("l_dedup_clusters").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getBoolean(3))) // doc -> (cluster, n, keep)
+    val label = clusters.map { case (doc, c, _, _) => doc -> c }.toMap
+    // every paired doc is clustered, and both ends share a label
+    pairs.foreach { case (a, b) =>
+      assert(label.contains(a) && label.contains(b), s"pair ($a,$b) unclustered")
+      assert(label(a) === label(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are canonical: cluster id is the min member, exactly one keep
+    // per cluster, n_members consistent
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).min === c, s"cluster $c not labelled by min member")
+      assert(members.count(_._4) === 1, s"cluster $c keeper count != 1")
+      assert(members.forall(_._3 === members.length.toLong), s"cluster $c bad n_members")
+      assert(members.length >= 2, s"cluster $c is a singleton — pairs can't produce those")
+    }
+    // only paired docs appear
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.map(_._1).toSet === paired, "cluster membership must equal paired docs")
+  }
+
+  test("bm25: scores positive, descending, and only for docs containing a term") {
+    val rows = run("l_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 10)
+    assert(rows.map(_._3).sliding(2).forall(w => w.head >= w.last), "scores descend")
+    assert(rows.forall(_._3 > 0.0), "BM25 scores of matching docs are positive")
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 3), "n_terms within query size")
+    // every returned doc really contains at least one query term
+    val ids = rows.map(_._1)
+    val hits = Tables.documents(spark, d)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"),
+        (lower(col("text")).contains("spark") ||
+          lower(col("text")).contains("join") ||
+          lower(col("text")).contains("stream")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ids.forall(hits(_)), "top-10 docs must contain a query term")
+  }
 }
