@@ -109,6 +109,24 @@ object Analytic {
           max(col("ts")).as("session_end"),
           sum(col("value")).as("sum_value"))
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Time-based RANGE frame: per event, activity over the trailing hour —
+    // the sliding-aggregate semantics a ROWS frame can't express (frame
+    // membership depends on timestamps, not row counts). Ordered by epoch
+    // micros (exact longs) so the frame bound is numeric on both engines.
+    // Same single exchange on user_id as every other per-user window;
+    // per-row frame state is bounded by the hour's events, never the
+    // partition.
+    "w_rolling_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("tus", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value")).over(w).as("sum_1h"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -171,6 +189,15 @@ object Analytic {
         |       min(ts) AS session_start, max(ts) AS session_end,
         |       sum(value) AS sum_value
         |FROM s GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "w_rolling_range" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_1h,
+        |  sum(value) OVER w AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }
