@@ -74,6 +74,29 @@ object Scale {
       .drop(saltCol)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each (sized from the CURRENT on-disk footprint, so
+    * compression ratio carries over). Streaming sinks and incremental
+    * ingest accrete small files; at 100 TB the resulting file-listing and
+    * per-file open costs dominate scan setup, and a periodic compaction
+    * pass is table maintenance, not an optimization. Uses a ROUND-ROBIN
+    * repartition (pure size balancing, no key assumption); callers that
+    * want co-location compact through `writeBucketed` instead. Writes to
+    * `outDir` (a compacted copy), never in place — the swap is the
+    * caller's atomic-rename concern. Returns the file count written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              outDir: String, targetBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(path).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(onDisk.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    fs.listStatus(out).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Co-located join via bucketing: write both sides bucketed+sorted on
     * the join key so the join needs NO shuffle at read time (the classic
     * pre-shuffle trade: pay the exchange once at write, never again). */

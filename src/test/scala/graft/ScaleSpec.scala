@@ -75,6 +75,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(replicated.count() === 0L)
   }
 
+  test("compact rewrites a fragmented directory into size-targeted files") {
+    val frag = java.nio.file.Files.createTempDirectory("frag-").toString
+    val out = java.nio.file.Files.createTempDirectory("compacted-").toString
+    // fragment: 64 tiny files, the streaming-sink accretion shape
+    Tables.events(spark, d).repartition(64).write.mode("overwrite").parquet(frag)
+    val fragFiles = new java.io.File(frag).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(fragFiles === 64)
+    val onDisk = new java.io.File(frag).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = Scale.compact(spark, frag, out, targetBytes = onDisk / 4)
+    assert(n >= 4 && n <= 6, s"expected ~4 compacted files, got $n")
+    // content survives byte-for-byte (same rows, nothing dropped)
+    assert(spark.read.parquet(out).count() === Tables.events(spark, d).count())
+    val sumOut = spark.read.parquet(out).agg(sum(col("value"))).head.getDouble(0)
+    val sumIn = Tables.events(spark, d).agg(sum(col("value"))).head.getDouble(0)
+    assert(math.abs(sumOut - sumIn) < 1e-6, "compaction must preserve content")
+  }
+
   test("date-partitioned writes prune partitions at the scan") {
     val out = java.nio.file.Files.createTempDirectory("events-part-").toString
     Tables.events(spark, d)
