@@ -756,6 +756,52 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence PACKING — assign documents to fixed-capacity training bins
+    // (the pretraining step that turns a doc soup into ~equal-token
+    // sequences). Globally-greedy packing is inherently sequential; the
+    // scalable spelling shards the corpus into hash buckets and fills
+    // each bucket's bins sequentially by doc order — a running-total
+    // window per bucket, all integer math. Buckets pack independently
+    // (perfect parallelism); the ~1-doc-per-bin tail waste amortizes to
+    // nothing at corpus scale. Bin id = tokens BEFORE the doc / capacity
+    // (docs may straddle a boundary — the downstream splitter owns the
+    // cut, the pack op owns placement).
+    "l_pack" -> ((s, d) => {
+      val cap = 256L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(col("doc_id"),
+          pmod(polyHash(col("text")), lit(8L)).as("bucket"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("bucket"),
+          (col("tokens_before") / cap).cast("long").as("bin"),
+          col("n_tokens"), col("tokens_before"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Context-window CHUNKING — split each document into fixed-length
+    // overlapping token windows (64-token chunks, stride 48): the RAG /
+    // long-doc-training shape. Pure per-row explode of a generated
+    // start-offset sequence + array slice — scan speed, fan-out bounded
+    // by n_tokens/stride, no shuffle but the oracle sort.
+    "l_chunk" -> ((s, d) => {
+      val chunkLen = 64
+      val stride = 48L
+      docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"),
+          explode(sequence(lit(1L), size(col("w")).cast("long"), lit(stride))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / stride).cast("long").as("chunk_no"),
+          col("start"),
+          least(lit(chunkLen.toLong), col("n") - col("start") + 1).as("n_chunk_tokens"),
+          element_at(col("w"), col("start").cast("int")).as("first_tok"))
+        .orderBy(col("doc_id"), col("chunk_no"))
+    }),
+
     // Multimodal frame sampling — the video half of the decode pipeline
     // (operators/Multimodal handles codec I/O): one frame row every 5 s
     // of media time, fan-out bounded by duration/step (a 2 h video at
@@ -1214,6 +1260,31 @@ object LlmOps {
          |SELECT doc_id, CAST(count(DISTINCT g.h) AS BIGINT) AS n_overlap
          |FROM g JOIN bench USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "l_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${sqlPoly("text")} % 8 AS bucket,
+         |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |  FROM t)
+         |SELECT doc_id, bucket, tokens_before // 256 AS bin, n_tokens, tokens_before
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "l_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        |    unnest(generate_series(1, CAST(len(w) AS BIGINT), 48)) AS start
+        |  FROM t)
+        |SELECT doc_id, (start - 1) // 48 AS chunk_no, start,
+        |  least(64, n - start + 1) AS n_chunk_tokens,
+        |  w[CAST(start AS INTEGER)] AS first_tok
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
 
     "l_frame_sample" ->
       """SELECT doc_id,

@@ -141,6 +141,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clusters.map(_._1).toSet === paired, "cluster membership must equal paired docs")
   }
 
+  test("pack: bins fill sequentially per bucket, every doc placed exactly once") {
+    val rows = run("l_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.length === rows.length, "each doc placed once")
+    rows.groupBy(_._2).foreach { case (bucket, docs) =>
+      val ordered = docs.sortBy(_._1)
+      // running total consistency: tokens_before = sum of earlier docs
+      ordered.foldLeft(0L) { case (acc, (id, _, bin, n, before)) =>
+        assert(before === acc, s"doc $id in bucket $bucket: bad running total")
+        assert(bin === before / 256, s"doc $id: bin must be tokens_before / cap")
+        acc + n
+      }
+      // bins are contiguous from 0 within the bucket
+      val bins = ordered.map(_._3)
+      assert(bins.head === 0L)
+      assert(bins.sliding(2).forall(w => w.last - w.head <= math.max(1,
+        (ordered.map(_._4).max / 256) + 1)), "bins advance without wild jumps")
+    }
+  }
+
+  test("chunk: strided windows cover every token of every doc") {
+    val chunks = run("l_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTokens = run("l_text_stats").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"))).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._2) === (0L until ordered.length).toArray.toSeq,
+        s"doc $doc chunk numbering")
+      ordered.foreach { case (_, cno, start, n) =>
+        assert(start === cno * 48 + 1, "stride-48 starts")
+        assert(n >= 1 && n <= 64, "chunk length within window")
+      }
+      // last chunk reaches the final token
+      val (_, _, lastStart, lastN) = ordered.last
+      assert(lastStart + lastN - 1 === nTokens(doc), s"doc $doc tail covered")
+    }
+  }
+
   test("bm25: scores positive, descending, and only for docs containing a term") {
     val rows = run("l_bm25").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
