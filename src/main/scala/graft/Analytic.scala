@@ -111,6 +111,39 @@ object Analytic {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Time-series RESAMPLE: regularize each user's event stream onto a
+    // daily grid (explode of a per-user date sequence — fan-out bounded by
+    // the user's active span), left-join actual daily totals, and
+    // forward-fill gaps with the last observed value (last(ignoreNulls)
+    // over an ordered frame). The daily pre-aggregate shrinks the corpus
+    // to |users|×|days| BEFORE the grid join, so the expensive part
+    // happens on the reduced frame; one exchange on user_id serves the
+    // span aggregate, the grid join, and the fill window.
+    "w_resample" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("day_value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+      val obs = daily.select(col("user_id").as("o_user"),
+        col("day").as("o_day"), col("n"), col("day_value"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs,
+          grid("user_id") === col("o_user") && grid("day") === col("o_day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"), col("day_value"))
+        .withColumn("filled_value",
+          last(col("day_value"), ignoreNulls = true).over(w))
+        // DATE → midnight TIMESTAMP at the output seam only (the compare
+        // harness normalizes datetimelike columns, not raw date32)
+        .withColumn("day", col("day").cast("timestamp"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // Time-based RANGE frame: per event, activity over the trailing hour —
     // the sliding-aggregate semantics a ROWS frame can't express (frame
     // membership depends on timestamps, not row counts). Ordered by epoch
@@ -190,6 +223,26 @@ object Analytic {
         |       sum(value) AS sum_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "w_resample" ->
+      """WITH d0 AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n, sum(value) AS day_value
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |), grid AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |                                     CAST(hi AS TIMESTAMP),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d0 GROUP BY user_id)
+        |), j AS (
+        |  SELECT g.user_id, g.day, d.n, d.day_value
+        |  FROM grid g LEFT JOIN d0 d ON d.user_id = g.user_id AND d.day = g.day)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        |  coalesce(n, 0) AS n_events, day_value,
+        |  last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled_value
+        |FROM j ORDER BY user_id, day""".stripMargin,
 
     "w_rolling_range" ->
       """SELECT event_id, user_id, ts,

@@ -70,7 +70,8 @@ object CloudEventSink {
         val it = Files.list(d)
         try it.iterator().forEachRemaining { p =>
           val n = p.getFileName.toString
-          if (n.startsWith(prefix)) Files.deleteIfExists(p)
+          // also sweep temp files a crashed attempt left behind (".<part>.…tmp")
+          if (n.startsWith(prefix) || n.startsWith(s".$prefix")) Files.deleteIfExists(p)
         } finally it.close()
       }
     }
