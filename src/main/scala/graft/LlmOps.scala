@@ -227,6 +227,75 @@ object LlmOps {
         (col("n_shared").cast("double") /
           (col("n1") + col("n2") - col("n_shared")).cast("double")).as("jaccard"))
 
+  /** The C4/Gopher-style quality rule cascade as a pure Project over
+    * (doc_id, lang, text, n_chars) rows — STATELESS, so the same plan
+    * serves the batch row (`l_quality_filter`) and the ingest-time
+    * streaming admission gate (`s_quality`): a quality gate at 100 TB
+    * runs at scan speed wherever the documents enter. Emits keep + the
+    * first failing reason per doc. */
+  private[graft] def qualityProjection(df: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val nTok = size(toks).cast("long")
+    val meanLen = (col("n_chars") - (nTok - 1)).cast("double") / nTok.cast("double")
+    val stopHits = size(filter(toks, t =>
+      STOPWORDS.map(w => t === w).reduce(_ || _))).cast("long")
+    val stopRatio = stopHits.cast("double") / nTok.cast("double")
+    val symbols = size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)")).cast("long")
+    val symbolRatio = symbols.cast("double") / col("n_chars").cast("double")
+    val reason = when(nTok < 20, lit("too_short"))
+      .when(meanLen < 2.0 || meanLen > 12.0, lit("token_len"))
+      .when(symbolRatio > 0.2, lit("symbols"))
+      .when(stopRatio < 0.02, lit("stopwords"))
+      .otherwise(lit("ok"))
+    df.select(col("doc_id"), col("lang"),
+      nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
+      stopRatio.as("stop_ratio"), symbolRatio.as("symbol_ratio"),
+      (reason === "ok").as("keep"), reason.as("reason"))
+  }
+
+  /** (v, label) connected-component labels over the verified near-dup
+    * pair graph — iterative min-label propagation (see l_dedup_clusters
+    * doc for the scale argument). The LSH pair pipeline runs once and is
+    * persisted; the loop touches only (doc_id, label) longs. */
+  private def dedupLabels(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(s, d)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val pairs = jaccardOf(cand, shingleSets(s, d))
+      .filter(col("jaccard") >= NEAR_DUP_J)
+      .select(col("d1"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // seed labels with min(self, neighbors) — one aggregate, and the
+    // dominant cluster shape (disjoint pairs) is already converged, so
+    // the loop usually runs its single verification pass and stops
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("v"), least(col("src"), col("mn")).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 25) {
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    labels
+  }
+
   def queries: Map[String, Q] = Map(
 
     // Exact dedup: normalize → content hash → group. The corpus has no
@@ -549,26 +618,8 @@ object LlmOps {
     // filter-free output (keep AND the first failing reason are both
     // emitted, so the downstream pipeline can route drops). Zero shuffle
     // except the oracle sort; at 100 TB this runs at scan speed.
-    "l_quality_filter" -> ((s, d) => {
-      val toks = split(lower(col("text")), " ")
-      val nTok = size(toks).cast("long")
-      val meanLen = (col("n_chars") - (nTok - 1)).cast("double") / nTok.cast("double")
-      val stopHits = size(filter(toks, t =>
-        STOPWORDS.map(w => t === w).reduce(_ || _))).cast("long")
-      val stopRatio = stopHits.cast("double") / nTok.cast("double")
-      val symbols = size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)")).cast("long")
-      val symbolRatio = symbols.cast("double") / col("n_chars").cast("double")
-      val reason = when(nTok < 20, lit("too_short"))
-        .when(meanLen < 2.0 || meanLen > 12.0, lit("token_len"))
-        .when(symbolRatio > 0.2, lit("symbols"))
-        .when(stopRatio < 0.02, lit("stopwords"))
-        .otherwise(lit("ok"))
-      docs(s, d).select(col("doc_id"), col("lang"),
-          nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
-          stopRatio.as("stop_ratio"), symbolRatio.as("symbol_ratio"),
-          (reason === "ok").as("keep"), reason.as("reason"))
-        .orderBy(col("doc_id"))
-    }),
+    "l_quality_filter" -> ((s, d) =>
+      qualityProjection(docs(s, d)).orderBy(col("doc_id"))),
 
     // Deterministic stratified sampling: keep a per-language rate using a
     // CONTENT-hash bucket (polyHash % 1000), not rand() — reproducible
@@ -639,41 +690,7 @@ object LlmOps {
     // frame is (doc_id, label) longs — the documents never enter the
     // loop.
     "l_dedup_clusters" -> ((s, d) => {
-      val bands = minhashBands(s, d)
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      val pairs = jaccardOf(cand, shingleSets(s, d))
-        .filter(col("jaccard") >= NEAR_DUP_J)
-        .select(col("d1"), col("d2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      // seed labels with min(self, neighbors) — one aggregate, and the
-      // dominant cluster shape (disjoint pairs) is already converged, so
-      // the loop usually runs its single verification pass and stops
-      var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-        .select(col("src").as("v"), least(col("src"), col("mn")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 25) {
-        val prop = edges.join(labels, col("src") === col("v"))
-          .select(col("dst").as("v"), col("label"))
-        val next = labels.unionAll(prop)
-          .groupBy(col("v")).agg(min(col("label")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.as("n")
-          .join(labels.as("o"), col("n.v") === col("o.v"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        labels.unpersist()
-        labels = next
-        iters += 1
-      }
+      val labels = dedupLabels(s, d)
       val sized = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"))
         .select(col("label").as("sz_label"), col("n_members"))
@@ -682,6 +699,25 @@ object LlmOps {
         .select(col("label").as("cluster_id"), col("v").as("doc_id"),
           col("n_members"), (col("v") === col("label")).as("keep"))
         .orderBy(col("cluster_id"), col("doc_id"))
+    }),
+
+    // The dedup DECISION applied to the whole corpus — the row a cleaning
+    // job actually materializes: every document with its keep verdict and
+    // cluster assignment (null = no near-dup). Kept = unpaired, or the
+    // cluster representative (min id). One broadcast-able left join of the
+    // tiny label frame against the corpus; the corpus itself never enters
+    // the clustering loop.
+    "l_dedup_apply" -> ((s, d) => {
+      val labels = dedupLabels(s, d)
+        .select(col("v"), col("label").as("cluster_id"))
+      docs(s, d).select(col("doc_id"))
+        .join(broadcast(labels), col("doc_id") === col("v"), "left")
+        .select(col("doc_id"),
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id")).as("keep"),
+          when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            lit("near_dup")).otherwise(lit("ok")).as("reason"),
+          col("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // BM25 keyword search top-10 (Robertson k1=1.2, b=0.75) — the lexical
@@ -843,6 +879,33 @@ object LlmOps {
        |                             for i in range(1, len(w) - 1)]) AS s
        |      FROM toks WHERE len(w) >= 3))
        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Shared recursive connected-components chain, ending at
+    * `labels(doc_id, cluster_id)` — the oracle twin of [[dedupLabels]]. */
+  private def clusterLabelsCte: String = {
+    val withRec = shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$withRec, $minhashCandCte,
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS n_shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
+       |  GROUP BY c.d1, c.d2),
+       |pairs AS (
+       |  SELECT i.d1, i.d2
+       |  FROM inter i
+       |  JOIN sizes s1 ON s1.doc_id = i.d1
+       |  JOIN sizes s2 ON s2.doc_id = i.d2
+       |  WHERE CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) >= $NEAR_DUP_J),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS v, src AS r FROM edges
+       |  UNION
+       |  SELECT re.v, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+       |labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+  }
 
   private def jaccardSql(candCte: String): String =
     s"""$shingleCte, $candCte,
@@ -1180,35 +1243,23 @@ object LlmOps {
 
     // connected components as a recursive transitive closure (tiny pair
     // graph) — min reachable id per vertex ≙ the Spark label propagation
-    "l_dedup_clusters" -> {
-      val withRec = shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
-      s"""$withRec, $minhashCandCte,
-         |inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS n_shared
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.d1
-         |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
-         |  GROUP BY c.d1, c.d2),
-         |pairs AS (
-         |  SELECT i.d1, i.d2
-         |  FROM inter i
-         |  JOIN sizes s1 ON s1.doc_id = i.d1
-         |  JOIN sizes s2 ON s2.doc_id = i.d2
-         |  WHERE CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) >= $NEAR_DUP_J),
-         |edges AS (
-         |  SELECT d1 AS src, d2 AS dst FROM pairs
-         |  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
-         |reach AS (
-         |  SELECT src AS v, src AS r FROM edges
-         |  UNION
-         |  SELECT re.v, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
-         |labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    "l_dedup_clusters" ->
+      s"""$clusterLabelsCte,
          |sized AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
          |          FROM labels GROUP BY cluster_id)
          |SELECT l.cluster_id, l.doc_id, z.n_members, l.doc_id = l.cluster_id AS keep
          |FROM labels l JOIN sized z ON z.cluster_id = l.cluster_id
-         |ORDER BY l.cluster_id, l.doc_id""".stripMargin
-    },
+         |ORDER BY l.cluster_id, l.doc_id""".stripMargin,
+
+    "l_dedup_apply" ->
+      s"""$clusterLabelsCte
+         |SELECT d.doc_id,
+         |  (l.cluster_id IS NULL OR l.cluster_id = d.doc_id) AS keep,
+         |  CASE WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id
+         |       THEN 'near_dup' ELSE 'ok' END AS reason,
+         |  l.cluster_id
+         |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // BM25: identical arithmetic, identical FIXED-order per-term fold
     "l_bm25" -> {

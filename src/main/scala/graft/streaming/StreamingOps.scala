@@ -348,6 +348,16 @@ object StreamingOps {
     "s_dedup" -> ((s, d) => dedup(s, d)),
     "s_doc_dedup" -> ((s, d) => docDedup(s, d)),
     "s_neardup" -> ((s, d) => graft.LlmOps.streamNearDup(s, d)),
+    // Streaming QUALITY-FILTER admission: the stateless rule cascade
+    // (LlmOps.qualityProjection) bound to the document stream — an
+    // ingest-time gate needs no state store, so the streaming plan IS the
+    // batch plan; provably so, since the row shares the batch oracle.
+    "s_quality" -> ((s, d) => {
+      val scored = graft.LlmOps.qualityProjection(readDocumentsStream(s, d))
+      val out = drainToParquet(scored, "append")
+      s.read.option("recursiveFileLookup", "true").parquet(out)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    }),
     "s_tumbling" -> ((s, d) => tumbling(s, d)),
     "s_sliding" -> ((s, d) => sliding(s, d)),
     "s_session" -> ((s, d) => session(s, d)),
@@ -372,6 +382,7 @@ object StreamingOps {
     // pair surfaces from both sides' ingest; orientation + distinct
     // collapses them) — the oracle IS the batch oracle
     "s_neardup" -> graft.LlmOps.oracles("l_minhash_lsh"),
+    "s_quality" -> graft.LlmOps.oracles("l_quality_filter"),
 
     "s_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,
