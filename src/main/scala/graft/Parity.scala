@@ -81,7 +81,17 @@ object Parity {
     // K3 — graph edge table, unique on (rel, src_key, dst_key).
     "k3_graph_edges" -> ((s, d) =>
       CtsParity.edges(ce(s, d))
-        .orderBy(col("rel"), col("src_key"), col("dst_key")))
+        .orderBy(col("rel"), col("src_key"), col("dst_key"))),
+
+    // Graph centrality over the provenance graph — fixed-point integer
+    // PageRank (see CtsParity.pageRank for the determinism + scale story).
+    // Top-20 is a TakeOrderedAndProject, not a global sort.
+    "k3_pagerank" -> ((s, d) =>
+      CtsParity.pageRank(CtsParity.edges(ce(s, d)), iters = 10)
+        .orderBy(col("pr_fixed").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("pr_fixed"),
+          (col("pr_fixed").cast("double") / lit(1.0e9)).as("pr")))
   )
 
   /** The events→trace mapping (CtsParity.eventsAsTraces) replayed in ANSI
@@ -167,6 +177,41 @@ object Parity {
         |SELECT kind, key, min(node_ts) AS node_ts, min(node_source) AS node_source,
         |       min(node_type) AS node_type
         |FROM nodes GROUP BY kind, key ORDER BY kind, key""".stripMargin),
+
+    // PageRank replayed iteration-by-iteration: the recursion is unrolled
+    // into r0..r10 CTEs (no reliance on DuckDB's recursive-CTE aggregate
+    // semantics). All arithmetic is the same fixed-point integer math as
+    // the Spark plan — integer sums are order-independent, so the two
+    // engines agree bit-for-bit with no float-fold discipline needed.
+    "k3_pagerank" -> {
+      val iterCtes = (1 to 10).map { i =>
+        s"""r$i AS (
+           |  SELECT v.node,
+           |    CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr_fixed
+           |  FROM verts v LEFT JOIN (
+           |    SELECT l.dst AS node, CAST(sum(r.pr_fixed // l.outdeg) AS BIGINT) AS m
+           |    FROM lnk l JOIN r${i - 1} r ON r.node = l.src GROUP BY l.dst) s
+           |  ON s.node = v.node)""".stripMargin
+      }.mkString(",\n")
+      traceCte + s"""
+        |, links AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'ACTION|' || id AS src, 'RESOURCE|' || resourceid AS dst FROM ce
+        |    UNION ALL SELECT 'TENANT|' || tenant || '|' || "domain", 'REGION|' || region FROM ce
+        |    UNION ALL SELECT 'RESOURCE|' || resourceid, 'TENANT|' || tenant || '|' || "domain" FROM ce
+        |    UNION ALL SELECT 'ACTION|' || id, 'STATUS|' || status FROM ce
+        |    UNION ALL SELECT 'ACTION|' || id, 'SUBJECT|' || subject FROM ce)
+        |), outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |              FROM links GROUP BY src),
+        |lnk AS (SELECT l.src, l.dst, o.outdeg
+        |        FROM links l JOIN outdeg o ON o.src = l.src),
+        |verts AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM links UNION ALL SELECT dst AS node FROM links)),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_fixed FROM verts),
+        |$iterCtes
+        |SELECT node, pr_fixed, CAST(pr_fixed AS DOUBLE) / 1000000000.0 AS pr
+        |FROM r10 ORDER BY pr_fixed DESC, node LIMIT 20""".stripMargin
+    },
 
     "k3_graph_edges" -> (traceCte +
       """

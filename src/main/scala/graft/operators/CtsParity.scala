@@ -91,6 +91,56 @@ object CtsParity {
       .distinct()
   }
 
+  /** PageRank over the provenance graph — "which resources / tenants /
+    * subjects sit at the center of the audit graph", the centrality question
+    * the reference's Neo4j sink exists to let an operator eyeball
+    * (README.md:39-48). Damping 0.85, fixed `iters` power iterations,
+    * dangling mass not redistributed (the classic simplified formulation:
+    * pr = 0.15 + 0.85 * Σ pr(in)/outdeg(in)).
+    *
+    * Determinism: all arithmetic is FIXED-POINT INTEGER (rank scaled by
+    * 1e9). Float summation is not associative, so a float PageRank's result
+    * depends on shuffle-partition reduce order — unreproducible across runs
+    * and engines. Integer sums are exact and order-independent, so this
+    * plan is bit-identical run-to-run and replayable in the DuckDB oracle
+    * with no fold-order gymnastics. The quantization error (≤1e-9 per edge
+    * per iteration) is orders below anything a ranking consumer can see.
+    *
+    * Scale shape: each iteration is ONE hash-shuffle join (links ⋈ ranks on
+    * src) + ONE hash aggregate on dst + a left join back to the vertex
+    * frame — the standard distributed power-iteration layout. `links`
+    * (with outdegree pre-attached) and `verts` are persisted ONCE and
+    * reused by every iteration; the loop's working set is (node, rank)
+    * longs, never the event feed. Iteration count is fixed (no convergence
+    * count() actions), so the whole run is a single job when the final
+    * action fires.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val links = edges.select(
+        concat_ws("|", col("src_kind"), col("src_key")).as("src"),
+        concat_ws("|", col("dst_kind"), col("dst_key")).as("dst"))
+      .distinct()
+    val outdeg = links.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val lnk = links.join(outdeg, "src").persist(MEMORY_AND_DISK)
+    val verts = links.select(col("src").as("node"))
+      .unionAll(links.select(col("dst").as("node")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var ranks = verts.select(col("node"), lit(1000000000L).as("pr_fixed"))
+    for (_ <- 1 to iters) {
+      val contribs = lnk.join(ranks, lnk("src") === ranks("node"))
+        .select(lnk("dst"), expr("pr_fixed div outdeg").as("contrib"))
+      val sums = contribs.groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("m"))
+      ranks = verts.join(sums, verts("node") === sums("dst"), "left")
+        .select(verts("node"),
+          expr("CAST(150000000 + (85 * coalesce(m, 0L)) div 100 AS BIGINT)")
+            .as("pr_fixed"))
+    }
+    ranks
+  }
+
   /** Graph edge table — 5 relations (neo4j/client.go:15-20), unique on
     * (rel, src_key, dst_key). Same single-scan explode shape as `nodes`. */
   def edges(ce: DataFrame): DataFrame = {

@@ -80,4 +80,26 @@ class ParityPropsSpec extends AnyFunSuite {
     assert(dstDangling === 0L, "dangling edge destinations")
     ce.unpersist(); nodes.unpersist(); edges.unpersist()
   }
+
+  private def edgeDf(pairs: (String, String)*) =
+    pairs.map { case (a, b) => ("E", "N", a, "N", b) }
+      .toDF("rel", "src_kind", "src_key", "dst_kind", "dst_key")
+
+  test("pageRank: 2-cycle conserves mass exactly; star concentrates on the hub") {
+    // A↔B: every node's rank is a fixed point at exactly 1.0 (scaled 1e9):
+    // 150e6 + (85 * 1e9) div 100 = 1e9. Integer arithmetic makes this an
+    // EXACT assertion — a float implementation could only assert ±eps.
+    val cyc = CtsParity.pageRank(edgeDf("a" -> "b", "b" -> "a"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cyc === Map("N|a" -> 1000000000L, "N|b" -> 1000000000L))
+
+    // 3 leaves → hub (hub dangling): leaves get no in-mass (150e6); hub
+    // stabilizes at 150e6 + (85 * 3*150e6) div 100 = 532.5e6 from iter 2 on.
+    val star = CtsParity.pageRank(
+      edgeDf("l1" -> "hub", "l2" -> "hub", "l3" -> "hub"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(star("N|hub") === 532500000L)
+    assert(star("N|l1") === 150000000L && star("N|l2") === 150000000L &&
+      star("N|l3") === 150000000L)
+  }
 }
