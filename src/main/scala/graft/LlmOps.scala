@@ -561,6 +561,72 @@ object LlmOps {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // K-means codebook TRAINING (Lloyd) — the trainer that produces the
+    // codebook an IVF index (l_ivf_ann) consumes. Shape is exactly
+    // distributed k-means at scale: the K×D codebook (kilobytes) lives on
+    // the driver, each iteration broadcasts it as literals into ONE
+    // map-side assignment pass over the corpus (no join, no shuffle of
+    // vectors), and the centroid update is a posexplode + hash aggregate
+    // on (cid, dim) — partial-combined map-side, so the shuffle carries
+    // K×D partial sums per task, never vectors. The 3 driver round-trips
+    // (collect of 8×64 longs) are the broadcast-codebook pattern, NOT a
+    // data loop.
+    //
+    // Determinism: embeddings are quantized to OFFSET-SHIFTED fixed-point
+    // integers (floor(c·1e6) + 2^20 > 0). Integer sums are reduce-order-
+    // independent (float k-means is not reproducible run-to-run on a
+    // cluster!), and keeping every value positive makes the mean's
+    // integer division identical under floor (DuckDB //) and
+    // truncate-toward-zero (Spark div) semantics. Seeds = vectors with
+    // vec_id 0..7; ties on distance break to the smaller cid via struct
+    // ordering — same total order the oracle's (dist, cid) sort uses.
+    "l_kmeans" -> ((s, d) => {
+      val OFF = 1048576L
+      val qv = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            c => floor(c.cast("double") * lit(1000000.0)) + lit(OFF)).as("qe"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def assign(cents: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
+        val best = least(cents.map { case (cid, ctr) =>
+          struct(
+            aggregate(
+              zip_with(col("qe"), array(ctr.map(lit): _*), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v).as("dist"),
+            lit(cid).as("cid"))
+        }: _*)
+        qv.select(col("vec_id"), col("qe"),
+          best.getField("cid").as("cid"), best.getField("dist").as("dist"))
+      }
+      var cents: Seq[(Long, IndexedSeq[Long])] = qv.filter(col("vec_id") < 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1).toSeq
+      require(cents.length == 8,
+        s"l_kmeans: expected seed vec_ids 0..7 in the corpus, found ${cents.length}")
+      for (_ <- 1 to 3) {
+        val upd = assign(cents)
+          .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "comp")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(expr("CAST(sum(comp) div count(1) AS BIGINT)").as("m"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+        cents = cents.map { case (cid, old) =>
+          if (upd.contains((cid, 0)))
+            (cid, IndexedSeq.tabulate(old.length)(i => upd((cid, i))))
+          else (cid, old) // empty cluster keeps its centroid
+        }
+      }
+      val centMap = map(cents.flatMap { case (cid, arr) =>
+        Seq(lit(cid), lit(arr.map(_ - OFF).sum)) }: _*)
+      assign(cents)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+        .select(col("cid"), col("n_members"), col("inertia"),
+          element_at(centMap, col("cid")).as("centroid_sum"))
+        .orderBy(col("cid"))
+    }),
+
     // Embedding-cosine near-dup: multi-TABLE sign-LSH (4 tables × 2
     // hyperplanes). One k-bit table has recall p^k at similarity p; L
     // independent tables lift it to 1-(1-p^k)^L ≈ 0.9 for cos 0.5 here —
@@ -1134,6 +1200,45 @@ object LlmOps {
          |)
          |SELECT q_id, rank, neighbor_id, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // Lloyd iterations unrolled as CTE rounds; identical offset-shifted
+    // fixed-point integer arithmetic (see the query's comment), so both
+    // engines agree bit-for-bit — no float-reduce-order caveats.
+    "l_kmeans" -> {
+      def round(i: Int) =
+        s"""d$i AS (
+           |  SELECT q.vec_id, c.cid,
+           |         CAST(sum((q.comp - c.comp)*(q.comp - c.comp)) AS BIGINT) AS dist
+           |  FROM q JOIN c${i - 1} c ON c.dim = q.dim GROUP BY q.vec_id, c.cid),
+           |a$i AS (
+           |  SELECT vec_id, cid, dist FROM (
+           |    SELECT vec_id, cid, dist,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d$i) WHERE rn = 1)""".stripMargin
+      def update(i: Int) =
+        s"""c$i AS (
+           |  SELECT o.cid, o.dim, coalesce(n.comp, o.comp) AS comp
+           |  FROM c${i - 1} o LEFT JOIN (
+           |    SELECT a.cid, q.dim,
+           |           CAST(sum(q.comp) AS BIGINT) // CAST(count(*) AS BIGINT) AS comp
+           |    FROM a$i a JOIN q ON q.vec_id = a.vec_id
+           |    GROUP BY a.cid, q.dim) n ON n.cid = o.cid AND n.dim = o.dim)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+         |           + 1048576 AS comp
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, dim, comp FROM q WHERE vec_id < 8),
+         |${round(1)}, ${update(1)},
+         |${round(2)}, ${update(2)},
+         |${round(3)}, ${update(3)},
+         |${round(4)}
+         |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(a.dist) AS BIGINT) AS inertia, s.centroid_sum
+         |FROM a4 a JOIN (SELECT cid, CAST(sum(comp - 1048576) AS BIGINT) AS centroid_sum
+         |                FROM c3 GROUP BY cid) s ON s.cid = a.cid
+         |GROUP BY a.cid, s.centroid_sum ORDER BY a.cid""".stripMargin
     },
 
     "l_embed_neardup" -> {

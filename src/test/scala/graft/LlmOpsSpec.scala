@@ -198,4 +198,18 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(ids.forall(hits(_)), "top-10 docs must contain a query term")
   }
+
+  test("kmeans: full coverage, deterministic rerun, and k respected") {
+    val out = run("l_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.embeddings(spark, d).count()
+    assert(out.map(_._2).sum === n, "every vector assigned to exactly one cluster")
+    assert(out.length <= 8 && out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length, "cluster ids unique")
+    assert(out.forall(_._3 >= 0L), "inertia non-negative")
+    // integer arithmetic ⇒ bit-identical rerun (float k-means cannot claim this)
+    val again = run("l_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === again.toSeq)
+  }
 }
