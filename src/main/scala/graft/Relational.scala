@@ -444,6 +444,46 @@ object Relational {
     // answer. (At this SF Catalyst would broadcast the dim and no skew
     // exists — the row proves answer-equality of the rewrite, the shape
     // it rewrites FOR is the 100 TB fact⋈fact case AQE can't always fix.)
+    // Bloom semi-join reduction: lineitem is pruned map-side against a
+    // bloom sketch of the (selective) supplier key set before the join;
+    // false positives die in the join, so the answer is hash-identical
+    // to the plain-join oracle (Scale.bloomPrune for the 100 TB story).
+    "q_bloom_join" -> ((s, d) => {
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey"), col("s_name"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val pruned = graft.operators.Scale.bloomPrune(
+        fact, col("l_suppkey"), dim, col("s_suppkey"), expectedItems = 1000L)
+      pruned.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Z-order (Morton) clustering key: the interleave arithmetic behind
+    // Scale.writeZOrdered, surfaced as an oracle row (per z-prefix bucket:
+    // row count + z extent). Stats ride a broadcast one-row frame — the
+    // plan is scan → project → hash agg, no collect. The file-skipping
+    // payoff of the layout itself is proven in ScaleSpec (footer min/max
+    // pruning vs a linear sort), which an engine-vs-engine value compare
+    // can't express.
+    "q_zorder" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("value"))
+      val st = e.agg(min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
+        min(col("value")).as("mnv"), max(col("value")).as("mxv"))
+      val z = graft.operators.Scale.zValue(Seq(
+        (col("user_id"), col("mnu"), col("mxu")),
+        (col("value"), col("mnv"), col("mxv"))), bits = 16)
+      e.crossJoin(broadcast(st))
+        .select(z.as("z"))
+        .groupBy(shiftright(col("z"), 24).as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy(col("z_bucket"))
+    }),
+
     "q_salted_join" -> ((s, d) => {
       val joined = graft.operators.Scale.saltedJoin(
         Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity")),
@@ -675,6 +715,34 @@ object Relational {
     "q_salted_join" ->
       """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT s_suppkey, s_name, count(*) AS n,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+
+    // the same 16-bit min-max normalize + bit interleave, spelled in SQL;
+    // the single multiply-then-divide per column is IEEE-bit-stable
+    "q_zorder" -> {
+      val interleave = (0 until 16).flatMap(i => Seq(
+          s"(((su >> $i) & 1) << ${2 * i})",
+          s"(((sv >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""WITH st AS (
+         |  SELECT CAST(min(user_id) AS DOUBLE) AS mnu, CAST(max(user_id) AS DOUBLE) AS mxu,
+         |         CAST(min(value) AS DOUBLE) AS mnv, CAST(max(value) AS DOUBLE) AS mxv
+         |  FROM events),
+         |sc AS (
+         |  SELECT CAST(trunc((CAST(user_id AS DOUBLE) - mnu) * 65535.0 / (mxu - mnu)) AS BIGINT) AS su,
+         |         CAST(trunc((CAST(value AS DOUBLE) - mnv) * 65535.0 / (mxv - mnv)) AS BIGINT) AS sv
+         |  FROM events, st),
+         |z AS (SELECT $interleave AS z FROM sc)
+         |SELECT z >> 24 AS z_bucket, count(*) AS n,
+         |       min(z) AS z_min, max(z) AS z_max
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+    }
   )
 }

@@ -74,6 +74,101 @@ object Scale {
       .drop(saltCol)
   }
 
+  /** Bloom-filter semi-join reduction: prune the FACT side down to rows
+    * whose key *might* appear in `dim` BEFORE any exchange, using a
+    * compact bloom sketch of the dim key set. The classic distributed
+    * pattern for a dim that is too big to broadcast as rows but whose KEY
+    * SET fits a few megabytes of bits: build the sketch with one
+    * distributed aggregate over dim, broadcast it, and filter the fact
+    * scan map-side. False positives (rate `fpp`) survive the filter and
+    * are eliminated by the real join that follows — the final answer is
+    * exactly the plain join's; false negatives cannot occur. At 100 TB
+    * this turns "shuffle every fact row" into "shuffle the ~matching
+    * fraction", which is the difference between a job that runs and one
+    * that doesn't when the join is selective. (Spark's AQE injects the
+    * same trick as a runtime filter for some plans; this is the explicit
+    * spelling that composes with any downstream operator.)
+    *
+    * Long-typed keys only — the sketch hashes raw longs, so no row
+    * serialization rides the broadcast. Returns the pruned fact frame;
+    * the caller owns the join itself.
+    */
+  def bloomPrune(fact: DataFrame, factKey: Column,
+                 dim: DataFrame, dimKey: Column,
+                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    // one distributed pass over dim: per-partition inserts, tree-merged
+    // sketches (built on the public sketch API — DataFrameStatFunctions
+    // .bloomFilter NPEs on an empty dim, and empty must mean "prune all",
+    // not crash)
+    val bf = dim.select(dimKey.cast("long"))
+      .na.drop()
+      .rdd.map(_.getLong(0))
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (f, k) => { f.putLong(k); f },
+        (a, b) => a.mergeInPlace(b))
+    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) =>
+      k != null && bcast.value.mightContainLong(k))
+    fact.filter(might(factKey.cast("long")))
+  }
+
+  /** Morton (z-order) key over `cols`: each column is min-max normalized
+    * to a `bits`-wide integer, then the bits are interleaved (column j
+    * owns bit positions i·n+j). Rows close in z are close in EVERY
+    * participating dimension, so sorting a table by z clusters it for
+    * multi-column range predicates at once — the layout trick behind
+    * Delta/Iceberg OPTIMIZE ZORDER. A plain sort clusters only its
+    * leading column; parquet min/max file skipping on the second column
+    * degenerates to "every file overlaps". min/max come in as Columns so
+    * callers can feed either literals (write path) or a broadcast stats
+    * row (pure-plan path). All integer ops after one normalize
+    * multiply+divide per column — codegen-friendly, no UDF.
+    *
+    * Caveat: min-max coding assumes roughly uniform columns. A heavily
+    * skewed column squashes most of its mass into a few codes and the
+    * clustering (not correctness) degrades — pre-transform such columns
+    * (log, rank/ntile) before z-ordering, which is what production
+    * OPTIMIZE ZORDER implementations do with range-ID coding. */
+  def zValue(cols: Seq[(Column, Column, Column)], bits: Int): Column = {
+    val n = cols.size
+    val k = lit(((1L << bits) - 1).toDouble)
+    val scaled = cols.map { case (c, mn, mx) =>
+      val range = mx.cast("double") - mn.cast("double")
+      when(range === 0.0, lit(0L))
+        .otherwise(((c.cast("double") - mn.cast("double")) * k / range).cast("long"))
+    }
+    (for { i <- 0 until bits; j <- 0 until n } yield
+      shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` as `nFiles` parquet files range-partitioned and sorted
+    * by the z-order key of `cols` (computed from one min/max stats pass,
+    * inlined as literals). The z key is layout-only — dropped before the
+    * write, so the schema is unchanged. Pay-once-at-write, like
+    * `writeBucketed`: every later scan with range predicates on ANY
+    * prefix-free combination of `cols` skips most files on footer
+    * min/max stats. */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], outDir: String,
+                    nFiles: Int, bits: Int = 16): Unit = {
+    val stats = df.agg(
+      min(col(cols.head)).cast("double").as("mn0"),
+      (cols.indices.map(j => max(col(cols(j))).cast("double").as(s"mx$j")) ++
+        cols.indices.drop(1).map(j => min(col(cols(j))).cast("double").as(s"mn$j"))): _*)
+      .collect()(0)
+    val z = zValue(cols.indices.map { j =>
+      (col(cols(j)), lit(stats.getAs[Double](s"mn$j")), lit(stats.getAs[Double](s"mx$j")))
+    }, bits)
+    val taken = df.columns.toSet
+    val zc = Iterator.iterate("__z")(_ + "_").dropWhile(taken.contains).next()
+    df.withColumn(zc, z)
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into files of
     * ~`targetBytes` each (sized from the CURRENT on-disk footprint, so
     * compression ratio carries over). Streaming sinks and incremental

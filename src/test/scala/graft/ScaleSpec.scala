@@ -75,6 +75,75 @@ class ScaleSpec extends AnyFunSuite {
     assert(replicated.count() === 0L)
   }
 
+  test("bloomPrune keeps every true match, drops most non-matches, and preserves the join answer") {
+    val fact = Tables.lineitem(spark, d)
+      .select(col("l_suppkey"), col("l_quantity"))
+    val dim = Tables.supplier(spark, d)
+      .filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey"))
+    val pruned = Scale.bloomPrune(fact, col("l_suppkey"),
+      dim, col("s_suppkey"), expectedItems = 1000L)
+    val dimKeys = dim.collect().map(_.getLong(0)).toSet
+    val total = fact.count()
+    val trueMatches = fact.filter(col("l_suppkey").isin(dimKeys.toSeq: _*)).count()
+    val kept = pruned.count()
+    // no false negatives; pruning actually bites (fpp=1% of non-matches)
+    assert(kept >= trueMatches, "bloom filter dropped a true match")
+    assert(kept < total / 2, s"bloom pruned too little: $kept of $total")
+    // the join answer is exactly the plain join's
+    val direct = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val viaBloom = pruned.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(viaBloom === direct)
+  }
+
+  test("z-order layout skips files on the SECOND dimension where a linear sort cannot") {
+    import spark.implicits._
+    // uniform 100×100 grid: min-max bit codes spread evenly, so file
+    // extents reflect the LAYOUT, not the data distribution (on skewed
+    // columns min-max z-order degrades — see Scale.zValue doc)
+    val e = (0 until 10000)
+      .map(i => ((i % 100).toLong, (i / 100).toDouble))
+      .toDF("user_id", "value")
+    val zdir = java.nio.file.Files.createTempDirectory("zord-").toString
+    val ldir = java.nio.file.Files.createTempDirectory("linear-").toString
+    Scale.writeZOrdered(e, Seq("user_id", "value"), zdir, nFiles = 16)
+    e.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(ldir)
+
+    // per-file [min,max] extent of a column = what parquet footer pruning
+    // sees; a file can be skipped for [lo,hi] iff its extent misses it
+    def overlapping(dir: String, c: String, lo: Double, hi: Double): (Int, Int) = {
+      val fs = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+      val n = fs.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).collect()(0)
+        r.getDouble(0) <= hi && r.getDouble(1) >= lo
+      }
+      (n, fs.length)
+    }
+    val st = e.agg(min(col("value")).cast("double"), max(col("value")).cast("double"),
+      min(col("user_id")).cast("double"), max(col("user_id")).cast("double")).collect()(0)
+    val (vLo, vHi) = (st.getDouble(0), st.getDouble(0) + 0.05 * (st.getDouble(1) - st.getDouble(0)))
+    val (uLo, uHi) = (st.getDouble(2), st.getDouble(2) + 0.05 * (st.getDouble(3) - st.getDouble(2)))
+
+    // narrow band on the SECOND dim: linear-by-user_id layout overlaps
+    // (nearly) everywhere; z-order confines it to a minority of files
+    val (zv, zn) = overlapping(zdir, "value", vLo, vHi)
+    val (lv, ln) = overlapping(ldir, "value", vLo, vHi)
+    assert(lv >= ln - 1, "linear layout should be useless for the second dim")
+    assert(zv < lv && zv <= zn / 2, s"z-order should skip most files: $zv of $zn overlap")
+    // the FIRST dim still prunes under z-order (weaker than a pure sort, but real)
+    val (zu, _) = overlapping(zdir, "user_id", uLo, uHi)
+    assert(zu < zn, "z-order should skip at least some files on dim 1")
+    // layout only — content unchanged
+    assert(spark.read.parquet(zdir).count() === e.count())
+  }
+
   test("compact rewrites a fragmented directory into size-targeted files") {
     val frag = java.nio.file.Files.createTempDirectory("frag-").toString
     val out = java.nio.file.Files.createTempDirectory("compacted-").toString
