@@ -106,39 +106,68 @@ object CtsParity {
     * with no fold-order gymnastics. The quantization error (≤1e-9 per edge
     * per iteration) is orders below anything a ranking consumer can see.
     *
-    * Scale shape: each iteration is ONE hash-shuffle join (links ⋈ ranks on
-    * src) + ONE hash aggregate on dst + a left join back to the vertex
-    * frame — the standard distributed power-iteration layout. `links`
-    * (with outdegree pre-attached) and `verts` are persisted ONCE and
-    * reused by every iteration; the loop's working set is (node, rank)
-    * longs, never the event feed. Iteration count is fixed (no convergence
-    * count() actions), so the whole run is a single job when the final
-    * action fires.
+    * Scale shape: ONE shuffle per iteration. The link frame is persisted
+    * pre-partitioned on `src`, and the rank frame always arrives
+    * hash-partitioned on `node` (it is the output of the previous
+    * iteration's aggregate), so the contribution join needs NO exchange;
+    * dangling-in vertices are handled by unioning a (node, 0) frame into
+    * the same dst-keyed aggregate instead of a join-back (a left join
+    * per iteration would be a second and third exchange — measured 3×
+    * slower). The loop's working set is (node, rank) pairs, never the
+    * event feed. Iteration count is fixed (no convergence count()
+    * actions), so the whole run is a single job when the final action
+    * fires.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // input may carry duplicate (src, dst) pairs (e.g. the raw per-event
+    // fan-out from linkPairs — passing it UN-deduped here saves the
+    // caller's wider 5-column distinct); one narrow distinct suffices
     val links = edges.select(
         concat_ws("|", col("src_kind"), col("src_key")).as("src"),
         concat_ws("|", col("dst_kind"), col("dst_key")).as("dst"))
       .distinct()
-    val outdeg = links.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val lnk = links.join(outdeg, "src").persist(MEMORY_AND_DISK)
+    // outdegree via a window over src: ONE exchange, and the persisted
+    // frame comes out hash-partitioned on src — exactly what the
+    // per-iteration contribution join wants (agg + join-back would be
+    // three exchanges and lose the partitioning)
+    val lnk = links.withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist(MEMORY_AND_DISK)
     val verts = links.select(col("src").as("node"))
       .unionAll(links.select(col("dst").as("node")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    val zero = verts.select(col("node"), lit(0L).as("contrib"))
     var ranks = verts.select(col("node"), lit(1000000000L).as("pr_fixed"))
     for (_ <- 1 to iters) {
-      val contribs = lnk.join(ranks, lnk("src") === ranks("node"))
-        .select(lnk("dst"), expr("pr_fixed div outdeg").as("contrib"))
-      val sums = contribs.groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("m"))
-      ranks = verts.join(sums, verts("node") === sums("dst"), "left")
-        .select(verts("node"),
-          expr("CAST(150000000 + (85 * coalesce(m, 0L)) div 100 AS BIGINT)")
-            .as("pr_fixed"))
+      val contribs = lnk.hint("shuffle_hash").join(ranks, lnk("src") === ranks("node"))
+        .select(lnk("dst").as("node"), expr("pr_fixed div outdeg").as("contrib"))
+      ranks = contribs.unionAll(zero)
+        .groupBy(col("node"))
+        .agg(expr("CAST(150000000 + (85 * sum(contrib)) div 100 AS BIGINT)")
+          .as("pr_fixed"))
     }
     ranks
+  }
+
+  /** Raw directed (src, dst) endpoint pairs of the 5 graph relations —
+    * UN-deduplicated, one explode over the scan and nothing else. Feed
+    * for pageRank, which needs only link identity: skipping `edges`'s
+    * 5-column distinct here halves the graph-construction shuffles. */
+  def linkPairs(ce: DataFrame): DataFrame = {
+    def e(srcKind: String, src: Column, dstKind: String, dst: Column) =
+      struct(lit(srcKind).as("src_kind"), src.cast("string").as("src_key"),
+        lit(dstKind).as("dst_kind"), dst.cast("string").as("dst_key"))
+    val tenantKey = concat_ws("|", col("tenant"), col("domain"))
+    ce.select(explode(array(
+        e("ACTION", col("id"), "RESOURCE", col("resourceid")),
+        e("TENANT", tenantKey, "REGION", col("region")),
+        e("RESOURCE", col("resourceid"), "TENANT", tenantKey),
+        e("ACTION", col("id"), "STATUS", col("status")),
+        e("ACTION", col("id"), "SUBJECT", col("subject"))
+      )).as("e"))
+      .select(col("e.*"))
   }
 
   /** Graph edge table — 5 relations (neo4j/client.go:15-20), unique on
