@@ -151,6 +151,31 @@ object Analytic {
     // Same single exchange on user_id as every other per-user window;
     // per-row frame state is bounded by the hour's events, never the
     // partition.
+    // CDC changelog apply — the MERGE-materialization every lakehouse
+    // ingest job runs: the event feed read as a keyed changelog (signup =
+    // INSERT, value<5 = DELETE tombstone, else UPDATE), applied
+    // last-writer-wins per key. One hash exchange on the key; the two
+    // window passes (latest-row pick + change count) share it. Tombstoned
+    // keys drop out of the materialized state, exactly like a Delta/
+    // Iceberg MERGE ... WHEN MATCHED AND op='D' THEN DELETE.
+    "w_cdc_apply" -> ((s, d) => {
+      val log = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("value") < 5, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      val wLatest = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      log.withColumn("rn", row_number().over(wLatest))
+        .withColumn("n_changes",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("op").as("last_op"),
+          col("value").as("last_value"), col("ts").as("last_ts"),
+          col("n_changes"))
+        .orderBy(col("user_id"))
+    }),
+
     "w_rolling_range" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("tus"))
         .rangeBetween(-3600L * 1000000L, 0L)
@@ -164,6 +189,21 @@ object Analytic {
   )
 
   def oracles: Map[String, String] = Map(
+    "w_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN value < 5 THEN 'D' ELSE 'U' END AS op
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        |  FROM log
+        |)
+        |SELECT user_id, op AS last_op, value AS last_value, ts AS last_ts, n_changes
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+
     "w_window_funcs" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
         |  row_number() OVER w_seq AS seq,

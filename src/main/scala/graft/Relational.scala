@@ -463,6 +463,39 @@ object Relational {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Data-quality constraint audit — the admission gate a pipeline runs
+    // before trusting an ingest batch: null-key, duplicate-key, value-
+    // range and referential-integrity violation COUNTS in one pass. The
+    // row-local checks ride a single aggregate over the scan (conditional
+    // sums — no per-check jobs); the FK check is one left-anti join
+    // against the (broadcastable) key side. The clean testdata is salted
+    // with deterministic planted violations so the audit demonstrably
+    // catches each class.
+    "q_quality_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val mutated = o.select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(1000)) === 7, lit(null).cast("long"))
+            .when(pmod(col("o_orderkey"), lit(1000)) === 13, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          col("o_totalprice"))
+        .unionAll(o.filter(col("o_orderkey") < 100))
+      val rowLocal = mutated.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkey"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpositive_price"))
+      val fk = mutated.filter(col("o_custkey").isNotNull)
+        .join(Tables.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      rowLocal.selectExpr(
+          "stack(3, 'null_custkey', null_custkey, 'dup_orderkey', dup_orderkey, " +
+            "'nonpositive_price', nonpositive_price) AS (check_name, n_bad)")
+        .unionAll(fk.select(lit("fk_orphan_custkey").as("check_name"),
+          col("n").as("n_bad")))
+        .orderBy(col("check_name"))
+    }),
+
     // Z-order (Morton) clustering key: the interleave arithmetic behind
     // Scale.writeZOrdered, surfaced as an oracle row (per z-prefix bucket:
     // row count + z extent). Stats ride a broadcast one-row frame — the
@@ -723,6 +756,34 @@ object Relational {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey = 3
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+
+    "q_quality_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |), m AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+        |         WHEN o_orderkey % 1000 = 13 THEN o_custkey + 10000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    o_totalprice
+        |  FROM o
+        |  UNION ALL SELECT * FROM o WHERE o_orderkey < 100
+        |), rl AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price
+        |  FROM m
+        |), fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM m
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |)
+        |SELECT 'dup_orderkey' AS check_name, dup_orderkey AS n_bad FROM rl
+        |UNION ALL SELECT 'fk_orphan_custkey', n FROM fk
+        |UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM rl
+        |UNION ALL SELECT 'null_custkey', null_custkey FROM rl
+        |ORDER BY check_name""".stripMargin,
 
     // the same 16-bit min-max normalize + bit interleave, spelled in SQL;
     // the single multiply-then-divide per column is IEEE-bit-stable
