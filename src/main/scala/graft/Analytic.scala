@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
 object Analytic {
   import SparkEntry.Q
 
+  /** CDC op derivation (signup = INSERT, value<5 = DELETE tombstone, else
+    * UPDATE) — shared by the batch apply row and the streaming
+    * incremental-MERGE materialization so the two provably agree. */
+  private[graft] def cdcOp: org.apache.spark.sql.Column =
+    when(col("event_type") === "signup", lit("I"))
+      .when(col("value") < 5, lit("D"))
+      .otherwise(lit("U"))
+
   def queries: Map[String, Q] = Map(
     // row_number / rank / lag / lead / running sum (ROWS frame — explicit,
     // because the default RANGE frame treats date ties differently).
@@ -160,10 +168,7 @@ object Analytic {
     // Iceberg MERGE ... WHEN MATCHED AND op='D' THEN DELETE.
     "w_cdc_apply" -> ((s, d) => {
       val log = Tables.events(s, d).select(
-        col("user_id"), col("ts"), col("event_id"), col("value"),
-        when(col("event_type") === "signup", lit("I"))
-          .when(col("value") < 5, lit("D"))
-          .otherwise(lit("U")).as("op"))
+        col("user_id"), col("ts"), col("event_id"), col("value"), cdcOp.as("op"))
       val wLatest = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
       log.withColumn("rn", row_number().over(wLatest))

@@ -342,6 +342,76 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming CDC materialization — the INCREMENTAL spelling of the
+    * batch `w_cdc_apply` row: each micro-batch is reduced to a per-key
+    * summary (latest change by (ts, event_id) + change count) and MERGEd
+    * into a versioned state table. The merge is associative and
+    * commutative — max(struct(ts, event_id, …)) picks the latest writer
+    * and counts add — so the materialized state is INDEPENDENT of how
+    * the feed splits into micro-batches (StreamingSpec proves 3 drops ==
+    * 1 drop == the batch row; the oracle IS the batch oracle).
+    *
+    * State versioning makes redelivery idempotent without a transaction
+    * log: batch b always reads v(b-1) (immutable once written) and
+    * rewrites v(b) deterministically — a replayed batch reproduces its
+    * own version byte-for-byte instead of double-applying. DELETE
+    * tombstones stay IN the state (filtered only at read time): a
+    * tombstone must out-order late updates for earlier changes, exactly
+    * like Delta/Iceberg MERGE semantics. At 100 TB the per-batch merge
+    * touches |keys-in-batch| + |state| rows — and the state frame is
+    * (key, summary) wide, never the feed. */
+  private[graft] def cdcApplyInto(stream: DataFrame, stateDir: String): String = {
+    val s = stream.sparkSession
+    val summarize = (df: DataFrame) =>
+      df.select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          graft.Analytic.cdcOp.as("op"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("last"),
+          count(lit(1)).as("n_changes"))
+        .select(col("user_id"), col("last.ts").as("last_ts"),
+          col("last.event_id").as("last_event_id"),
+          col("last.op").as("last_op"), col("last.value").as("last_value"),
+          col("n_changes"))
+    stream.writeStream
+      .option("checkpointLocation", tmp("graft-cdc-ckpt-"))
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchSummary = summarize(batch)
+        val merged =
+          if (batchId == 0) batchSummary
+          else batchSummary.unionByName(
+              batch.sparkSession.read.parquet(s"$stateDir/v${batchId - 1}"))
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("last_ts"), col("last_event_id"),
+              col("last_op"), col("last_value"))).as("last"),
+              sum(col("n_changes")).as("n_changes"))
+            .select(col("user_id"), col("last.last_ts").as("last_ts"),
+              col("last.last_event_id").as("last_event_id"),
+              col("last.last_op").as("last_op"),
+              col("last.last_value").as("last_value"), col("n_changes"))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      }
+      .start().awaitTermination()
+    // current state = highest version written
+    val vs = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toInt)
+    require(vs.nonEmpty, "cdcApplyInto: stream produced no batches")
+    s"$stateDir/v${vs.max}"
+  }
+
+  /** The materialized CDC state re-read for the oracle: tombstoned keys
+    * filtered out, same shape as the batch w_cdc_apply row. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val current = cdcApplyInto(readEventsStream(s, dir), tmp("graft-cdc-state-"))
+    s.read.parquet(current)
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_op"), col("last_value"),
+        col("last_ts"), col("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
   import graft.SparkEntry.Q
 
   def queries: Map[String, Q] = Map(
@@ -358,6 +428,10 @@ object StreamingOps {
       s.read.option("recursiveFileLookup", "true").parquet(out)
         .orderBy(org.apache.spark.sql.functions.col("doc_id"))
     }),
+    // Streaming CDC: incremental MERGE materialization of the changelog
+    // (see cdcApplyInto) — shares the batch row's oracle, proving the
+    // micro-batched upsert equals the one-shot batch apply.
+    "s_cdc" -> ((s, d) => cdcApply(s, d)),
     "s_tumbling" -> ((s, d) => tumbling(s, d)),
     "s_sliding" -> ((s, d) => sliding(s, d)),
     "s_session" -> ((s, d) => session(s, d)),
@@ -383,6 +457,7 @@ object StreamingOps {
     // collapses them) — the oracle IS the batch oracle
     "s_neardup" -> graft.LlmOps.oracles("l_minhash_lsh"),
     "s_quality" -> graft.LlmOps.oracles("l_quality_filter"),
+    "s_cdc" -> graft.Analytic.oracles("w_cdc_apply"),
 
     "s_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,

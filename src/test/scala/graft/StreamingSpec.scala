@@ -136,4 +136,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       batch.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("streaming CDC: 3-batch incremental merge equals the one-shot batch apply") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("event_type"))
+    val feedDir = java.nio.file.Files.createTempDirectory("cdc-feed-").toString
+    e.repartition(3).write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc-state-").toString
+    val current = StreamingOps.cdcApplyInto(stream, stateDir)
+    // the feed really split into multiple micro-batches (else this test
+    // proves nothing about cross-batch merging)
+    val versions = new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(versions >= 3, s"expected >=3 state versions, got $versions")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime, r.getLong(4))
+    val got = spark.read.parquet(current)
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_op"), col("last_value"),
+        col("last_ts"), col("n_changes"))
+      .orderBy(col("user_id")).collect().map(key)
+    val want = Analytic.queries("w_cdc_apply")(spark, TestSpark.sfDir)
+      .collect().map(key)
+    assert(got.toSeq === want.toSeq,
+      "incrementally merged state must equal the batch materialization")
+  }
 }
