@@ -627,6 +627,52 @@ object LlmOps {
         .orderBy(col("cid"))
     }),
 
+    // Product quantization (PQ) — the vector-COMPRESSION half of scale
+    // ANN: 64 dims split into 8 subspaces of 8, each subvector snapped to
+    // its nearest of 4 per-subspace codewords ⇒ a vector becomes 8 small
+    // codes (here 8 bytes vs 256 raw — 32×; a billion-vector index fits
+    // in RAM where raw floats cannot). The codebook stands in for a
+    // per-subspace k-means run (the trainer is l_kmeans); assignment is
+    // ONE map-side pass over the corpus with the codebook inlined as
+    // literals — no join, no shuffle before the 32-group summary
+    // aggregate. Same offset-shifted fixed-point integers as l_kmeans ⇒
+    // bit-exact vs the oracle's long-format join spelling. Output: per
+    // (subspace, code) cell population + total squared quantization
+    // error — the distortion profile a PQ deployment monitors.
+    "l_pq" -> ((s, d) => {
+      val OFF = 1048576L
+      val SUBS = 8
+      val DIMS = 8
+      val CODES = 4
+      val qv = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            c => floor(c.cast("double") * lit(1000000.0)) + lit(OFF)).as("qe"))
+      val cb = qv.filter(col("vec_id") < CODES)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1)
+      require(cb.length == CODES,
+        s"l_pq: expected codeword vec_ids 0..${CODES - 1}, found ${cb.length}")
+      def cell(sub: Int): Column = {
+        val sl = slice(col("qe"), sub * DIMS + 1, DIMS)
+        val best = least(cb.map { case (code, full) =>
+          val ctr = array(full.slice(sub * DIMS, sub * DIMS + DIMS).map(lit): _*)
+          struct(
+            aggregate(zip_with(sl, ctr, (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v).as("dist"),
+            lit(code).as("code"))
+        }: _*)
+        struct(lit(sub.toLong).as("subspace"),
+          best.getField("code").as("code"), best.getField("dist").as("dist"))
+      }
+      qv.select(col("vec_id"),
+          explode(array((0 until SUBS).map(cell): _*)).as("c"))
+        .groupBy(col("c.subspace").as("subspace"), col("c.code").as("code"))
+        .agg(count(lit(1)).as("n"), sum(col("c.dist")).as("sq_err_sum"))
+        .orderBy(col("subspace"), col("code"))
+    }),
+
     // Embedding-cosine near-dup: multi-TABLE sign-LSH (4 tables × 2
     // hyperplanes). One k-bit table has recall p^k at similarity p; L
     // independent tables lift it to 1-(1-p^k)^L ≈ 0.9 for cos 0.5 here —
@@ -1240,6 +1286,31 @@ object LlmOps {
          |                FROM c3 GROUP BY cid) s ON s.cid = a.cid
          |GROUP BY a.cid, s.centroid_sum ORDER BY a.cid""".stripMargin
     },
+
+    // PQ assignment in long format: quantized components joined to the
+    // codeword components on absolute dim, squared diffs summed per
+    // (vector, subspace, codeword), argmin by (dist, code)
+    "l_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |           + 1048576 AS comp
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS code, dim, comp FROM q WHERE vec_id < 4),
+        |d AS (
+        |  SELECT q.vec_id, CAST((q.dim - 1) // 8 AS BIGINT) AS subspace, c.code,
+        |         CAST(sum((q.comp - c.comp)*(q.comp - c.comp)) AS BIGINT) AS dist
+        |  FROM q JOIN cb c ON c.dim = q.dim
+        |  GROUP BY q.vec_id, subspace, c.code),
+        |a AS (
+        |  SELECT vec_id, subspace, code, dist FROM (
+        |    SELECT vec_id, subspace, code, dist,
+        |           row_number() OVER (PARTITION BY vec_id, subspace
+        |                              ORDER BY dist, code) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT subspace, code, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(dist) AS BIGINT) AS sq_err_sum
+        |FROM a GROUP BY subspace, code ORDER BY subspace, code""".stripMargin,
 
     "l_embed_neardup" -> {
       def sqlDot(a: String, b: String): String =

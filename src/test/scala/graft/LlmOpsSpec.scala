@@ -199,6 +199,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ids.forall(hits(_)), "top-10 docs must contain a query term")
   }
 
+  test("pq: every vector quantized in every subspace, codes in range") {
+    val rows = run("l_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.embeddings(spark, d).count()
+    // per-subspace cell populations partition the corpus
+    rows.groupBy(_._1).foreach { case (sub, cells) =>
+      assert(cells.map(_._3).sum === n, s"subspace $sub lost vectors")
+    }
+    assert(rows.map(_._1).distinct.sorted.toSeq === (0L until 8L))
+    assert(rows.forall(r => r._2 >= 0L && r._2 < 4L), "code out of range")
+    assert(rows.forall(_._4 >= 0L), "squared error cannot be negative")
+  }
+
   test("kmeans: full coverage, deterministic rerun, and k respected") {
     val out = run("l_kmeans").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
