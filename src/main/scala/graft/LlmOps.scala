@@ -627,6 +627,47 @@ object LlmOps {
         .orderBy(col("cid"))
     }),
 
+    // Heavy hitters (frequent vocabulary) via count-min sketch + exact
+    // verification — the two-pass shape every sketch-based operator at
+    // scale follows (same discipline as LSH→exact-Jaccard): an
+    // approximate pass whose errors are ONE-SIDED generates candidates,
+    // an exact pass over only the candidates makes the answer exact. The
+    // sketch aggregate map-side-combines to ≤ R×W (4×1024) rows per task
+    // before its shuffle — token occurrences never cross the wire — and
+    // comes back as four tiny broadcast frames; the per-occurrence
+    // estimate is min over the R rows (all codegen'd joins, no UDF).
+    // Count-min only OVERestimates ⇒ no truly-frequent token is pruned;
+    // false positives die in the exact post-filter. The final answer is
+    // therefore EXACTLY the true ≥T vocabulary with true counts (the
+    // oracle is a plain HAVING — sketch collisions cannot leak into the
+    // result, only into how much work pass 2 does).
+    "l_heavy_hitters" -> ((s, d) => {
+      val T = 200L
+      val R = 4
+      val W = 1024
+      val toks = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      def bucket(r: Int): Column =
+        pmod(pmod(lit(A(r)) * polyHash(col("tok")) + lit(B(r)), lit(P)), lit(W))
+      val withB = toks.select(col("tok") +:
+          (0 until R).map(r => bucket(r).as(s"b$r")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sketch = withB.select(explode(array((0 until R).map(r =>
+          struct(lit(r).as("r"), col(s"b$r").as("bucket"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val est = (0 until R).foldLeft(withB) { (acc, r) =>
+        val skr = sketch.filter(col("r") === r)
+          .select(col("bucket").as(s"bk$r"), col("c").as(s"c$r"))
+        acc.join(broadcast(skr), col(s"b$r") === col(s"bk$r"))
+      }
+      est.filter(least((0 until R).map(r => col(s"c$r")): _*) >= T)
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= T)
+        .orderBy(col("n").desc, col("tok"))
+    }),
+
     // Product quantization (PQ) — the vector-COMPRESSION half of scale
     // ANN: 64 dims split into 8 subspaces of 8, each subvector snapped to
     // its nearest of 4 per-subspace codewords ⇒ a vector becomes 8 small
@@ -1286,6 +1327,16 @@ object LlmOps {
          |                FROM c3 GROUP BY cid) s ON s.cid = a.cid
          |GROUP BY a.cid, s.centroid_sum ORDER BY a.cid""".stripMargin
     },
+
+    // the sketch is invisible to correctness: exact counts with HAVING
+    "l_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |FROM toks WHERE tok <> ''
+        |GROUP BY tok HAVING count(*) >= 200
+        |ORDER BY n DESC, tok""".stripMargin,
 
     // PQ assignment in long format: quantized components joined to the
     // codeword components on absolute dim, squared diffs summed per

@@ -199,6 +199,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ids.forall(hits(_)), "top-10 docs must contain a query term")
   }
 
+  test("heavy hitters: sketch pass loses no truly frequent token (answer is exact)") {
+    val got = run("l_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = Tables.documents(spark, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 200)
+      .orderBy(col("n").desc, col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty, "corpus should have frequent vocabulary at this threshold")
+    assert(got.toSeq === want.toSeq,
+      "count-min candidates + exact verify must equal the direct exact answer")
+  }
+
   test("pq: every vector quantized in every subspace, codes in range") {
     val rows = run("l_pq").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
