@@ -100,6 +100,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaBloom === direct)
   }
 
+  test("bloomPrune of an empty dim prunes everything (and does not crash)") {
+    val fact = Tables.lineitem(spark, d).select(col("l_suppkey"))
+    val dim = Tables.supplier(spark, d)
+      .filter(col("s_nationkey") === -42) // matches nothing
+      .select(col("s_suppkey"))
+    val pruned = Scale.bloomPrune(fact, col("l_suppkey"),
+      dim, col("s_suppkey"), expectedItems = 10L)
+    assert(pruned.count() === 0L, "empty key set must mean prune-all")
+  }
+
+  test("zValue interleave round-trips: de-interleaving recovers both scaled codes") {
+    import spark.implicits._
+    // 16-bit codes fed as raw values with identity normalization
+    // (min=0, max=65535): zValue's scaled code IS the input, so
+    // de-interleaving z must recover (u, v) exactly
+    val rows = (0 until 500).map(i => ((i * 131) % 65536L, (i * 7919) % 65536L))
+    val df = rows.toDF("u", "v")
+    val z = Scale.zValue(Seq(
+      (col("u"), lit(0L), lit(65535L)),
+      (col("v"), lit(0L), lit(65535L))), bits = 16)
+    val dec = df.select(col("u"), col("v"), z.as("z")).collect().map { r =>
+      val zz = r.getLong(2)
+      var (du, dv) = (0L, 0L)
+      for (i <- 0 until 16) {
+        du |= ((zz >> (2 * i)) & 1L) << i
+        dv |= ((zz >> (2 * i + 1)) & 1L) << i
+      }
+      (r.getLong(0), r.getLong(1), du, dv)
+    }
+    dec.foreach { case (u, v, du, dv) =>
+      assert(du === u && dv === v, s"z round-trip broke: ($u,$v) -> ($du,$dv)")
+    }
+  }
+
   test("z-order layout skips files on the SECOND dimension where a linear sort cannot") {
     import spark.implicits._
     // uniform 100×100 grid: min-max bit codes spread evenly, so file
