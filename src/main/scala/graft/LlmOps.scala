@@ -627,6 +627,40 @@ object LlmOps {
         .orderBy(col("cid"))
     }),
 
+    // Bigram language-model scoring — the perplexity-style quality
+    // filter (KenLM-shaped) of production corpus pipelines, trained
+    // SELF-SUPERVISED on the corpus itself: bigram MLE counts in one
+    // aggregate pass, then per-doc mean log P(w2|w1). Scale shape: the
+    // bigram stream is derived from the token ARRAY with transform(
+    // sequence) — no self-join on (doc, pos+1), no window; prefix counts
+    // reuse the SAME bigram rows (C(w1) = w1's bigram-prefix occurrences,
+    // the proper MLE denominator), so the model is two hash aggregates
+    // over one explode; scoring joins the (vocabulary-sized, shuffled —
+    // NOT broadcast: vocabulary grows with corpus) count frames back and
+    // averages per doc. Gibberish scores low, templated boilerplate
+    // scores suspiciously high — both ends are what the filter flags.
+    "l_lm_score" -> ((s, d) => {
+      val toksA = docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = toksA.select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - 2),
+            i => concat(element_at(col("w"), i + 1), lit(" "),
+              element_at(col("w"), i + 2)))).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        .withColumnRenamed("bg", "bg2")
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("w1", "w1c")
+      bg.join(c2, col("bg") === col("bg2"))
+        .join(c1, col("w1") === col("w1c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          avg(log(col("c2").cast("double") / col("c1").cast("double"))).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Heavy hitters (frequent vocabulary) via count-min sketch + exact
     // verification — the two-pass shape every sketch-based operator at
     // scale follows (same discipline as LSH→exact-Jaccard): an
@@ -1327,6 +1361,28 @@ object LlmOps {
          |                FROM c3 GROUP BY cid) s ON s.cid = a.cid
          |GROUP BY a.cid, s.centroid_sum ORDER BY a.cid""".stripMargin
     },
+
+    // identical bigram construction (1-based list indexing) and MLE
+    // arithmetic; ln + one division per bigram and a per-doc avg — well
+    // inside the float tolerance, like the BM25 fold
+    "l_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |  FROM toks WHERE len(w) >= 2
+        |), bgw AS (
+        |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg
+        |), c2 AS (
+        |  SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgw GROUP BY bg
+        |), c1 AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bgw GROUP BY w1
+        |)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       avg(ln(CAST(x.c2 AS DOUBLE) / CAST(y.c1 AS DOUBLE))) AS avg_logprob
+        |FROM bgw b JOIN c2 x ON x.bg = b.bg JOIN c1 y ON y.w1 = b.w1
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     // the sketch is invisible to correctness: exact counts with HAVING
     "l_heavy_hitters" ->

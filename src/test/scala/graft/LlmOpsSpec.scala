@@ -214,6 +214,21 @@ class LlmOpsSpec extends AnyFunSuite {
       "count-min candidates + exact verify must equal the direct exact answer")
   }
 
+  test("lm score: log-probs non-positive, bigram counts consistent with token counts") {
+    val rows = run("l_lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // MLE: C(w1,w2) <= C(w1) ⇒ every bigram log-prob <= 0, so is the mean
+    assert(rows.forall(_._3 <= 0.0), "a bigram cannot be more likely than its prefix")
+    // each doc contributes exactly (n_tokens - 1) bigrams
+    val nTok = Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, nBg, _) =>
+      assert(nBg === nTok(id) - 1, s"doc $id bigram count off")
+    }
+  }
+
   test("pq: every vector quantized in every subspace, codes in range") {
     val rows = run("l_pq").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
