@@ -278,19 +278,30 @@ object LlmOps {
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("v"), least(col("src"), col("mn")).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the frame actually holding the cache (labels may be a projection
+    // of it after the first pass — unpersist must hit the cached plan)
+    var cached = labels
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 25) {
+      // convergence check FUSED into the propagation aggregate: the
+      // owner's current label rides the union with an own-flag, so
+      // "did any label improve" is a filter over the same cached result
+      // instead of a second join-the-old-frame job per pass (every v has
+      // exactly one own row — edges are symmetrized, so prop can't
+      // surface a vertex the label frame lacks)
       val prop = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("label"))
-      val next = labels.unionAll(prop)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("v"), col("label"), lit(0).as("own"))
+      val merged = labels.select(col("v"), col("label"), lit(1).as("own"))
+        .unionAll(prop)
+        .groupBy(col("v"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("own") === 1, col("label"))).as("own_label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      changed = merged.filter(col("label") < col("own_label")).count()
+      cached.unpersist()
+      cached = merged
+      labels = merged.select(col("v"), col("label"))
       iters += 1
     }
     labels
