@@ -835,6 +835,39 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus mixture re-weighting — the data-MIXING step of a training
+    // run: downsample every language to the largest total that hits the
+    // target proportions exactly (en 40%, de/es/fr/zh 15% each), bounded
+    // by the scarcest language. All budget arithmetic is integer (T =
+    // min over langs of n_l·100 div w_l; take_l = T·w_l div 100) on a
+    // langs-sized frame — scalars, computed once. Selection is
+    // deterministic WITHOUT a global sort: rank by content hash within
+    // each language partition (one per-key window shuffle), keep
+    // rank ≤ take_l — reproducible across engines, retries and runs,
+    // which rand()-based sampling cannot give. At 100 TB the only
+    // corpus-sized work is the hash+window pass.
+    "l_mixture" -> ((s, d) => {
+      val W = Seq("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
+      val wCol = W.tail.foldLeft(when(col("lang") === W.head._1, lit(W.head._2))) {
+        case (acc, (l2, wt)) => acc.when(col("lang") === l2, lit(wt))
+      }
+      val counts = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", wCol)
+        .filter(col("w").isNotNull)
+      val tFrame = counts.agg(min(expr("n * 100 div w")).as("t"))
+      val takes = counts.crossJoin(broadcast(tFrame))
+        .select(col("lang").as("tk_lang"), expr("(t * w) div 100").as("take"))
+      val ranked = docs(s, d)
+        .select(col("doc_id"), col("lang"), polyHash(col("text")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      ranked.join(broadcast(takes), col("lang") === col("tk_lang"))
+        .filter(col("rk") <= col("take"))
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Intra-document repetition (quality signal: boilerplate / template
     // spam repeats its own n-grams): duplicate-shingle ratio per doc from
     // the SAME native n-gram kernel — array ops only, NO explode and NO
@@ -1505,6 +1538,27 @@ object LlmOps {
          |WHERE bucket < CASE WHEN lang = 'en' THEN 100
          |                    WHEN lang = 'zh' THEN 500 ELSE 250 END
          |ORDER BY doc_id""".stripMargin,
+
+    // same integer budget arithmetic and content-hash ranking
+    "l_mixture" ->
+      s"""WITH w(lang, w) AS (
+         |  VALUES ('en', 40), ('de', 15), ('es', 15), ('fr', 15), ('zh', 15)
+         |), c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY lang
+         |), t AS (
+         |  SELECT min(n * 100 // w) AS t FROM c JOIN w USING (lang)
+         |), tk AS (
+         |  SELECT lang, (t.t * w.w) // 100 AS take FROM w, t
+         |), r AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |                            ORDER BY ${sqlPoly("text")}, doc_id) AS BIGINT) AS rk
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.lang, r.rk
+         |FROM r JOIN tk ON tk.lang = r.lang
+         |WHERE r.rk <= tk.take ORDER BY r.doc_id""".stripMargin,
 
     "l_repetition" ->
       s"""WITH t AS (

@@ -214,6 +214,20 @@ class LlmOpsSpec extends AnyFunSuite {
       "count-min candidates + exact verify must equal the direct exact answer")
   }
 
+  test("mixture: per-language take hits the exact integer budget, never exceeding the corpus") {
+    val w = Map("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
+    val n = Tables.documents(spark, d).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = w.keys.map(l => n(l) * 100L / w(l)).min
+    val expect = w.map { case (l, wt) => l -> (t * wt / 100L) }
+    val kept = run("l_mixture").groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expect.foreach { case (l, e) =>
+      assert(kept.getOrElse(l, 0L) === e, s"lang $l take mismatch")
+      assert(e <= n(l), s"lang $l take exceeds corpus")
+    }
+  }
+
   test("lm score: log-probs non-positive, bigram counts consistent with token counts") {
     val rows = run("l_lm_score").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
