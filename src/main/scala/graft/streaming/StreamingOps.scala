@@ -342,6 +342,39 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join — the semantics
+    * the inner join (streamJoin) cannot express: a left row with no
+    * match emits null-padded exactly ONCE, when the watermark proves no
+    * matching right row can still arrive (a_ts + 30 min < watermark) —
+    * at which point its join state is also evicted. Both sides carry the
+    * flush sentinel so the finite harness's watermark passes every real
+    * row. The sentinel is NOT filtered out — a pre-join filter gets
+    * pushed below the EventTimeWatermark node by the optimizer and the
+    * sentinel would then never advance the watermark (observed: the
+    * newest watermark-delay's worth of rows never flushed). It needs no
+    * filter: its own match window closes 30 min AFTER its event time,
+    * which the watermark (sentinel − 1 day) never passes, so the
+    * sentinel sits in state for the harness lifetime and never reaches
+    * the output. The emitted result must equal the batch LEFT JOIN —
+    * which is the oracle. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    def side(p: String) = eventsWithFlush(s, dir)
+      .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+        col("ts").as(s"${p}_ts"))
+      .withWatermark(s"${p}_ts", "1 day")
+    val joined = side("a").join(side("b"),
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+    val out = drainToParquet(joined, "append")
+    readSink(s, out)
+      .groupBy(col("a_user"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("b_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy(col("a_user"))
+  }
+
   /** Streaming CDC materialization — the INCREMENTAL spelling of the
     * batch `w_cdc_apply` row: each micro-batch is reduced to a per-key
     * summary (latest change by (ts, event_id) + change count) and MERGEd
@@ -437,7 +470,8 @@ object StreamingOps {
     "s_session" -> ((s, d) => session(s, d)),
     "s_stateful" -> ((s, d) => stateful(s, d)),
     "s_static_join" -> ((s, d) => staticJoin(s, d)),
-    "s_stream_join" -> ((s, d) => streamJoin(s, d))
+    "s_stream_join" -> ((s, d) => streamJoin(s, d)),
+    "s_stream_outer" -> ((s, d) => streamOuterJoin(s, d))
   )
 
   /** Batch-SQL twins: the streaming answers must equal what DuckDB computes
@@ -492,6 +526,18 @@ object StreamingOps {
         |  ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    // the watermark-finalized outer join must equal the batch LEFT JOIN
+    "s_stream_outer" ->
+      """WITH j AS (
+        |  SELECT a.user_id AS a_user, b.event_id AS b_id
+        |  FROM events a LEFT JOIN events b
+        |    ON b.user_id = a.user_id
+        |   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |)
+        |SELECT a_user, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM j GROUP BY a_user ORDER BY a_user""".stripMargin,
 
     "s_session" ->
       """WITH gaps AS (
