@@ -393,37 +393,47 @@ object StreamingOps {
     * like Delta/Iceberg MERGE semantics. At 100 TB the per-batch merge
     * touches |keys-in-batch| + |state| rows — and the state frame is
     * (key, summary) wide, never the feed. */
+  /** One CDC micro-batch applied to the versioned state: summarize the
+    * batch per key, merge with v(batchId-1), write v(batchId). Pure
+    * function of (batch content, batchId, prior state) — calling it twice
+    * with the same inputs rewrites the same version identically, which is
+    * the redelivery-idempotence contract (tested directly in
+    * StreamingSpec, not just via the happy path). */
+  private[graft] def cdcMergeBatch(batch: DataFrame, batchId: Long,
+                                   stateDir: String): Unit = {
+    val batchSummary = batch
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        graft.Analytic.cdcOp.as("op"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.op").as("last_op"), col("last.value").as("last_value"),
+        col("n_changes"))
+    val merged =
+      if (batchId == 0) batchSummary
+      else batchSummary.unionByName(
+          batch.sparkSession.read.parquet(s"$stateDir/v${batchId - 1}"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("last_ts"), col("last_event_id"),
+          col("last_op"), col("last_value"))).as("last"),
+          sum(col("n_changes")).as("n_changes"))
+        .select(col("user_id"), col("last.last_ts").as("last_ts"),
+          col("last.last_event_id").as("last_event_id"),
+          col("last.last_op").as("last_op"),
+          col("last.last_value").as("last_value"), col("n_changes"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+  }
+
   private[graft] def cdcApplyInto(stream: DataFrame, stateDir: String): String = {
     val s = stream.sparkSession
-    val summarize = (df: DataFrame) =>
-      df.select(col("user_id"), col("ts"), col("event_id"), col("value"),
-          graft.Analytic.cdcOp.as("op"))
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("last"),
-          count(lit(1)).as("n_changes"))
-        .select(col("user_id"), col("last.ts").as("last_ts"),
-          col("last.event_id").as("last_event_id"),
-          col("last.op").as("last_op"), col("last.value").as("last_value"),
-          col("n_changes"))
     stream.writeStream
       .option("checkpointLocation", tmp("graft-cdc-ckpt-"))
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val batchSummary = summarize(batch)
-        val merged =
-          if (batchId == 0) batchSummary
-          else batchSummary.unionByName(
-              batch.sparkSession.read.parquet(s"$stateDir/v${batchId - 1}"))
-            .groupBy(col("user_id"))
-            .agg(max(struct(col("last_ts"), col("last_event_id"),
-              col("last_op"), col("last_value"))).as("last"),
-              sum(col("n_changes")).as("n_changes"))
-            .select(col("user_id"), col("last.last_ts").as("last_ts"),
-              col("last.last_event_id").as("last_event_id"),
-              col("last.last_op").as("last_op"),
-              col("last.last_value").as("last_value"), col("n_changes"))
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        cdcMergeBatch(batch, batchId, stateDir)
       }
       .start().awaitTermination()
     // current state = highest version written
