@@ -85,6 +85,32 @@ class ParityPropsSpec extends AnyFunSuite {
     pairs.map { case (a, b) => ("E", "N", a, "N", b) }
       .toDF("rel", "src_kind", "src_key", "dst_kind", "dst_key")
 
+  test("property: pageRank equals an independent in-memory fixed-point reference on random graphs") {
+    val graphs = samples(for {
+      n <- Gen.chooseNum(3, 25)
+      m <- Gen.chooseNum(n, 3 * n)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        if a != b
+      } yield (s"n$a", s"n$b"))
+    } yield es.distinct, 8)
+    graphs.filter(_.nonEmpty).foreach { es =>
+      val got = CtsParity.pageRank(edgeDf(es: _*), iters = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // reference: same integer arithmetic, plain Scala maps
+      val links = es.map { case (a, b) => (s"N|$a", s"N|$b") }
+      val verts = links.flatMap(e => Seq(e._1, e._2)).distinct
+      val outdeg = links.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var rank = verts.map(_ -> 1000000000L).toMap
+      for (_ <- 1 to 4) {
+        val in = links.groupBy(_._2).view.mapValues(
+          _.map { case (s2, _) => rank(s2) / outdeg(s2) }.sum).toMap
+        rank = verts.map(v => v -> (150000000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      assert(got === rank, s"pageRank mismatch on ${es.size}-edge graph")
+    }
+  }
+
   test("pageRank: 2-cycle conserves mass exactly; star concentrates on the hub") {
     // A↔B: every node's rank is a fixed point at exactly 1.0 (scaled 1e9):
     // 150e6 + (85 * 1e9) div 100 = 1e9. Integer arithmetic makes this an
