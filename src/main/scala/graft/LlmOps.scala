@@ -253,6 +253,22 @@ object LlmOps {
       (reason === "ok").as("keep"), reason.as("reason"))
   }
 
+  /** Offset shift for fixed-point embedding quantization (l_kmeans, l_pq):
+    * floor(c·1e6) + OFF > 0 keeps every component positive, so integer
+    * sums are reduce-order-independent and floor (DuckDB //) agrees with
+    * truncate-toward-zero (Spark div) division. */
+  private val QUANT_OFF = 1048576L
+
+  /** (vec_id, qe: array<long>) — the quantized embedding frame shared by
+    * the vector-codebook operators, persisted (both consume it twice:
+    * seed/codebook collect + full assignment scan). */
+  private def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
+    spread(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          c => floor(c.cast("double") * lit(1000000.0)) + lit(QUANT_OFF)).as("qe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** (v, label) connected-component labels over the verified near-dup
     * pair graph — iterative min-label propagation (see l_dedup_clusters
     * doc for the scale argument). The LSH pair pipeline runs once and is
@@ -592,12 +608,8 @@ object LlmOps {
     // vec_id 0..7; ties on distance break to the smaller cid via struct
     // ordering — same total order the oracle's (dist, cid) sort uses.
     "l_kmeans" -> ((s, d) => {
-      val OFF = 1048576L
-      val qv = spread(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            c => floor(c.cast("double") * lit(1000000.0)) + lit(OFF)).as("qe"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val OFF = QUANT_OFF
+      val qv = quantizedEmbeddings(s, d)
       def assign(cents: Seq[(Long, IndexedSeq[Long])]): DataFrame = {
         val best = least(cents.map { case (cid, ctr) =>
           struct(
@@ -698,10 +710,14 @@ object LlmOps {
       val withB = toks.select(col("tok") +:
           (0 until R).map(r => bucket(r).as(s"b$r")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persisted: each of the R broadcast builds below filters this
+      // frame differently — without the persist the explode+aggregate
+      // over the token occurrences would run R times
       val sketch = withB.select(explode(array((0 until R).map(r =>
           struct(lit(r).as("r"), col(s"b$r").as("bucket"))): _*)).as("rb"))
         .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
         .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val est = (0 until R).foldLeft(withB) { (acc, r) =>
         val skr = sketch.filter(col("r") === r)
           .select(col("bucket").as(s"bk$r"), col("c").as(s"c$r"))
@@ -726,14 +742,10 @@ object LlmOps {
     // (subspace, code) cell population + total squared quantization
     // error — the distortion profile a PQ deployment monitors.
     "l_pq" -> ((s, d) => {
-      val OFF = 1048576L
       val SUBS = 8
       val DIMS = 8
       val CODES = 4
-      val qv = spread(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            c => floor(c.cast("double") * lit(1000000.0)) + lit(OFF)).as("qe"))
+      val qv = quantizedEmbeddings(s, d)
       val cb = qv.filter(col("vec_id") < CODES)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))

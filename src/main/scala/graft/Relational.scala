@@ -478,7 +478,8 @@ object Relational {
           when(pmod(col("o_orderkey"), lit(1000)) === 7, lit(null).cast("long"))
             .when(pmod(col("o_orderkey"), lit(1000)) === 13, col("o_custkey") + 10000000L)
             .otherwise(col("o_custkey")).as("o_custkey"),
-          col("o_totalprice"))
+          when(pmod(col("o_orderkey"), lit(1000)) === 17, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
         .unionAll(o.filter(col("o_orderkey") < 100))
       val rowLocal = mutated.agg(
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
@@ -765,7 +766,8 @@ object Relational {
         |    CASE WHEN o_orderkey % 1000 = 7 THEN NULL
         |         WHEN o_orderkey % 1000 = 13 THEN o_custkey + 10000000
         |         ELSE o_custkey END AS o_custkey,
-        |    o_totalprice
+        |    CASE WHEN o_orderkey % 1000 = 17 THEN -o_totalprice
+        |         ELSE o_totalprice END AS o_totalprice
         |  FROM o
         |  UNION ALL SELECT * FROM o WHERE o_orderkey < 100
         |), rl AS (
@@ -797,8 +799,12 @@ object Relational {
          |         CAST(min(value) AS DOUBLE) AS mnv, CAST(max(value) AS DOUBLE) AS mxv
          |  FROM events),
          |sc AS (
-         |  SELECT CAST(trunc((CAST(user_id AS DOUBLE) - mnu) * 65535.0 / (mxu - mnu)) AS BIGINT) AS su,
-         |         CAST(trunc((CAST(value AS DOUBLE) - mnv) * 65535.0 / (mxv - mnv)) AS BIGINT) AS sv
+         |  SELECT CAST(CASE WHEN mxu = mnu THEN 0
+         |              ELSE trunc((CAST(user_id AS DOUBLE) - mnu) * 65535.0 / (mxu - mnu))
+         |              END AS BIGINT) AS su,
+         |         CAST(CASE WHEN mxv = mnv THEN 0
+         |              ELSE trunc((CAST(value AS DOUBLE) - mnv) * 65535.0 / (mxv - mnv))
+         |              END AS BIGINT) AS sv
          |  FROM events, st),
          |z AS (SELECT $interleave AS z FROM sc)
          |SELECT z >> 24 AS z_bucket, count(*) AS n,

@@ -157,6 +157,12 @@ object Scale {
       (cols.indices.map(j => max(col(cols(j))).cast("double").as(s"mx$j")) ++
         cols.indices.drop(1).map(j => min(col(cols(j))).cast("double").as(s"mn$j"))): _*)
       .collect()(0)
+    // empty input: no stats to z-order by — write the (empty) frame as-is
+    // rather than NPE on the null min/max
+    if (stats.isNullAt(0)) {
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     val z = zValue(cols.indices.map { j =>
       (col(cols(j)), lit(stats.getAs[Double](s"mn$j")), lit(stats.getAs[Double](s"mx$j")))
     }, bits)
