@@ -261,7 +261,13 @@ object LlmOps {
 
   /** (vec_id, qe: array<long>) — the quantized embedding frame shared by
     * the vector-codebook operators, persisted (both consume it twice:
-    * seed/codebook collect + full assignment scan). */
+    * seed/codebook collect + full assignment scan). Positivity contract:
+    * every component must exceed -OFF/1e6 = -1.048576 (LlmOpsSpec pins
+    * the fixture to ±0.6) or the floor-vs-truncate division semantics
+    * stop agreeing cross-engine. Cache lifecycle: l_kmeans and l_pq each
+    * call this, but Spark's CacheManager dedups by logical plan, so both
+    * share ONE InMemoryRelation; the harness's per-query clearCache
+    * bounds its lifetime. */
   private def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
     spread(Tables.embeddings(s, d))
       .select(col("vec_id"),
@@ -860,13 +866,16 @@ object LlmOps {
     // corpus-sized work is the hash+window pass.
     "l_mixture" -> ((s, d) => {
       val W = Seq("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
-      val wCol = W.tail.foldLeft(when(col("lang") === W.head._1, lit(W.head._2))) {
-        case (acc, (l2, wt)) => acc.when(col("lang") === l2, lit(wt))
-      }
-      val counts = docs(s, d).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("w", wCol)
-        .filter(col("w").isNotNull)
+      // weights LEFT JOIN counts: a weight-listed language with ZERO
+      // documents must zero the whole budget (the mix is bounded by the
+      // scarcest language — silently dropping it would ship the wrong
+      // proportions), so the absent row coalesces to n = 0, not out of
+      // the min
+      val wDf = s.createDataFrame(W).toDF("w_lang", "w")
+      val counts = wDf.join(
+          docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n")),
+          col("w_lang") === col("lang"), "left")
+        .select(col("w_lang").as("lang"), coalesce(col("n"), lit(0L)).as("n"), col("w"))
       val tFrame = counts.agg(min(expr("n * 100 div w")).as("t"))
       val takes = counts.crossJoin(broadcast(tFrame))
         .select(col("lang").as("tk_lang"), expr("(t * w) div 100").as("take"))
@@ -1559,7 +1568,8 @@ object LlmOps {
          |  SELECT lang, CAST(count(*) AS BIGINT) AS n
          |  FROM documents GROUP BY lang
          |), t AS (
-         |  SELECT min(n * 100 // w) AS t FROM c JOIN w USING (lang)
+         |  SELECT min(coalesce(c.n, 0) * 100 // w.w) AS t
+         |  FROM w LEFT JOIN c ON c.lang = w.lang
          |), tk AS (
          |  SELECT lang, (t.t * w.w) // 100 AS take FROM w, t
          |), r AS (

@@ -116,7 +116,10 @@ object CtsParity {
     * slower). The loop's working set is (node, rank) pairs, never the
     * event feed. Iteration count is fixed (no convergence count()
     * actions), so the whole run is a single job when the final action
-    * fires.
+    * fires. Cache lifecycle: the persisted link/vertex frames cannot be
+    * unpersisted here (the result is lazy); repeated invocations reuse
+    * the same cache entries (CacheManager dedups by plan) and the
+    * harness clears caches between queries.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -132,6 +132,10 @@ object Scale {
     * OPTIMIZE ZORDER implementations do with range-ID coding. */
   def zValue(cols: Seq[(Column, Column, Column)], bits: Int): Column = {
     val n = cols.size
+    // Spark's shiftleft wraps the shift count mod 64 — positions past the
+    // long would silently fold onto low bits and corrupt the key
+    require(n * bits <= 63,
+      s"zValue: $n cols x $bits bits = ${n * bits} bit positions > 63; lower bits")
     val k = lit(((1L << bits) - 1).toDouble)
     val scaled = cols.map { case (c, mn, mx) =>
       val range = mx.cast("double") - mn.cast("double")
@@ -157,9 +161,10 @@ object Scale {
       (cols.indices.map(j => max(col(cols(j))).cast("double").as(s"mx$j")) ++
         cols.indices.drop(1).map(j => min(col(cols(j))).cast("double").as(s"mn$j"))): _*)
       .collect()(0)
-    // empty input: no stats to z-order by — write the (empty) frame as-is
-    // rather than NPE on the null min/max
-    if (stats.isNullAt(0)) {
+    // degenerate input (empty frame, or an all-null column): no usable
+    // stats to z-order by — write the frame as-is rather than NPE on a
+    // null min/max
+    if ((0 until stats.length).exists(stats.isNullAt)) {
       df.write.mode("overwrite").parquet(outDir)
       return
     }

@@ -243,6 +243,15 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding components respect the fixed-point positivity contract") {
+    // quantization adds OFF = 2^20 after floor(c*1e6); components at or
+    // below -1.048576 would break the floor-vs-truncate division
+    // agreement l_kmeans/l_pq rely on (see LlmOps.quantizedEmbeddings)
+    val mn = Tables.embeddings(spark, d)
+      .select(min(expr("array_min(embedding)")).cast("double")).collect()(0).getDouble(0)
+    assert(mn > -1.048576, s"embedding component $mn violates the offset contract")
+  }
+
   test("pq: every vector quantized in every subspace, codes in range") {
     val rows = run("l_pq").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
