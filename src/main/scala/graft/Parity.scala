@@ -83,6 +83,56 @@ object Parity {
       CtsParity.edges(ce(s, d))
         .orderBy(col("rel"), col("src_key"), col("dst_key"))),
 
+    // Provenance chain — the multi-hop question the reference's Neo4j
+    // graph exists to answer (README.md:39-48): ACTION —APPLIED_ON→
+    // RESOURCE —MEMBER_OF→ TENANT —LOCATED_AT→ REGION, materialized by
+    // joining the edge table against itself along the path and
+    // aggregated per (region, tenant). The edge table is built once and
+    // persisted; the three path joins shuffle only (rel, src, dst)
+    // triples. Oracle computes the same rollup straight off the CE
+    // projection (the chain columns are functionally dependent), so the
+    // graph-join reconstruction is verified against first principles.
+    "k3_chain" -> ((s, d) => {
+      val e = CtsParity.edges(ce(s, d))
+        .select(col("rel"), col("src_key"), col("dst_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def hop(rel: String, src: String, dst: String) =
+        e.filter(col("rel") === rel)
+          .select(col("src_key").as(src), col("dst_key").as(dst))
+      hop("APPLIED_ON", "action", "resource")
+        .join(hop("MEMBER_OF", "resource2", "tenant"),
+          col("resource") === col("resource2"))
+        .join(hop("LOCATED_AT", "tenant2", "region"),
+          col("tenant") === col("tenant2"))
+        .groupBy(col("region"), col("tenant"))
+        .agg(count_distinct(col("action")).as("n_actions"),
+          count_distinct(col("resource")).as("n_resources"))
+        .orderBy(col("region"), col("tenant"))
+    }),
+
+    // Temporal graph delta — "what changed in the audit graph": edges of
+    // the second half of the window vs the first, one pass (union with a
+    // side tag → per-edge presence flags → per-relation rollup). The
+    // operational diff a provenance consumer actually reads.
+    "k3_graph_delta" -> ((s, d) => {
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      def half(cond: org.apache.spark.sql.Column, tag: String) =
+        CtsParity.edges(CtsParity.toCloudEvents(
+            CtsParity.eventsAsTraces(Tables.events(s, d).filter(cond))))
+          .select(col("rel"), col("src_key"), col("dst_key"),
+            lit(if (tag == "a") 1L else 0L).as("in_a"),
+            lit(if (tag == "b") 1L else 0L).as("in_b"))
+      half(col("ts") < split, "a").unionAll(half(col("ts") >= split, "b"))
+        .groupBy(col("rel"), col("src_key"), col("dst_key"))
+        .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
+        .groupBy(col("rel"))
+        .agg(sum(col("a")).as("n_first"), sum(col("b")).as("n_second"),
+          sum(when(col("b") === 1 && col("a") === 0, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n_gone"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n_stable"))
+        .orderBy(col("rel"))
+    }),
+
     // Graph centrality over the provenance graph — fixed-point integer
     // PageRank (see CtsParity.pageRank for the determinism + scale story).
     // The kind graph is a DAG (ACTION→RESOURCE→TENANT→REGION is the
@@ -126,6 +176,21 @@ object Parity {
       |    resource_id AS resourceid, region, "domain", tenant
       |  FROM tr
       |)""".stripMargin
+
+  /** The 5-relation edge fan-out (neo4j/client.go:15-20) as a SQL union
+    * over a ce-shaped relation — shared by every graph oracle so the
+    * edge spelling can never diverge between them. */
+  private def edgeUnion(src: String): String =
+    s"""
+       |  SELECT 'APPLIED_ON' AS rel, 'ACTION' AS src_kind, id AS src_key,
+       |         'RESOURCE' AS dst_kind, resourceid AS dst_key FROM $src
+       |  UNION ALL SELECT 'LOCATED_AT', 'TENANT', tenant || '|' || "domain",
+       |         'REGION', region FROM $src
+       |  UNION ALL SELECT 'MEMBER_OF', 'RESOURCE', resourceid,
+       |         'TENANT', tenant || '|' || "domain" FROM $src
+       |  UNION ALL SELECT 'WITH_STATUS', 'ACTION', id, 'STATUS', status FROM $src
+       |  UNION ALL SELECT 'PERFORMED_BY', 'ACTION', id, 'SUBJECT', subject FROM $src
+       |""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "p_ce_transform" -> (traceCte +
@@ -218,19 +283,43 @@ object Parity {
         |FROM r5 ORDER BY pr_fixed DESC, node LIMIT 20""".stripMargin
     },
 
-    "k3_graph_edges" -> (traceCte +
-      """
-        |, e AS (
-        |  SELECT 'APPLIED_ON' AS rel, 'ACTION' AS src_kind, id AS src_key,
-        |         'RESOURCE' AS dst_kind, resourceid AS dst_key FROM ce
-        |  UNION ALL SELECT 'LOCATED_AT', 'TENANT', tenant || '|' || "domain",
-        |         'REGION', region FROM ce
-        |  UNION ALL SELECT 'MEMBER_OF', 'RESOURCE', resourceid,
-        |         'TENANT', tenant || '|' || "domain" FROM ce
-        |  UNION ALL SELECT 'WITH_STATUS', 'ACTION', id, 'STATUS', status FROM ce
-        |  UNION ALL SELECT 'PERFORMED_BY', 'ACTION', id, 'SUBJECT', subject FROM ce
-        |)
+    "k3_graph_edges" -> (traceCte + s"""
+        |, e AS (${edgeUnion("ce")})
         |SELECT DISTINCT rel, src_kind, src_key, dst_kind, dst_key
-        |FROM e ORDER BY rel, src_key, dst_key""".stripMargin)
+        |FROM e ORDER BY rel, src_key, dst_key""".stripMargin),
+
+    // join semantics, not per-row semantics: a tenant LOCATED_AT several
+    // regions fans each chain out to all of them — mirror the 3-way edge
+    // join exactly
+    "k3_chain" -> (traceCte + s"""
+        |, e AS (${edgeUnion("ce")}),
+        |ed AS (SELECT DISTINCT rel, src_key, dst_key FROM e)
+        |SELECT c3.dst_key AS region, c2.dst_key AS tenant,
+        |       CAST(count(DISTINCT c1.src_key) AS BIGINT) AS n_actions,
+        |       CAST(count(DISTINCT c1.dst_key) AS BIGINT) AS n_resources
+        |FROM ed c1
+        |JOIN ed c2 ON c2.rel = 'MEMBER_OF'  AND c2.src_key = c1.dst_key
+        |JOIN ed c3 ON c3.rel = 'LOCATED_AT' AND c3.src_key = c2.dst_key
+        |WHERE c1.rel = 'APPLIED_ON'
+        |GROUP BY 1, 2 ORDER BY region, tenant""".stripMargin),
+
+    "k3_graph_delta" -> (traceCte + s"""
+        |, cea AS (SELECT * FROM ce WHERE time <  TIMESTAMP '2024-01-15 00:00:00'),
+        |ceb AS (SELECT * FROM ce WHERE time >= TIMESTAMP '2024-01-15 00:00:00'),
+        |ea AS (SELECT DISTINCT rel, src_key, dst_key FROM (${edgeUnion("cea")})),
+        |eb AS (SELECT DISTINCT rel, src_key, dst_key FROM (${edgeUnion("ceb")})),
+        |tag AS (
+        |  SELECT rel, src_key, dst_key, 1 AS in_a, 0 AS in_b FROM ea
+        |  UNION ALL SELECT rel, src_key, dst_key, 0, 1 FROM eb
+        |), fl AS (
+        |  SELECT rel, src_key, dst_key, max(in_a) AS a, max(in_b) AS b
+        |  FROM tag GROUP BY 1, 2, 3
+        |)
+        |SELECT rel, CAST(sum(a) AS BIGINT) AS n_first,
+        |       CAST(sum(b) AS BIGINT) AS n_second,
+        |       CAST(sum(CASE WHEN b = 1 AND a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |       CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gone,
+        |       CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stable
+        |FROM fl GROUP BY rel ORDER BY rel""".stripMargin)
   )
 }
