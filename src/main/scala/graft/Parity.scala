@@ -111,19 +111,19 @@ object Parity {
     }),
 
     // Temporal graph delta — "what changed in the audit graph": edges of
-    // the second half of the window vs the first, one pass (union with a
-    // side tag → per-edge presence flags → per-relation rollup). The
-    // operational diff a provenance consumer actually reads.
+    // the second half of the window vs the first, in ONE scan (the time
+    // half rides the explode as a tag → per-edge presence flags →
+    // per-relation rollup; a per-half edge build would scan and
+    // CE-transform the feed twice). The operational diff a provenance
+    // consumer actually reads.
     "k3_graph_delta" -> ((s, d) => {
       val split = lit("2024-01-15 00:00:00").cast("timestamp")
-      def half(cond: org.apache.spark.sql.Column, tag: String) =
-        CtsParity.edges(CtsParity.toCloudEvents(
-            CtsParity.eventsAsTraces(Tables.events(s, d).filter(cond))))
-          .select(col("rel"), col("src_key"), col("dst_key"),
-            lit(if (tag == "a") 1L else 0L).as("in_a"),
-            lit(if (tag == "b") 1L else 0L).as("in_b"))
-      half(col("ts") < split, "a").unionAll(half(col("ts") >= split, "b"))
-        .groupBy(col("rel"), col("src_key"), col("dst_key"))
+      ce(s, d)
+        .select((col("time") < split).cast("long").as("in_a"),
+          (col("time") >= split).cast("long").as("in_b"),
+          explode(CtsParity.edgeArray).as("e"))
+        .groupBy(col("e.rel").as("rel"), col("e.src_key").as("src_key"),
+          col("e.dst_key").as("dst_key"))
         .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
         .groupBy(col("rel"))
         .agg(sum(col("a")).as("n_first"), sum(col("b")).as("n_second"),

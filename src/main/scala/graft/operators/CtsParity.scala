@@ -173,25 +173,31 @@ object CtsParity {
       .select(col("e.*"))
   }
 
-  /** Graph edge table — 5 relations (neo4j/client.go:15-20), unique on
-    * (rel, src_key, dst_key). Same single-scan explode shape as `nodes`. */
-  def edges(ce: DataFrame): DataFrame = {
+  /** The 5-relation edge fan-out (neo4j/client.go:15-20) as an
+    * array-of-structs expression over CE columns — the ONE spelling of
+    * the edge derivation, consumed by `edges` and by callers that need
+    * to carry extra columns (e.g. a time-half tag) through the explode. */
+  def edgeArray: Column = {
     def e(rel: String, srcKind: String, src: Column, dstKind: String, dst: Column) =
       struct(lit(rel).as("rel"),
         lit(srcKind).as("src_kind"), src.cast("string").as("src_key"),
         lit(dstKind).as("dst_kind"), dst.cast("string").as("dst_key"))
     val tenantKey = concat_ws("|", col("tenant"), col("domain"))
-    ce.select(explode(array(
-        e("APPLIED_ON", "ACTION", col("id"), "RESOURCE", col("resourceid")),
-        e("LOCATED_AT", "TENANT", tenantKey, "REGION", col("region")),
-        e("MEMBER_OF", "RESOURCE", col("resourceid"), "TENANT", tenantKey),
-        e("WITH_STATUS", "ACTION", col("id"), "STATUS", col("status")),
-        e("PERFORMED_BY", "ACTION", col("id"), "SUBJECT", col("subject"))
-      )).as("e"))
+    array(
+      e("APPLIED_ON", "ACTION", col("id"), "RESOURCE", col("resourceid")),
+      e("LOCATED_AT", "TENANT", tenantKey, "REGION", col("region")),
+      e("MEMBER_OF", "RESOURCE", col("resourceid"), "TENANT", tenantKey),
+      e("WITH_STATUS", "ACTION", col("id"), "STATUS", col("status")),
+      e("PERFORMED_BY", "ACTION", col("id"), "SUBJECT", col("subject")))
+  }
+
+  /** Graph edge table — 5 relations (neo4j/client.go:15-20), unique on
+    * (rel, src_key, dst_key). Same single-scan explode shape as `nodes`. */
+  def edges(ce: DataFrame): DataFrame =
+    ce.select(explode(edgeArray).as("e"))
       .select(col("e.*"))
       // all 5 columns are functionally determined by (rel, src_key,
       // dst_key), so distinct() ≡ dropDuplicates on the identity — and
       // stays a HashAggregate (see `nodes`).
       .distinct()
-  }
 }
