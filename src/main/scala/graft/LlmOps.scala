@@ -876,6 +876,9 @@ object LlmOps {
           docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n")),
           col("w_lang") === col("lang"), "left")
         .select(col("w_lang").as("lang"), coalesce(col("n"), lit(0L)).as("n"), col("w"))
+        // langs-sized, but its lineage is a corpus aggregate — persisted
+        // so the tFrame min and the takes base share ONE scan
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tFrame = counts.agg(min(expr("n * 100 div w")).as("t"))
       val takes = counts.crossJoin(broadcast(tFrame))
         .select(col("lang").as("tk_lang"), expr("(t * w) div 100").as("take"))

@@ -477,8 +477,12 @@ object Relational {
     // already leaves sparse mode at sf0.1: estimate 1488 vs 1500).
     "q_hll_rollup" -> ((s, d) => {
       val perUser = Tables.events(s, d)
-        .withColumn("day",
-          datediff(date_trunc("day", col("ts")), lit("1970-01-01").cast("date")))
+        // NULL users would count as a group here but are ignored by the
+        // oracle's COUNT(DISTINCT user_id) — pin the same semantics
+        .filter(col("user_id").isNotNull)
+        // datediff casts to DATE, which already truncates to the
+        // session-tz (UTC) day — same day integer the oracle groups on
+        .withColumn("day", datediff(col("ts"), lit("1970-01-01").cast("date")))
         .groupBy(col("event_type"), col("user_id"))
         .agg(expr("hll_sketch_agg(day)").as("sk"), count(lit(1)).as("n"))
       perUser.groupBy(col("event_type"))
