@@ -463,6 +463,32 @@ object Relational {
         .orderBy(col("s_suppkey"))
     }),
 
+    // NOT IN with a NULL-bearing subquery — the classic three-valued-
+    // logic trap: one NULL in the IN-list makes `x NOT IN (...)` UNKNOWN
+    // for every non-matching x, so the predicate keeps only rows where
+    // the comparison is definitively true of an EMPTY certainty set —
+    // here the NULL is planted (orderkey 1007's custkey nulled) in a
+    // RESTRICTED key list (orderkey < 2000) so the two branches visibly
+    // diverge: NOT IN returns 0 (the NULL poisons every non-match into
+    // UNKNOWN) while NOT EXISTS, which ignores NULLs, returns the
+    // intuitive hundreds. Catalyst plans the former as a null-aware
+    // anti join. Both engines must agree on BOTH numbers.
+    "q_not_in_null" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_nin")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer_nin")
+      s.sql(s"""
+        |WITH ks AS (SELECT CASE WHEN o_orderkey % 1000 = 7 THEN CAST(NULL AS BIGINT)
+        |                        ELSE o_custkey END AS k
+        |            FROM graft_orders_nin WHERE o_orderkey < 2000)
+        |SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n
+        |FROM graft_customer_nin WHERE c_custkey NOT IN (SELECT k FROM ks)
+        |UNION ALL
+        |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |FROM graft_customer_nin c
+        |WHERE NOT EXISTS (SELECT 1 FROM ks WHERE ks.k = c.c_custkey)
+        |ORDER BY variant""".stripMargin)
+    }),
+
     // Mergeable-sketch rollup — the property that makes approximate
     // distinct-counting work at 100 TB: per-(type, day) HLL sketches are
     // built ONCE (pre-aggregation), then merged upward with
@@ -786,6 +812,18 @@ object Relational {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey = 3
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+
+    "q_not_in_null" ->
+      """WITH ks AS (SELECT CASE WHEN o_orderkey % 1000 = 7 THEN CAST(NULL AS BIGINT)
+        |                        ELSE o_custkey END AS k
+        |            FROM orders WHERE o_orderkey < 2000)
+        |SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n
+        |FROM customer WHERE c_custkey NOT IN (SELECT k FROM ks)
+        |UNION ALL
+        |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM ks WHERE ks.k = c.c_custkey)
+        |ORDER BY variant""".stripMargin,
 
     "q_hll_rollup" ->
       """SELECT event_type,
