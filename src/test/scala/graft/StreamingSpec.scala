@@ -179,5 +179,50 @@ class StreamingSpec extends AnyFunSuite {
     val after = spark.read.parquet(s"$stateDir/v1")
       .orderBy(col("user_id")).collect().toSeq
     assert(after === before, "a replayed batch must not double-apply")
+    // and the merged split equals the one-shot batch materialization
+    val got = spark.read.parquet(s"$stateDir/v1")
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_op"), col("last_value"),
+        col("last_ts"), col("n_changes"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime, r.getLong(4)))
+    val want = Analytic.queries("w_cdc_apply")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime, r.getLong(4)))
+    assert(got.toSeq === want.toSeq, "even/odd split must merge to the batch answer")
+  }
+
+  test("late row beyond the watermark is dropped, finalized window unchanged") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val agg = input.toDF().toDF("id", "ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("w.start").as("ws"), col("n"), col("s"))
+    val q = agg.writeStream
+      .format("memory").queryName("late_mem").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), 1.0), (2L, ts(5), 2.0))
+      q.processAllAvailable()
+      // jump event time far ahead: watermark passes the first window, it
+      // finalizes and emits
+      input.addData((3L, ts(120), 4.0))
+      q.processAllAvailable()
+      val emitted = spark.table("late_mem")
+        .select(col("n"), col("s")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(emitted.toSeq === Seq((2L, 3.0)), "first window finalizes with its 2 rows")
+      // a row for the already-finalized window arrives AFTER the
+      // watermark passed it: it must be dropped, not re-emitted
+      input.addData((4L, ts(1), 100.0))
+      q.processAllAvailable()
+      val after = spark.table("late_mem")
+        .select(col("n"), col("s")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(after.toSeq === Seq((2L, 3.0)),
+        "late data beyond the watermark must not resurrect a finalized window")
+    } finally q.stop()
   }
 }
