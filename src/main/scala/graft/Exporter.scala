@@ -57,6 +57,15 @@ object Exporter {
     // the merge is a pure column substitution (still one codegen Project);
     // the map-typed merge (CloudEventFns.mergeExtensions, P6) remains the
     // row-varying path and is oracle-checked in p_ce_payload.
+    // CloudEvents reserves the core attribute names — the SDK's
+    // SetExtension cannot touch them (adapter.go:256-261 only ever sets
+    // extension attributes), so an override named like one is a config
+    // error, not a merge: silently replacing e.g. `id` with one literal
+    // would collapse every event under the receiver's MERGE identity.
+    val reserved = Set("id", "source", "type", "subject", "time")
+    val bad = overrides.keySet.intersect(reserved)
+    require(bad.isEmpty,
+      s"K_CE_OVERRIDES cannot override core CE attributes: ${bad.mkString(", ")}")
     val overridden = baseExtensionKeys.foldLeft(base) { (df, k) =>
       overrides.get(k).fold(df)(v => df.withColumn(k, lit(v)))
     }

@@ -279,7 +279,11 @@ object LlmOps {
     * pair graph — iterative min-label propagation (see l_dedup_clusters
     * doc for the scale argument). The LSH pair pipeline runs once and is
     * persisted; the loop touches only (doc_id, label) longs. */
-  private def dedupLabels(s: SparkSession, d: String): DataFrame = {
+  /** The verified near-dup pair frame (d1 < d2, exact Jaccard ≥
+    * NEAR_DUP_J over LSH candidates) — THE near-dup detection pipeline,
+    * shared by the l_minhash_lsh row and the clustering loop so the
+    * cluster rows are by construction the closure of the pair row. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBands(s, d)
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -288,8 +292,12 @@ object LlmOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val pairs = jaccardOf(cand, shingleSets(s, d))
+    jaccardOf(cand, shingleSets(s, d))
       .filter(col("jaccard") >= NEAR_DUP_J)
+  }
+
+  private def dedupLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = nearDupPairs(s, d)
       .select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
@@ -326,6 +334,12 @@ object LlmOps {
       labels = merged.select(col("v"), col("label"))
       iters += 1
     }
+    // a component with diameter > the cap would exit the loop with
+    // multiple labels and SILENTLY emit several representatives for one
+    // real cluster — fail loudly instead (near-dup clusters are shallow;
+    // hitting this means the threshold, not the cap, is wrong)
+    require(changed == 0L,
+      s"dedupLabels: label propagation did not converge within $iters passes")
     labels
   }
 
@@ -383,19 +397,8 @@ object LlmOps {
     // verify of the candidates. Candidate generation is linear + bucket-
     // local; no all-pairs anywhere — the O(n²) cartesian this replaces is
     // the difference between feasible and impossible at 100 TB.
-    "l_minhash_lsh" -> ((s, d) => {
-      val bands = minhashBands(s, d)
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      jaccardOf(cand, shingleSets(s, d))
-        .filter(col("jaccard") >= NEAR_DUP_J)
-        .orderBy(col("d1"), col("d2"))
-    }),
+    "l_minhash_lsh" -> ((s, d) =>
+      nearDupPairs(s, d).orderBy(col("d1"), col("d2"))),
 
     // Near-dup ground truth: exact n-gram Jaccard over pairs sharing ≥ 1
     // shingle (inverted-index join). The intersection count comes STRAIGHT
@@ -985,6 +988,14 @@ object LlmOps {
     // per-doc score folds term contributions in FIXED term order (pivot
     // style) so the double addition order is engine-independent — the
     // same cross-engine-determinism discipline as the hash kernels.
+    // Residual cross-engine risk at the top-10 cut: docs with IDENTICAL
+    // (tf, dl, df) profiles run the identical arithmetic on both engines
+    // (bit-equal scores, doc_id breaks the tie); docs with different
+    // profiles differ by margins far above the ≤1-ulp divergence JVM log
+    // vs DuckDB ln can introduce, so the cut cannot flip in practice —
+    // an adversarial corpus engineered to score within 1 ulp across
+    // different profiles could, and an all-integer surrogate score would
+    // be the fix then.
     "l_bm25" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
@@ -1140,12 +1151,7 @@ object LlmOps {
   private def clusterLabelsCte: String = {
     val withRec = shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$withRec, $minhashCandCte,
-       |inter AS (
-       |  SELECT c.d1, c.d2, count(*) AS n_shared
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.d1
-       |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
-       |  GROUP BY c.d1, c.d2),
+       |$interCte,
        |pairs AS (
        |  SELECT i.d1, i.d2
        |  FROM inter i
@@ -1162,14 +1168,21 @@ object LlmOps {
        |labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
   }
 
+  /** Shared-shingle intersection counts for the `cand` pairs — ONE SQL
+    * spelling of the exact-Jaccard numerator, shared by jaccardSql and
+    * clusterLabelsCte so the cluster oracle can never drift from the
+    * pair oracle it is the closure of. */
+  private val interCte: String =
+    """inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS n_shared
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.d1
+      |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
+      |  GROUP BY c.d1, c.d2)""".stripMargin
+
   private def jaccardSql(candCte: String): String =
     s"""$shingleCte, $candCte,
-       |inter AS (
-       |  SELECT c.d1, c.d2, count(*) AS n_shared
-       |  FROM cand c
-       |  JOIN sh a ON a.doc_id = c.d1
-       |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
-       |  GROUP BY c.d1, c.d2)
+       |$interCte
        |SELECT i.d1, i.d2, i.n_shared, s1.n AS n1, s2.n AS n2,
        |       CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) AS jaccard
        |FROM inter i

@@ -411,9 +411,12 @@ object Relational {
       // pay-the-exchange-at-write-time, so repeated query builds (Bench
       // samples) must time only the shuffle-free join, not re-pay the
       // write. The dir rides in the table name so a session that switches
-      // SF dirs never reads a stale table. Single-session assumption: the
-      // in-memory catalog + warehouse dir are not shared across sessions.
-      val tag = java.lang.Integer.toHexString(d.hashCode).replace('-', 'm')
+      // SF dirs never reads a stale table — the SANITIZED PATH itself,
+      // not a hash of it (a 32-bit hash collision between two dirs would
+      // silently serve the other scale factor's data). Single-session
+      // assumption: the in-memory catalog + warehouse dir are not shared
+      // across sessions.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val ordersTbl = s"graft_orders_b_$tag"
       val lineitemTbl = s"graft_lineitem_b_$tag"
       if (!s.catalog.tableExists(ordersTbl))

@@ -467,8 +467,7 @@ object StreamingOps {
     // batch plan; provably so, since the row shares the batch oracle.
     "s_quality" -> ((s, d) => {
       val scored = graft.LlmOps.qualityProjection(readDocumentsStream(s, d))
-      val out = drainToParquet(scored, "append")
-      s.read.option("recursiveFileLookup", "true").parquet(out)
+      readSink(s, drainToParquet(scored, "append"))
         .orderBy(org.apache.spark.sql.functions.col("doc_id"))
     }),
     // Streaming CDC: incremental MERGE materialization of the changelog

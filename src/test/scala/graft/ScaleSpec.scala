@@ -69,10 +69,16 @@ class ScaleSpec extends AnyFunSuite {
     val joined = Scale.saltedJoin(fact, dim,
       col("l_partkey"), col("p_partkey"), col("l_quantity"), 8)
     assert(!joined.columns.contains("__salt"), "salt column must not leak")
-    val replicated = Scale.saltedJoin(
-      fact.limit(0), // empty fact: count replicas via the dim side alone
-      dim, col("l_partkey"), col("p_partkey"), col("l_quantity"), 8)
-    assert(replicated.count() === 0L)
+    // a crafted fact whose salt sources spray across every bucket: each
+    // row must find EXACTLY its one replica (64 in → 64 out); a missing
+    // replica loses rows, a broadcast-all dim would multiply them
+    import spark.implicits._
+    val factS = (0 until 64).map(i => (1L, i.toDouble)).toDF("k", "src")
+    val dimS = Seq((1L, "d")).toDF("dk", "name")
+    val oneToOne = Scale.saltedJoin(factS, dimS,
+      col("k"), col("dk"), saltSource = col("src"), buckets = 8)
+    assert(oneToOne.count() === 64L,
+      "every fact row must meet exactly one dim replica")
   }
 
   test("bloomPrune keeps every true match, drops most non-matches, and preserves the join answer") {
