@@ -77,6 +77,16 @@ class ExporterSpec extends AnyFunSuite {
     assert(lines(out).isEmpty)
   }
 
+  test("overrides naming core CE attributes are rejected, not merged") {
+    val out = Files.createTempDirectory("exporter-out-").toString
+    val ex = intercept[IllegalArgumentException] {
+      Exporter.run(spark, Exporter.Config(fixtures().toString, out,
+        overrides = Map("id" -> "boom", "team" -> "data")))
+    }
+    assert(ex.getMessage.contains("core CE attributes"))
+    assert(lines(out).isEmpty, "nothing may be delivered on a config error")
+  }
+
   test("streaming toggle (C6) delivers the same events through writeStream") {
     val out = Files.createTempDirectory("exporter-out-").toString
     Exporter.run(spark,
