@@ -62,7 +62,12 @@ object Exporter {
     // extension attributes), so an override named like one is a config
     // error, not a merge: silently replacing e.g. `id` with one literal
     // would collapse every event under the receiver's MERGE identity.
-    val reserved = Set("id", "source", "type", "subject", "time")
+    // The full CE core set, not just the five columns in this frame:
+    // specversion/datacontenttype/dataschema (+ the data payload itself)
+    // are equally reserved by the spec, and an override named after one
+    // must be rejected, not appended as a bogus top-level envelope field.
+    val reserved = Set("id", "source", "type", "subject", "time",
+      "specversion", "datacontenttype", "dataschema", "data")
     val bad = overrides.keySet.intersect(reserved)
     require(bad.isEmpty,
       s"K_CE_OVERRIDES cannot override core CE attributes: ${bad.mkString(", ")}")
@@ -104,12 +109,50 @@ object Exporter {
     }
   }
 
-  /** CLI: Exporter <pagesDir> <outDir> [--streams] [--pull-only] */
-  def main(args: Array[String]): Unit = {
+  /** K_CE_OVERRIDES deployment parity (adapter.go:57-65): the reference
+    * reads its override map as a JSON object from an env var at startup.
+    * Same contract here: a flat JSON object of string values. Non-object
+    * or non-string shapes are config errors (the Go side's
+    * json.Unmarshal into map[string]string fails the same way), and
+    * reserved core attributes are rejected downstream by toCloudEvents. */
+  private[graft] def parseOverrides(json: String): Map[String, String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(node != null && node.isObject,
+      s"overrides must be a JSON object of string values, got: $json")
+    val it = node.properties().iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      require(e.getValue.isTextual,
+        s"override '${e.getKey}' must be a JSON string, got: ${e.getValue}")
+      b += e.getKey -> e.getValue.asText()
+    }
+    b.result()
+  }
+
+  /** Arg/env → Config, factored out of main so the spec can drive the
+    * exact config path main uses without main's session lifecycle.
+    * `--overrides '{...}'` wins over the GRAFT_CE_OVERRIDES env var —
+    * CLI-explicit beats ambient, the usual precedence. */
+  private[graft] def parseArgs(args: Array[String],
+                               env: Map[String, String] = sys.env): Config = {
     val pages = args(0); val out = args(1)
-    val cfg = Config(pages, out,
+    val ovIdx = args.indexOf("--overrides")
+    val ovJson =
+      if (ovIdx >= 0) {
+        require(ovIdx + 1 < args.length, "--overrides needs a JSON argument")
+        Some(args(ovIdx + 1))
+      } else env.get("GRAFT_CE_OVERRIDES")
+    Config(pages, out,
       streams = args.contains("--streams"),
-      pushAndPull = !args.contains("--pull-only"))
+      pushAndPull = !args.contains("--pull-only"),
+      overrides = ovJson.fold(Map.empty[String, String])(parseOverrides))
+  }
+
+  /** CLI: Exporter <pagesDir> <outDir> [--streams] [--pull-only]
+    *            [--overrides '{"k":"v"}']  (or GRAFT_CE_OVERRIDES env) */
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.session.timeZone", "UTC")

@@ -138,11 +138,11 @@ object Parity {
     // The kind graph is a DAG (ACTION→RESOURCE→TENANT→REGION is the
     // longest chain, 3 hops), so the rank vector reaches its EXACT fixed
     // point after depth+1 = 4 passes — verified: the DuckDB oracle's r4
-    // equals r10 bit-for-bit. 5 passes = one margin pass, zero rank
-    // drift, and half the iteration cost of a blind 10.
+    // equals r10 bit-for-bit. 4 passes IS the fixed point; running more
+    // buys zero rank drift at ~1.3 s per pass.
     // Top-20 is a TakeOrderedAndProject, not a global sort.
     "k3_pagerank" -> ((s, d) =>
-      CtsParity.pageRank(CtsParity.linkPairs(ce(s, d)), iters = 5)
+      CtsParity.pageRank(CtsParity.linkPairs(ce(s, d)), iters = 4)
         .orderBy(col("pr_fixed").desc, col("node"))
         .limit(20)
         .select(col("node"), col("pr_fixed"),
@@ -254,7 +254,7 @@ object Parity {
     // the Spark plan — integer sums are order-independent, so the two
     // engines agree bit-for-bit with no float-fold discipline needed.
     "k3_pagerank" -> {
-      val iterCtes = (1 to 5).map { i =>
+      val iterCtes = (1 to 4).map { i =>
         s"""r$i AS (
            |  SELECT v.node,
            |    CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr_fixed
@@ -280,7 +280,7 @@ object Parity {
         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_fixed FROM verts),
         |$iterCtes
         |SELECT node, pr_fixed, CAST(pr_fixed AS DOUBLE) / 1000000000.0 AS pr
-        |FROM r5 ORDER BY pr_fixed DESC, node LIMIT 20""".stripMargin
+        |FROM r4 ORDER BY pr_fixed DESC, node LIMIT 20""".stripMargin
     },
 
     "k3_graph_edges" -> (traceCte + s"""

@@ -411,12 +411,16 @@ object Relational {
       // pay-the-exchange-at-write-time, so repeated query builds (Bench
       // samples) must time only the shuffle-free join, not re-pay the
       // write. The dir rides in the table name so a session that switches
-      // SF dirs never reads a stale table — the SANITIZED PATH itself,
-      // not a hash of it (a 32-bit hash collision between two dirs would
-      // silently serve the other scale factor's data). Single-session
-      // assumption: the in-memory catalog + warehouse dir are not shared
-      // across sessions.
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // SF dirs never reads a stale table: the sanitized path keeps the
+      // tag readable, and the appended MD5 of the RAW path keeps it
+      // collision-free (sanitizing alone is non-injective — `sf0.1` and
+      // `sf0_1` both sanitize to `sf0_1` and would silently serve each
+      // other's data; a 32-bit hash alone could collide between dirs).
+      // Single-session assumption: the in-memory catalog + warehouse dir
+      // are not shared across sessions.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val ordersTbl = s"graft_orders_b_$tag"
       val lineitemTbl = s"graft_lineitem_b_$tag"
       if (!s.catalog.tableExists(ordersTbl))
@@ -506,17 +510,21 @@ object Relational {
     // already leaves sparse mode at sf0.1: estimate 1488 vs 1500).
     "q_hll_rollup" -> ((s, d) => {
       val perUser = Tables.events(s, d)
-        // NULL users would count as a group here but are ignored by the
-        // oracle's COUNT(DISTINCT user_id) — pin the same semantics
-        .filter(col("user_id").isNotNull)
         // datediff casts to DATE, which already truncates to the
         // session-tz (UTC) day — same day integer the oracle groups on
         .withColumn("day", datediff(col("ts"), lit("1970-01-01").cast("date")))
+        // NO null filter here: a NULL user forms its own group, so its
+        // events and days still reach n_events/n_days — matching the
+        // oracle's count(*)/count(DISTINCT day) over the WHOLE feed.
+        // Only n_users skips the NULL group, via count(user_id) below
+        // (COUNT(col) ignores NULLs = the oracle's COUNT(DISTINCT
+        // user_id) semantics). A NULL-bearing feed now agrees on all
+        // three columns instead of only by luck of clean testdata.
         .groupBy(col("event_type"), col("user_id"))
         .agg(expr("hll_sketch_agg(day)").as("sk"), count(lit(1)).as("n"))
       perUser.groupBy(col("event_type"))
         .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("n_days"),
-          count(lit(1)).as("n_users"),
+          count(col("user_id")).as("n_users"),
           sum(col("n")).as("n_events"))
         .orderBy(col("event_type"))
     }),

@@ -36,5 +36,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => WordNGramArray(es.head, Generators.literalN(es(1)))),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(str, n) - UDTF: one row per word n-gram"),
-      (es: Seq[Expression]) => WordNGrams(es.head, Generators.literalN(es(1)))))
+      (es: Seq[Expression]) => WordNGrams(es.head, Generators.literalN(es(1)))),
+    (FunctionIdentifier("graft_bloom_might_contain"),
+      info("graft_bloom_might_contain",
+        "graft_bloom_might_contain(sketch, key) - bloom probe of a BIGINT key against a constant serialized sketch"),
+      (es: Seq[Expression]) => BloomMightContainLong(es.head, es(1))))
 }

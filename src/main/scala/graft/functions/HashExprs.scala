@@ -3,10 +3,12 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, JavaCode, TrueLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Shared compute kernels, called from both interpreted eval and the
   * generated Java (Scala objects emit static forwarders, so codegen can
@@ -127,6 +129,65 @@ case class PlaneDot(child: Expression, a: Long, b: Long) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe over a long key, codegen'd. The sketch
+  * arrives as a FOLDABLE binary child (the serialized filter), is
+  * deserialized ONCE per plan/task — never per row — and the generated
+  * code is a single virtual call on the deserialized filter, so the probe
+  * stays inside whole-stage codegen (a boxed `udf` here breaks codegen
+  * for the whole stage and boxes every key on what is by construction the
+  * 100 TB fact-scan hot path). Same design as Spark's own runtime-filter
+  * `BloomFilterMightContain`: the bytes ride the plan, and the scheduler
+  * broadcasts task binaries per stage, so the sketch ships to each
+  * executor once per stage — an explicit `Broadcast` would buy nothing.
+  *
+  * NULL key → NULL (dropped by a Filter, matching "prune unknown keys");
+  * NULL sketch → NULL for every row. */
+case class BloomMightContainLong(sketch: Expression, key: Expression)
+    extends BinaryExpression {
+  override def left: Expression = sketch
+  override def right: Expression = key
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!sketch.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a constant (foldable) BINARY sketch")
+    else (sketch.dataType, key.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, k) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (BINARY, BIGINT) inputs, got ($s, $k)")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val filter: BloomFilter = {
+    val bytes = sketch.eval().asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override protected def nullSafeEval(sketchBytes: Any, k: Any): Any =
+    filter.mightContainLong(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (filter == null) {
+      ev.copy(isNull = TrueLiteral, value = JavaCode.defaultLiteral(dataType))
+    } else {
+      val bf = ctx.addReferenceObj("graftBloomFilter", filter,
+        classOf[BloomFilter].getName)
+      val keyEv = key.genCode(ctx)
+      ev.copy(code = code"""
+        ${keyEv.code}
+        boolean ${ev.isNull} = ${keyEv.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = $bf.mightContainLong(${keyEv.value});
+        }""")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContainLong =
+    copy(sketch = newLeft, key = newRight)
+}
+
 object HashExprs {
   private def expr(c: Column) = GraftSqlBridge.expression(c)
 
@@ -135,4 +196,6 @@ object HashExprs {
     GraftSqlBridge.column(FloatVecDot(expr(a), expr(b)))
   def planeDot(v: Column, a: Long, b: Long): Column =
     GraftSqlBridge.column(PlaneDot(expr(v), a, b))
+  def bloomMightContain(sketch: Column, key: Column): Column =
+    GraftSqlBridge.column(BloomMightContainLong(expr(sketch), expr(key)))
 }

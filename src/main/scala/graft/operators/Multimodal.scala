@@ -10,11 +10,12 @@ import org.apache.spark.sql.Dataset
   * matters at 100 TB (payload bytes never shuffle; features are extracted
   * next to the scan and only the small feature rows travel on).
   *
-  * The byte-level decoding is STUBBED — this container ships no image/
-  * audio/video codecs — behind deterministic fakes that derive plausible
-  * dimensions from the payload content. The dataflow (schema, typed
-  * Dataset API, partition-batch shape, per-partition init point) is real;
-  * swapping `decodeImageStub` for an actual codec touches nothing else.
+  * Decode is REAL for the uncompressed containers a pure JVM can parse
+  * with no codec dependency: BMP (pixel dimensions from the DIB header)
+  * and WAV (sample rate / channels / duration from the RIFF chunks).
+  * Compressed formats (JPEG/PNG/MP4...) still fall back to a clearly
+  * deterministic fake — this container ships no codecs — behind the same
+  * seam: swapping the fallback for an actual codec touches nothing else.
   */
 object Multimodal {
 
@@ -27,17 +28,87 @@ object Multimodal {
                            checksum: Long, width: Int, height: Int,
                            thumb_w: Int, thumb_h: Int)
 
+  /** Audio features from a WAV header — duration math, no sample decode. */
+  case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                     nFrames: Long) {
+    def durationMs: Long =
+      if (sampleRate <= 0) 0L else nFrames * 1000L / sampleRate
+  }
+
   /** Rolling content checksum (same polynomial family as LlmOps hashes). */
   def checksum(payload: Array[Byte]): Long =
     payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
 
-  /** STUB image decode — a real implementation would parse the container
-    * header (PNG IHDR / JPEG SOF) or hand bytes to a codec. Deterministic
-    * fake: dimensions derived from the content checksum. */
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** REAL BMP decode: "BM" magic, then the DIB header at offset 14 —
+    * BITMAPINFOHEADER-family (header size >= 40: int32 width at 18, int32
+    * height at 22, negative height = top-down row order) or the ancient
+    * BITMAPCOREHEADER (size 12: uint16 fields). Returns None for anything
+    * that is not a well-formed BMP — the caller, not the parser, decides
+    * what a non-decodable payload means. */
+  def decodeBmp(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 26 || payload(0) != 'B' || payload(1) != 'M') return None
+    val dibSize = i32le(payload, 14)
+    if (dibSize == 12) { // BITMAPCOREHEADER: uint16 width/height
+      val w = u16le(payload, 18); val h = u16le(payload, 20)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else if (dibSize >= 40 && payload.length >= 26) {
+      val w = i32le(payload, 18)
+      val h = math.abs(i32le(payload, 22)) // negative = top-down, same pixels
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
+  }
+
+  /** REAL WAV decode: RIFF/WAVE container walk — "fmt " chunk carries
+    * channels / sample rate / block align, "data" chunk's size over block
+    * align is the frame count. Odd-sized chunks are padded to even per the
+    * RIFF spec. No sample decoding — the header math IS the audio
+    * metadata a training pipeline filters on (rate, channels, duration). */
+  def decodeWav(payload: Array[Byte]): Option[WavInfo] = {
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    // Long offset: a corrupt/huge chunk size must walk OFF the end and
+    // terminate, never wrap an int into an infinite loop
+    var off = 12L
+    var rate = 0; var chans = 0; var bits = 0; var blockAlign = 0
+    var dataBytes = -1L
+    while (off + 8 <= payload.length) {
+      val o = off.toInt
+      val id = tag(o)
+      val size = i32le(payload, o + 4).toLong & 0xffffffffL
+      if (id == "fmt " && off + 24 <= payload.length) {
+        chans = u16le(payload, o + 10)
+        rate = i32le(payload, o + 12)
+        blockAlign = u16le(payload, o + 20)
+        bits = u16le(payload, o + 22)
+      } else if (id == "data") {
+        // size may exceed what's present (truncated file): trust the bytes
+        dataBytes = math.min(size, payload.length - off - 8)
+      }
+      off += 8 + size + (size & 1) // RIFF chunks pad to even
+    }
+    if (rate > 0 && chans > 0 && blockAlign > 0 && dataBytes >= 0)
+      Some(WavInfo(rate, chans, bits, dataBytes / blockAlign))
+    else None
+  }
+
+  /** Deterministic FAKE for formats with no shipped codec (JPEG/PNG/...):
+    * dimensions derived from the content checksum. Clearly labeled — real
+    * decode for these means linking a codec at this exact seam. */
   def decodeImageStub(payload: Array[Byte]): (Int, Int) = {
     val cs = checksum(payload)
     (64 + (cs % 1024).toInt, 48 + ((cs / 1024) % 768).toInt)
   }
+
+  /** Image decode dispatch: real parse where the container allows it
+    * (BMP today), stub fallback elsewhere. */
+  def decodeImage(payload: Array[Byte]): (Int, Int) =
+    decodeBmp(payload).getOrElse(decodeImageStub(payload))
 
   /** Resize step's aspect-preserving target math (the pixel work would
     * live in the codec; this is the part the pipeline owns). */
@@ -56,14 +127,48 @@ object Multimodal {
     else (0 until k).map(i => (i.toLong * nFrames / k).toInt).distinct
   }
 
+  /** Minimal valid BMP writer (BITMAPINFOHEADER, 24bpp, no pixel data
+    * beyond zero padding) — lets tests and fixtures round-trip the REAL
+    * parser without any image library. */
+  def makeBmp(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val pixelBytes = rowBytes * h
+    val size = 54 + pixelBytes
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.array()
+  }
+
+  /** Minimal valid PCM WAV writer (header + silent frames) — the REAL
+    * parser's round-trip fixture. */
+  def makeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+              nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataBytes = nFrames * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+    b.putShort(bitsPerSample.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    b.array()
+  }
+
   /** The partition-batched extract: one decoder init per partition. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // A real codec/session handle would be created HERE, once per
-      // partition, and closed when the iterator drains.
+      // partition, and reused until the iterator drains.
       rows.map { r =>
-        val (w, h) = decodeImageStub(r.payload)
+        val (w, h) = decodeImage(r.payload)
         val (tw, th) = thumbDims(w, h)
         MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
           checksum(r.payload), w, h, tw, th)

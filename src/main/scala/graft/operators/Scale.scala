@@ -92,6 +92,13 @@ object Scale {
     * Long-typed keys only — the sketch hashes raw longs, so no row
     * serialization rides the broadcast. Returns the pruned fact frame;
     * the caller owns the join itself.
+    *
+    * The probe is a native codegen expression
+    * ([[graft.functions.BloomMightContainLong]]), NOT a udf: the fact
+    * scan stays inside whole-stage codegen and keys are never boxed. The
+    * serialized sketch rides the plan as a binary literal — the scheduler
+    * broadcasts task binaries per stage, so it ships to each executor
+    * once, exactly like Spark's own injected runtime bloom filters.
     */
   def bloomPrune(fact: DataFrame, factKey: Column,
                  dim: DataFrame, dimKey: Column,
@@ -107,10 +114,10 @@ object Scale {
       .treeAggregate(BloomFilter.create(expectedItems, fpp))(
         (f, k) => { f.putLong(k); f },
         (a, b) => a.mergeInPlace(b))
-    val bcast = fact.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) =>
-      k != null && bcast.value.mightContainLong(k))
-    fact.filter(might(factKey.cast("long")))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    fact.filter(graft.functions.HashExprs.bloomMightContain(
+      lit(bos.toByteArray), factKey.cast("long")))
   }
 
   /** Morton (z-order) key over `cols`: each column is min-max normalized

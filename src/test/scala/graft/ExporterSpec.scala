@@ -52,7 +52,7 @@ class ExporterSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("exporter-out-").toString
     val d = Exporter.run(spark, Exporter.Config(fixtures().toString, out,
       overrides = Map("region" -> "eu-nl", "status" -> "audited",
-                      "specversion" -> "1.0")))
+                      "pipeline" -> "graft")))
     assert(d === Some(graft.operators.CloudEventSink.Delivery(5, 0)))
     val ls = lines(out)
     assert(ls.size === 5)
@@ -62,7 +62,7 @@ class ExporterSpec extends AnyFunSuite {
     assert(ls.forall(_.contains(""""region":"eu-nl"""")), "override wins over context value")
     assert(ls.forall(_.contains(""""status":"audited"""")), "base attribute overridable")
     assert(ls.forall(!_.contains(""""status":"normal"""")), "no second conflicting value")
-    assert(ls.forall(_.contains(""""specversion":"1.0"""")), "new override key appears")
+    assert(ls.forall(_.contains(""""pipeline":"graft"""")), "new override key appears")
     assert(ls.forall(_.contains(""""tenant":"ten-0"""")), "non-overridden key survives")
     assert(ls.forall(!_.contains(""""extensions"""")),
       "extensions are flat on the envelope, matching the CE JSON format")
@@ -85,6 +85,51 @@ class ExporterSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("core CE attributes"))
     assert(lines(out).isEmpty, "nothing may be delivered on a config error")
+    // the FULL core set is guarded — specversion/datacontenttype/dataschema
+    // /data are spec-reserved even though no frame column carries them, and
+    // must be config errors rather than bogus top-level envelope fields
+    Seq("specversion", "datacontenttype", "dataschema", "data").foreach { k =>
+      val e = intercept[IllegalArgumentException] {
+        Exporter.run(spark, Exporter.Config(fixtures().toString, out,
+          overrides = Map(k -> "x")))
+      }
+      assert(e.getMessage.contains("core CE attributes"), s"'$k' must be reserved")
+    }
+  }
+
+  test("--overrides / GRAFT_CE_OVERRIDES drive the config path end-to-end") {
+    // K_CE_OVERRIDES deployment parity (adapter.go:57-65): overrides enter
+    // as a JSON object via CLI arg or env var, through the SAME parse main
+    // uses, and land flat on every delivered envelope
+    val out = Files.createTempDirectory("exporter-out-").toString
+    val cfg = Exporter.parseArgs(Array(fixtures().toString, out,
+      "--overrides", """{"region":"eu-nl","pipeline":"graft"}"""))
+    assert(cfg.overrides === Map("region" -> "eu-nl", "pipeline" -> "graft"))
+    val d = Exporter.run(spark, cfg)
+    assert(d === Some(graft.operators.CloudEventSink.Delivery(5, 0)))
+    val ls = lines(out)
+    assert(ls.size === 5)
+    assert(ls.forall(_.contains(""""region":"eu-nl"""")))
+    assert(ls.forall(_.contains(""""pipeline":"graft"""")))
+    // env fallback, and CLI-explicit beats ambient env
+    val envCfg = Exporter.parseArgs(Array("p", "o"),
+      env = Map("GRAFT_CE_OVERRIDES" -> """{"team":"data"}"""))
+    assert(envCfg.overrides === Map("team" -> "data"))
+    val bothCfg = Exporter.parseArgs(
+      Array("p", "o", "--overrides", """{"a":"b"}"""),
+      env = Map("GRAFT_CE_OVERRIDES" -> """{"team":"data"}"""))
+    assert(bothCfg.overrides === Map("a" -> "b"))
+    // non-object / non-string shapes are config errors (the reference's
+    // json.Unmarshal into map[string]string fails the same way)
+    intercept[IllegalArgumentException](Exporter.parseOverrides("""["x"]"""))
+    intercept[IllegalArgumentException](Exporter.parseOverrides("""{"k":1}"""))
+    // reserved core attributes are rejected through this path too
+    val out2 = Files.createTempDirectory("exporter-out-").toString
+    intercept[IllegalArgumentException] {
+      Exporter.run(spark, Exporter.parseArgs(Array(fixtures().toString, out2,
+        "--overrides", """{"specversion":"2.0"}""")))
+    }
+    assert(lines(out2).isEmpty)
   }
 
   test("streaming toggle (C6) delivers the same events through writeStream") {

@@ -4,9 +4,52 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{MediaRow, MediaFeatures}
 
-/** The multimodal mapPartitions plumbing: stubbed decode, real dataflow. */
+/** The multimodal mapPartitions plumbing: REAL header decode for the
+  * uncompressed containers (BMP/WAV), stub fallback for codec formats. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  test("decodeBmp parses real BMP bytes: dimensions round-trip the writer") {
+    for ((w, h) <- Seq((1, 1), (640, 480), (1920, 1080), (3, 7))) {
+      val bytes = Multimodal.makeBmp(w, h)
+      assert(Multimodal.decodeBmp(bytes) === Some((w, h)), s"${w}x$h")
+      // dispatch picks the REAL parse for BMP, not the stub
+      assert(Multimodal.decodeImage(bytes) === ((w, h)))
+    }
+    // top-down BMP (negative height) decodes to the same pixel dimensions
+    val td = Multimodal.makeBmp(320, 200)
+    val buf = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -200)
+    assert(Multimodal.decodeBmp(td) === Some((320, 200)))
+    // non-BMP bytes are None, never a garbage parse
+    assert(Multimodal.decodeBmp("not an image".getBytes("UTF-8")) === None)
+    assert(Multimodal.decodeBmp(Array[Byte]('B', 'M')) === None)
+  }
+
+  test("decodeWav parses real RIFF/WAVE bytes: rate, channels, duration") {
+    val wav = Multimodal.makeWav(44100, 2, 16, nFrames = 22050)
+    val info = Multimodal.decodeWav(wav).get
+    assert(info.sampleRate === 44100)
+    assert(info.channels === 2)
+    assert(info.bitsPerSample === 16)
+    assert(info.nFrames === 22050L)
+    assert(info.durationMs === 500L)
+    // mono 8-bit at 8 kHz, 2 s
+    val lo = Multimodal.decodeWav(Multimodal.makeWav(8000, 1, 8, 16000)).get
+    assert(lo.durationMs === 2000L && lo.channels === 1)
+    // a TRUNCATED data chunk reports the frames actually present and a
+    // corrupt chunk size terminates instead of looping
+    val cut = wav.take(wav.length - 44100) // drop half the sample bytes
+    val cutInfo = Multimodal.decodeWav(cut).get
+    assert(cutInfo.nFrames === (22050L * 4 - 44100) / 4)
+    val corrupt = wav.clone()
+    java.nio.ByteBuffer.wrap(corrupt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, -1) // data size = 0xFFFFFFFF
+    assert(Multimodal.decodeWav(corrupt).map(_.sampleRate) === Some(44100))
+    // non-WAV bytes are None
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes("US-ASCII") ++
+      new Array[Byte](40)) === None)
+  }
 
   test("checksum is deterministic, order-sensitive, in [0, P)") {
     val a = "abc".getBytes("UTF-8"); val b = "acb".getBytes("UTF-8")
@@ -48,5 +91,21 @@ class MultimodalSpec extends AnyFunSuite {
       val (w, h) = Multimodal.decodeImageStub(s"payload-${f.doc_id}".getBytes("UTF-8"))
       assert((f.width, f.height) === ((w, h)))
     }
+  }
+
+  test("extractFeatures really decodes BMP payloads in the distributed path") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image/bmp", Multimodal.makeBmp(640, 480)),
+      MediaRow(2L, "image/bmp", Multimodal.makeBmp(1920, 1080)),
+      MediaRow(3L, "image/png", "not-a-bmp".getBytes("UTF-8"))).toDS().repartition(2)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) === ((640, 480)))
+    assert((feats(2L).width, feats(2L).height) === ((1920, 1080)))
+    assert((feats(2L).thumb_w, feats(2L).thumb_h) === ((128, 72)))
+    // the non-BMP row fell through to the labeled stub, not a crash
+    val (sw, sh) = Multimodal.decodeImageStub("not-a-bmp".getBytes("UTF-8"))
+    assert((feats(3L).width, feats(3L).height) === ((sw, sh)))
   }
 }

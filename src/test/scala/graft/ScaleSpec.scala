@@ -106,6 +106,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaBloom === direct)
   }
 
+  test("bloomPrune probes via a native expression inside whole-stage codegen") {
+    val fact = Tables.lineitem(spark, d)
+      .select(col("l_suppkey"), col("l_quantity"))
+    val dim = Tables.supplier(spark, d)
+      .filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey"))
+    val pruned = Scale.bloomPrune(fact, col("l_suppkey"),
+      dim, col("s_suppkey"), expectedItems = 1000L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"native probe expression missing from the plan:\n${plan.take(2000)}")
+    // codegen'd spans print with the "*(stageId)" prefix; the boxed-udf
+    // version this replaced printed a bare Filter and broke codegen for
+    // the whole fact-scan stage
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(plan).isDefined,
+      s"bloom probe fell out of whole-stage codegen:\n${plan.take(2000)}")
+    // NULL keys are pruned (same observable semantics as the old udf's
+    // `k != null && mightContain(k)`)
+    import spark.implicits._
+    val withNull = Seq[java.lang.Long](1L, null, 999999L).toDF("k")
+    val keptRows = Scale.bloomPrune(withNull, col("k"),
+      Seq(1L).toDF("dk"), col("dk"), expectedItems = 10L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(keptRows === Seq(1L), s"expected only the true match, got $keptRows")
+  }
+
   test("bloomPrune of an empty dim prunes everything (and does not crash)") {
     val fact = Tables.lineitem(spark, d).select(col("l_suppkey"))
     val dim = Tables.supplier(spark, d)
