@@ -296,30 +296,49 @@ object LlmOps {
       .filter(col("jaccard") >= NEAR_DUP_J)
   }
 
-  private def dedupLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = nearDupPairs(s, d)
-      .select(col("d1"), col("d2"))
+  /** Connected components over an undirected pair frame (d1 < d2 long
+    * ids) → (v, label) with label = the component's min id. Min-label
+    * propagation with POINTER JUMPING: each pass takes the min label
+    * across edges (1-hop) and then follows label chains one step
+    * (label := label(label)), which roughly halves the height of any
+    * chain per pass — convergence in O(log diameter) passes instead of
+    * O(diameter). Near-dup clusters are shallow, but ONE adversarial
+    * shared-prefix chain (500 docs each overlapping the next) must not
+    * abort a whole cleaning run: with doubling, the 25-pass cap covers
+    * diameters beyond 2^20 before the fail-loud require can trigger.
+    *
+    * Per pass: the frames carry only (long, long) labels and ONE job
+    * runs — the convergence check is FUSED (the owner's current label
+    * rides the union with an own-flag, so "did any label improve" is a
+    * filter over the pass result, not a second join job), and the pass
+    * result is LAZILY localCheckpoint'ed so that same counting job also
+    * materializes its blocks and TRUNCATES LINEAGE. Truncation is
+    * load-bearing, not hygiene: the jump self-join doubles the logical
+    * plan each pass, so an un-truncated loop pays 2^passes planning
+    * cost and OOMs the driver around pass ~10 regardless of data size.
+    * changed==0 is a sound exit: no improvement under the 1-hop min
+    * means labels are equal across every edge, i.e. constant per
+    * component — nothing a further pass (or jump) could lower. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
     // seed labels with min(self, neighbors) — one aggregate, and the
     // dominant cluster shape (disjoint pairs) is already converged, so
     // the loop usually runs its single verification pass and stops
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("v"), least(col("src"), col("mn")).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the frame actually holding the cache (labels may be a projection
-    // of it after the first pass — unpersist must hit the cached plan)
+    // the frame actually holding the cache (labels is a projection of it
+    // after the first pass — unpersist must hit the cached plan)
     var cached = labels
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < 25) {
-      // convergence check FUSED into the propagation aggregate: the
-      // owner's current label rides the union with an own-flag, so
-      // "did any label improve" is a filter over the same cached result
-      // instead of a second join-the-old-frame job per pass (every v has
-      // exactly one own row — edges are symmetrized, so prop can't
-      // surface a vertex the label frame lacks)
+      // 1-hop: min over own + neighbor labels (every v has exactly one
+      // own row — edges are symmetrized, so prop can't surface a vertex
+      // the label frame lacks)
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("label"), lit(0).as("own"))
       val merged = labels.select(col("v"), col("label"), lit(1).as("own"))
@@ -327,21 +346,33 @@ object LlmOps {
         .groupBy(col("v"))
         .agg(min(col("label")).as("label"),
           max(when(col("own") === 1, col("label"))).as("own_label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = merged.filter(col("label") < col("own_label")).count()
+      // pointer jump: label := label(label). Every label IS a vertex id
+      // in the frame (labels are mins over vertex ids), so the left
+      // join's fallback arm is belt-and-braces only. The lazy local
+      // checkpoint materializes + truncates under the SAME count job.
+      val jumped = merged.as("a")
+        .join(merged.as("b"), col("a.label") === col("b.v"), "left")
+        .select(col("a.v").as("v"),
+          coalesce(col("b.label"), col("a.label")).as("label"),
+          col("a.own_label").as("own_label"))
+        .localCheckpoint(false)
+      changed = jumped.filter(col("label") < col("own_label")).count()
       cached.unpersist()
-      cached = merged
-      labels = merged.select(col("v"), col("label"))
+      cached = jumped
+      labels = jumped.select(col("v"), col("label"))
       iters += 1
     }
-    // a component with diameter > the cap would exit the loop with
-    // multiple labels and SILENTLY emit several representatives for one
-    // real cluster — fail loudly instead (near-dup clusters are shallow;
-    // hitting this means the threshold, not the cap, is wrong)
+    p.unpersist()
+    // a component that somehow outruns even doubling would exit the loop
+    // with multiple labels and SILENTLY emit several representatives for
+    // one real cluster — fail loudly instead
     require(changed == 0L,
-      s"dedupLabels: label propagation did not converge within $iters passes")
+      s"connectedComponents: label propagation did not converge within $iters passes")
     labels
   }
+
+  private def dedupLabels(s: SparkSession, d: String): DataFrame =
+    connectedComponents(nearDupPairs(s, d).select(col("d1"), col("d2")))
 
   def queries: Map[String, Q] = Map(
 

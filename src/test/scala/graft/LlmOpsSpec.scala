@@ -141,6 +141,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clusters.map(_._1).toSet === paired, "cluster membership must equal paired docs")
   }
 
+  test("connectedComponents survives an adversarial 500-doc chain (pointer jumping)") {
+    import spark.implicits._
+    // one shared-prefix chain: doc i near-dups doc i+1 — diameter 499.
+    // plain 1-hop min propagation needs one pass per hop and would trip
+    // the 25-pass fail-loud cap; pointer jumping converges in O(log n)
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = LlmOps.connectedComponents(chain).collect()
+    assert(labels.length === 500)
+    assert(labels.forall(_.getLong(1) === 0L),
+      "the whole chain must collapse to the min-id label")
+  }
+
+  test("property: connectedComponents matches a local union-find on random graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield es.distinct
+    // 6 independent random graphs, vertex ids offset so one Spark CC run
+    // covers them all without cross-graph merging
+    val all = (0 until 6).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).toSeq.flatMap(
+        _.map { case (a, b) => (i * 1000L + a, i * 1000L + b) }))
+    val got = LlmOps.connectedComponents(all.toDF("d1", "d2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: path-compressed union-find, canonical label = min member
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = all.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .groupBy(find).flatMap { case (_, vs) => val m = vs.min; vs.map(_ -> m) }
+    assert(got === expect)
+  }
+
   test("pack: bins fill sequentially per bucket, every doc placed exactly once") {
     val rows = run("l_pack").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
