@@ -155,6 +155,31 @@ object LlmOps {
     * every planted pair is found twice — once from each side — and
     * orientation + distinct collapses them, so the result provably equals
     * the batch l_minhash_lsh row and SHARES its oracle SQL. */
+  /** Per-row LSH signature of a (doc_id, text) frame: the DISTINCT
+    * shingle-hash set, plus one exploded (band, bucket) row per band —
+    * computed STATELESSLY per row (shingle-hash array → 32 affine mins →
+    * band buckets; HOF lambdas evaluate interpreted — the price of
+    * statelessness; the hot parts, n-gram + poly-hash, remain native
+    * expressions). Identical math to the batch minhashBands, usable on a
+    * streaming frame (no groupBy, no state store). */
+  private[graft] def signatureFrame(df: DataFrame): DataFrame = {
+    val hsCol = array_distinct(transform(
+      graft.functions.Generators.wordNGramArray(lower(col("text")), 3),
+      sh => polyHash(sh)))
+    val minsCol = array((0 until K).map(i =>
+      array_min(transform(col("hs"), h => (lit(A(i)) * h + lit(B(i))) % P))): _*)
+    def bucket(j: Int): Column =
+      (R * j + 1 until R * (j + 1)).foldLeft(element_at(col("mins"), R * j + 1)) {
+        (acc, i) => (acc * M + element_at(col("mins"), i + 1)) % P
+      }
+    df.select(col("doc_id"), col("text"))
+      .withColumn("hs", hsCol).drop("text")
+      .withColumn("mins", minsCol)
+      .select(col("doc_id"), col("hs"), explode(array((0 until BANDS).map(j =>
+        struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("b"))
+      .select(col("doc_id"), col("hs"), col("b.band"), col("b.bucket"))
+  }
+
   def streamNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.StreamingOps
     // static corpus index, built batch-side once (at scale: written as
@@ -163,25 +188,7 @@ object LlmOps {
       .select(col("doc_id").as("s_id"), col("band"), col("bucket"))
     val statSets = shingleSets(s, d)
       .select(col("doc_id").as("s_id2"), col("hs").as("s_hs"))
-    // stream side: per-row signature from the same kernels (HOF lambdas
-    // evaluate interpreted — the price of statelessness; the hot parts,
-    // n-gram + poly-hash, remain native expressions)
-    val hs = array_distinct(transform(
-      graft.functions.Generators.wordNGramArray(lower(col("text")), 3),
-      sh => polyHash(sh)))
-    val mins = array((0 until K).map(i =>
-      array_min(transform(col("hs"), h => (lit(A(i)) * h + lit(B(i))) % P))): _*)
-    def bucket(j: Int): Column =
-      (R * j + 1 until R * (j + 1)).foldLeft(element_at(col("mins"), R * j + 1)) {
-        (acc, i) => (acc * M + element_at(col("mins"), i + 1)) % P
-      }
-    val stream = StreamingOps.readDocumentsStream(s, d)
-      .select(col("doc_id"), col("text"))
-      .withColumn("hs", hs).drop("text")
-      .withColumn("mins", mins)
-      .select(col("doc_id"), col("hs"), explode(array((0 until BANDS).map(j =>
-        struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("b"))
-      .select(col("doc_id"), col("hs"), col("b.band"), col("b.bucket"))
+    val stream = signatureFrame(StreamingOps.readDocumentsStream(s, d))
     // band collisions can surface a candidate up to BANDS times; the
     // verify is re-run rather than deduped in-stream (stateless — an
     // in-stream dropDuplicates would grow keyed state unboundedly without
@@ -208,6 +215,94 @@ object LlmOps {
     s.read.option("recursiveFileLookup", "true").parquet(out)
       .distinct() // each pair surfaces from both sides' ingest
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** One micro-batch of the FULL admission loop ([[streamNearDupMaintained]]):
+    * check the batch against the index-so-far, reject near-dups, fold the
+    * admitted docs' signatures INTO the index so the NEXT batch sees them
+    * (what [[streamNearDup]]'s static-index shape deliberately leaves out).
+    *
+    * Idempotence under at-least-once redelivery: all writes land in
+    * deterministic `b<batchId>` directories with overwrite, and the
+    * index-so-far read takes ONLY the seed plus directories with id <
+    * batchId — never this batch's own (possibly half-written) output or
+    * anything later — so a replayed batch recomputes its original
+    * decision and rewrites the same files.
+    *
+    * Admission rule (deterministic, one pass): a doc is rejected iff it
+    * near-dups the index-so-far or a SMALLER-id doc of its own batch
+    * (first-come-wins inside a batch; conservative on the rare in-batch
+    * chain where the smaller doc is itself rejected). At 100 TB the index
+    * is a bucketed table and the candidate join shuffles on
+    * (band, bucket) — work stays proportional to bucket collisions. */
+  private[graft] def admitBatch(batch: DataFrame, batchId: Long,
+                                indexDir: String, admitDir: String): Unit = {
+    val s = batch.sparkSession
+    val sig = signatureFrame(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def jaccardCol(a: Column, b: Column): Column = {
+      val shared = size(array_intersect(a, b)).cast("double")
+      shared / (size(a).cast("double") + size(b).cast("double") - shared)
+    }
+    val priorDirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && (f.getName == "seed" ||
+        (f.getName.startsWith("b") && f.getName.drop(1).forall(_.isDigit) &&
+          f.getName.drop(1).toLong < batchId)))
+      .map(_.getAbsolutePath)
+    val vsIndex: DataFrame =
+      if (priorDirs.isEmpty)
+        sig.select(col("doc_id"), col("doc_id").as("dup_of")).limit(0)
+      else {
+        val idx = s.read.parquet(priorDirs: _*)
+        val idxBands = idx.select(col("doc_id").as("s_id"),
+          col("band").as("i_band"), col("bucket").as("i_bucket"))
+        val idxSets = idx.select(col("doc_id").as("s_id2"), col("hs").as("s_hs"))
+          .dropDuplicates("s_id2")
+        sig.join(idxBands,
+            col("band") === col("i_band") && col("bucket") === col("i_bucket"))
+          .select(col("doc_id"), col("hs"), col("s_id")).distinct()
+          .join(idxSets, col("s_id") === col("s_id2"))
+          .filter(jaccardCol(col("hs"), col("s_hs")) >= NEAR_DUP_J)
+          .select(col("doc_id"), col("s_id").as("dup_of"))
+      }
+    val other = sig.select(col("doc_id").as("o_id"), col("hs").as("o_hs"),
+      col("band").as("o_band"), col("bucket").as("o_bucket"))
+    val inBatch = sig.join(other,
+        col("band") === col("o_band") && col("bucket") === col("o_bucket") &&
+          col("doc_id") > col("o_id"))
+      .select(col("doc_id"), col("hs"), col("o_id"), col("o_hs")).distinct()
+      .filter(jaccardCol(col("hs"), col("o_hs")) >= NEAR_DUP_J)
+      .select(col("doc_id"), col("o_id").as("dup_of"))
+    val rejected = vsIndex.unionByName(inBatch)
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+    val log = sig.select(col("doc_id")).distinct()
+      .join(rejected, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("admitted"), col("dup_of"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    log.write.mode("overwrite").parquet(s"$admitDir/b$batchId")
+    sig.join(log.filter(col("admitted")).select(col("doc_id")), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+    log.unpersist()
+    sig.unpersist()
+  }
+
+  /** Streaming near-dup admission WITH index maintenance: drains `docs`
+    * (a streaming (doc_id, text, ...) frame) batch-by-batch through
+    * [[admitBatch]]. After the run, `admitDir/b<i>` holds each batch's
+    * per-doc verdict (doc_id, admitted, dup_of) and `indexDir` holds the
+    * grown LSH index — a doc admitted in batch N is index content for
+    * batch N+1, closing the loop the static-index variant leaves open. */
+  def streamNearDupMaintained(docs: DataFrame, indexDir: String,
+                              admitDir: String): Unit = {
+    docs.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-admit-ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, batchId, indexDir, admitDir)
+      }
+      .start().awaitTermination()
   }
 
   /** Exact Jaccard over candidate pairs: intersect/union via codegen'd

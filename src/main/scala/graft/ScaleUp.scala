@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stress-data derivation: scale a driver testdata dir by N× for scale
+  * runs beyond the shipped sf0.1 (the driver generates sf ≤ 0.1 only;
+  * /root/testdata is read-only). Usage:
+  *
+  *   ScaleUp <srcSfDir> <dstDir> <factor>
+  *
+  * Each table becomes N stacked copies with per-copy key offsets of
+  * (max key + 1), so every foreign-key relationship of the source holds
+  * inside each copy and copies never collide: orders of copy i reference
+  * customers of copy i, lineitems reference copy-i orders/parts/
+  * suppliers, events' user_id rides the CUSTOMER offset (it joins
+  * c_custkey in the stream-static join). region/nation stay fixed —
+  * TPC-H scales fact tables, never the 25-nation dimension — and
+  * nationkey columns are left untouched accordingly.
+  *
+  * Content transforms keep derived workloads LINEAR in N instead of
+  * degenerate:
+  *  - documents: copy i > 0 gets a per-TOKEN copy tag (every word w →
+  *    w + "c<i>"), so each copy's shingle universe is disjoint from every
+  *    other's — near-dup structure replicates within each copy (the tag
+  *    is position-uniform, preserving n-gram overlap patterns exactly)
+  *    and NO cross-copy near-dups appear. Tagging the whole doc instead
+  *    (or copying verbatim) would turn every doc into an N-way near-dup
+  *    cluster and inflate the LSH pair count quadratically.
+  *  - embeddings: copy i's vectors are circularly component-rotated by
+  *    i·7 positions — an orthogonal transform, so every intra-copy
+  *    cosine/distance is EXACTLY preserved (ANN/k-means/PQ workloads
+  *    replicate) while cross-copy cosine decorrelates to the vectors'
+  *    autocorrelation, far below any near-dup threshold.
+  *  - events keep their timestamps: N× events across the same 30-day
+  *    window is how a stream actually scales (denser days, not a longer
+  *    history).
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val dst = args(1); val n = args(2).toInt
+    require(n >= 1, s"factor must be >= 1, got $n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    /** max(key)+1 — the per-copy id stride for a dense 0-based key. */
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+
+    /** N stacked copies, each transformed by `f(df, i)`. */
+    def stack(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(i => f(df, i)).reduce(_ unionAll _)
+
+    val (cust, supp, part, ord, li, ev, docs, emb) =
+      (read("customer"), read("supplier"), read("part"), read("orders"),
+        read("lineitem"), read("events"), read("documents"), read("embeddings"))
+    val (cs, ss, ps, os, es, ds, vs) =
+      (stride(cust, "c_custkey"), stride(supp, "s_suppkey"),
+        stride(part, "p_partkey"), stride(ord, "o_orderkey"),
+        stride(ev, "event_id"), stride(docs, "doc_id"), stride(emb, "vec_id"))
+
+    // fixed dimensions: copied verbatim
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    write(stack(cust)((d, i) => d
+      .withColumn("c_custkey", col("c_custkey") + lit(cs * i))), "customer")
+    write(stack(supp)((d, i) => d
+      .withColumn("s_suppkey", col("s_suppkey") + lit(ss * i))), "supplier")
+    write(stack(part)((d, i) => d
+      .withColumn("p_partkey", col("p_partkey") + lit(ps * i))), "part")
+    write(stack(ord)((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(os * i))
+      .withColumn("o_custkey", col("o_custkey") + lit(cs * i))), "orders")
+    write(stack(li)((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(os * i))
+      .withColumn("l_partkey", col("l_partkey") + lit(ps * i))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(ss * i))), "lineitem")
+    write(stack(ev)((d, i) => d
+      .withColumn("event_id", col("event_id") + lit(es * i))
+      .withColumn("user_id", col("user_id") + lit(cs * i))), "events")
+    write(stack(docs)((d, i) => {
+      val tagged =
+        if (i == 0) d
+        else d.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1c" + i))
+      tagged
+        .withColumn("doc_id", col("doc_id") + lit(ds * i))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }), "documents")
+    write(stack(emb)((d, i) => {
+      val rotated =
+        if (i == 0) d
+        else d.withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> element_at(embedding, " +
+            s"CAST((j + ${i * 7}) % size(embedding) AS INT) + 1))"))
+      rotated.withColumn("vec_id", col("vec_id") + lit(vs * i))
+    }), "embeddings")
+
+    println(s"""{"scaled": "$src -> $dst", "factor": $n}""")
+    spark.stop()
+  }
+}

@@ -426,10 +426,16 @@ object StreamingOps {
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
   }
 
-  private[graft] def cdcApplyInto(stream: DataFrame, stateDir: String): String = {
+  /** `checkpointDir` is exposed so a caller (or test) can stop a run and
+    * RESTART a new query against the same checkpoint: committed offsets
+    * and the batchId counter recover, so the versioned state continues
+    * where the previous query left off instead of reprocessing. */
+  private[graft] def cdcApplyInto(stream: DataFrame, stateDir: String,
+                                  checkpointDir: String = null): String = {
     val s = stream.sparkSession
     stream.writeStream
-      .option("checkpointLocation", tmp("graft-cdc-ckpt-"))
+      .option("checkpointLocation",
+        Option(checkpointDir).getOrElse(tmp("graft-cdc-ckpt-")))
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -194,6 +194,99 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq, "even/odd split must merge to the batch answer")
   }
 
+  test("streaming CDC: restart from checkpoint resumes versioned state exactly-once") {
+    val e = Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("event_type"))
+    val feedDir = java.nio.file.Files.createTempDirectory("cdc-restart-feed-").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("cdc-restart-ckpt-").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("cdc-restart-state-").toString
+    def stream() = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    // run 1: first half of the feed, then the query terminates (the
+    // "kill": AvailableNow drains what exists and stops)
+    e.filter(col("event_id") % 2 === 0).repartition(2)
+      .write.mode("overwrite").parquet(feedDir)
+    StreamingOps.cdcApplyInto(stream(), stateDir, ckptDir)
+    val versionsAfterRun1 = new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(versionsAfterRun1 >= 2, "run 1 must have produced versioned state")
+    // run 2: the rest of the feed lands; a NEW query starts from the SAME
+    // checkpoint — committed offsets recover, so only the new files are
+    // processed and the version counter continues
+    e.filter(col("event_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(feedDir)
+    val current = StreamingOps.cdcApplyInto(stream(), stateDir, ckptDir)
+    val versionsAfterRun2 = new java.io.File(stateDir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(versionsAfterRun2 > versionsAfterRun1,
+      "the restarted query must continue versioning, not restart from v0")
+    // exactly-once across the restart: the final state equals the one-shot
+    // batch materialization (reprocessing run 1's files would double
+    // n_changes; skipping them would lose keys)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime, r.getLong(4))
+    val got = spark.read.parquet(current)
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_op"), col("last_value"),
+        col("last_ts"), col("n_changes"))
+      .orderBy(col("user_id")).collect().map(key)
+    val want = Analytic.queries("w_cdc_apply")(spark, TestSpark.sfDir)
+      .collect().map(key)
+    assert(got.toSeq === want.toSeq,
+      "state after checkpoint restart must equal the batch materialization")
+  }
+
+  test("streaming LSH admission: a doc admitted in batch N is caught in batch N+1") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val docSchema = Tables.documents(spark, TestSpark.sfDir).schema
+    val feedDir = java.nio.file.Files.createTempDirectory("admit-feed-")
+    def writeDocFile(name: String, mtime: Long,
+                     rows: Seq[(Long, String)]): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("admit-stage-")
+      rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = feedDir.resolve(name).toFile
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime))
+    }
+    // batch 0: doc 1 (fresh) + doc 5 (unrelated); batch 1: doc 2, a
+    // near-dup of doc 1 ONLY — catching it requires the index to have
+    // grown by batch 0's admissions (the initial index is EMPTY)
+    writeDocFile("a.parquet", 1700000000000L, Seq(
+      1L -> (base + " alpha"),
+      5L -> "completely different text about spark structured streaming state stores tonight"))
+    writeDocFile("b.parquet", 1700000100000L, Seq(2L -> (base + " beta")))
+    val indexDir = java.nio.file.Files.createTempDirectory("admit-index-").toString
+    val admitDir = java.nio.file.Files.createTempDirectory("admit-log-").toString
+    val docs = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
+    LlmOps.streamNearDupMaintained(docs, indexDir, admitDir)
+    def verdicts(b: Int) = spark.read.parquet(s"$admitDir/b$b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val b0 = verdicts(0)
+    assert(b0 === Map(1L -> (true, -1L), 5L -> (true, -1L)),
+      s"batch 0 must admit both docs against the empty index, got $b0")
+    val b1 = verdicts(1)
+    assert(b1 === Map(2L -> (false, 1L)),
+      s"batch 1 must reject doc 2 as a dup of batch-0-admitted doc 1, got $b1")
+    // the index grew by exactly the admitted docs
+    val indexed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(indexDir).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(1L, 5L))
+    // redelivery of batch 1 (crash-after-commit replay) reproduces the
+    // SAME decision: the index-so-far read excludes b1-and-later dirs
+    val batch1 = spark.read.parquet(feedDir.resolve("b.parquet").toString)
+    LlmOps.admitBatch(batch1, 1L, indexDir, admitDir)
+    assert(verdicts(1) === b1, "replayed batch must rewrite its verdict identically")
+  }
+
   test("late row beyond the watermark is dropped, finalized window unchanged") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
