@@ -47,9 +47,12 @@ object Bench {
     }
 
     val batchQueries = SparkEntry.queries.filterNot(_._1.startsWith("s_")).toSeq
-    // pass 0 = warm-up (discarded), passes 1..3 recorded
+    // pass 0 = warm-up (discarded), passes 1..SPARK_GRAFT_PASSES recorded
+    // (default 3; large-SF stress runs set 1 — at 10× data each pass is
+    // ~10 min and run-to-run JIT variance is amortized by query length)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val samples = collection.mutable.Map.empty[String, List[Double]]
-    for (pass <- 0 to 3; (name, fn) <- batchQueries) {
+    for (pass <- 0 to passes; (name, fn) <- batchQueries) {
       val t = try runOnce(fn) catch { case _: Throwable => -1.0 }
       if (pass > 0) samples(name) = t :: samples.getOrElse(name, Nil)
     }

@@ -327,25 +327,32 @@ object LlmOps {
     * serves the batch row (`l_quality_filter`) and the ingest-time
     * streaming admission gate (`s_quality`): a quality gate at 100 TB
     * runs at scan speed wherever the documents enter. Emits keep + the
-    * first failing reason per doc. */
+    * first failing reason per doc.
+    *
+    * Token/stopword/symbol counts come from ONE pass of the native
+    * `TextQualityStats` kernel (round 7) — the previous HOF spelling
+    * (`filter(toks, t = 'the' or ...)`) walked an interpreted expression
+    * tree per TOKEN and `regexp_extract_all` materialized every symbol
+    * match just to count them; measured ~7× slower on the sf1 stress
+    * corpus where this query was the suite's #2 cost. The kernel
+    * replicates the built-in spellings bit-for-bit (HashExprsSpec
+    * property-tests the equality), so the DuckDB oracle is unchanged. */
   private[graft] def qualityProjection(df: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), " ")
-    val nTok = size(toks).cast("long")
+    val q = graft.functions.HashExprs.textQuality(col("text"))
+    val nTok = col("__q.n_tokens")
     val meanLen = (col("n_chars") - (nTok - 1)).cast("double") / nTok.cast("double")
-    val stopHits = size(filter(toks, t =>
-      STOPWORDS.map(w => t === w).reduce(_ || _))).cast("long")
-    val stopRatio = stopHits.cast("double") / nTok.cast("double")
-    val symbols = size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)")).cast("long")
-    val symbolRatio = symbols.cast("double") / col("n_chars").cast("double")
+    val stopRatio = col("__q.stop_hits").cast("double") / nTok.cast("double")
+    val symbolRatio = col("__q.n_symbols").cast("double") / col("n_chars").cast("double")
     val reason = when(nTok < 20, lit("too_short"))
       .when(meanLen < 2.0 || meanLen > 12.0, lit("token_len"))
       .when(symbolRatio > 0.2, lit("symbols"))
       .when(stopRatio < 0.02, lit("stopwords"))
       .otherwise(lit("ok"))
-    df.select(col("doc_id"), col("lang"),
-      nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
-      stopRatio.as("stop_ratio"), symbolRatio.as("symbol_ratio"),
-      (reason === "ok").as("keep"), reason.as("reason"))
+    df.withColumn("__q", q)
+      .select(col("doc_id"), col("lang"),
+        nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
+        stopRatio.as("stop_ratio"), symbolRatio.as("symbol_ratio"),
+        (reason === "ok").as("keep"), reason.as("reason"))
   }
 
   /** Offset shift for fixed-point embedding quantization (l_kmeans, l_pq):

@@ -129,6 +129,79 @@ case class PlaneDot(child: Expression, a: Long, b: Long) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** One-pass text-quality kernel backing [[TextQualityStats]]. Replicates
+  * EXACTLY, in one walk over the lowercased string:
+  *  - n_tokens  = size(split(lower(s), ' '))        — Java regex split with
+  *    limit -1 keeps leading/interior/trailing empty segments, so the
+  *    count is #spaces + 1 on ANY input (incl. empty);
+  *  - stop_hits = size(filter(tokens, t ∈ STOPWORDS)) — region compare,
+  *    no substring allocation (stopwords are ≤ 3 chars);
+  *  - n_symbols = size(regexp_extract_all(lower(s), '[^a-z0-9 ]', 0)) —
+  *    one count per code point outside [a-z0-9 ].
+  * The HOF spelling walks an interpreted expression tree per TOKEN and
+  * the regexp materializes every match to count them — this kernel is the
+  * same values at scan speed (the quality gate is the shape that runs on
+  * every ingested document at 100 TB). Equality with the built-in
+  * spelling is property-tested in HashExprsSpec. */
+object TextKernels {
+  /** Must mirror LlmOps.STOPWORDS (the oracle SQL interpolates the same
+    * list); equality is pinned by LlmOpsSpec + the l_quality_filter row. */
+  private val STOP = Array("the", "a", "of", "and", "to", "in")
+
+  private def isStop(s: String, off: Int, len: Int): Boolean = {
+    var k = 0
+    while (k < STOP.length) {
+      if (STOP(k).length == len && s.regionMatches(off, STOP(k), 0, len))
+        return true
+      k += 1
+    }
+    false
+  }
+
+  def qualityCounts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toLowerCase.toString
+    val n = str.length
+    var nTok = 1L; var stop = 0L; var sym = 0L
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        val len = i - tokStart
+        if (len >= 1 && len <= 3 && isStop(str, tokStart, len)) stop += 1
+        if (i < n) nTok += 1
+        tokStart = i + 1
+        i += 1
+      } else {
+        val cp = str.codePointAt(i)
+        if (!((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9'))) sym += 1
+        i += Character.charCount(cp)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, stop, sym))
+  }
+}
+
+/** (n_tokens, stop_hits, n_symbols) of a document in ONE codegen'd pass —
+  * see [[TextKernels.qualityCounts]] for the exact built-in spelling each
+  * field replicates. */
+case class TextQualityStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("n_symbols", LongType, nullable = false)))
+  override def prettyName: String = "graft_text_quality"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.qualityCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.qualityCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextQualityStats =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership probe over a long key, codegen'd. The sketch
   * arrives as a FOLDABLE binary child (the serialized filter), is
   * deserialized ONCE per plan/task — never per row — and the generated
@@ -198,4 +271,6 @@ object HashExprs {
     GraftSqlBridge.column(PlaneDot(expr(v), a, b))
   def bloomMightContain(sketch: Column, key: Column): Column =
     GraftSqlBridge.column(BloomMightContainLong(expr(sketch), expr(key)))
+  def textQuality(c: Column): Column =
+    GraftSqlBridge.column(TextQualityStats(expr(c)))
 }

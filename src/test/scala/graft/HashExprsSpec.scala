@@ -64,6 +64,67 @@ class HashExprsSpec extends AnyFunSuite {
       "SELECT graft_vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").head().getDouble(0) === 11.0)
   }
 
+  test("TextQualityStats == the HOF/regexp spellings it replaces, on adversarial strings") {
+    val word = Gen.oneOf("the", "a", "of", "and", "to", "in", "The", "AND",
+      "fox", "thé", "42", "a,b", "", "...", "¡é!", "x")
+    val gen = for {
+      ws <- Gen.listOf(word)
+      sep <- Gen.oneOf(" ", "  ", " \t")
+    } yield ws.mkString(sep)
+    val strs = samples(gen, 250) ++ Seq("", " ", "  ", "a  b ", " the ",
+      "the the the", "Thé Quick BROWN fox!! 99 of,and to", "\ta\tb", "🙂 𝒳 of")
+    val df = strs.toDF("s").select(
+      HashExprs.textQuality(col("s")).as("q"),
+      expr("size(split(lower(s), ' '))").cast("long").as("nt"),
+      expr("size(filter(split(lower(s), ' '), t -> t = 'the' or t = 'a' or " +
+        "t = 'of' or t = 'and' or t = 'to' or t = 'in'))").cast("long").as("sh"),
+      expr("size(regexp_extract_all(lower(s), '[^a-z0-9 ]', 0))").cast("long").as("sy"))
+    val bad = df.filter(col("q.n_tokens") =!= col("nt") ||
+      col("q.stop_hits") =!= col("sh") || col("q.n_symbols") =!= col("sy"))
+    assert(bad.count() === 0L, s"kernel drift:\n${bad.take(5).mkString("\n")}")
+    // non-foldable input (a local Seq constant-folds to LocalTableScan)
+    val plan = spark.range(10)
+      .select(HashExprs.textQuality(concat_ws(" ", lit("the"), col("id").cast("string"))).as("q"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"TextQualityStats fell out of codegen:\n$plan")
+  }
+
+  test("BloomMightContainLong: interpreted == codegen'd, nulls propagate, SQL registers") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(100, 0.01)
+    (1L to 50L).foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val keys = ((1L to 50L) ++ (1000L to 1050L)).map(java.lang.Long.valueOf) :+
+      null.asInstanceOf[java.lang.Long]
+    val df = keys.toDF("k")
+      .select(col("k"), HashExprs.bloomMightContain(lit(bytes), col("k")).as("might"))
+    val rows = df.collect().map(r =>
+      (Option(r.get(0)).map(_.asInstanceOf[Long]), if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+    // no false negatives; NULL key -> NULL result (a Filter drops it)
+    rows.foreach {
+      case (Some(k), m) if k <= 50L => assert(m === Some(true), s"false negative on $k")
+      case (None, m) => assert(m === None, "null key must yield null, not false/true")
+      case _ => ()
+    }
+    // pruning bites on the non-member range (fpp 1%)
+    val falsePos = rows.count { case (Some(k), Some(true)) => k >= 1000L; case _ => false }
+    assert(falsePos < 10, s"$falsePos false positives out of 51 non-members")
+    // the same eval through the SQL registry (binary literal via unhex)
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
+    val hex = bytes.map("%02X".format(_)).mkString
+    assert(spark.sql(
+      s"SELECT graft_bloom_might_contain(X'$hex', 7L) AS m").head().getBoolean(0))
+    assert(!spark.sql(
+      s"SELECT graft_bloom_might_contain(X'$hex', 123456789L) AS m").head().getBoolean(0))
+    // a NON-foldable sketch is rejected at analysis, not silently re-read per row
+    val err = intercept[Exception] {
+      keys.toDF("k").select(
+        HashExprs.bloomMightContain(expr("CAST(CONCAT('x', k) AS BINARY)"), col("k"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"), err.getMessage)
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // codegen'd spans print with the "*(stageId)" prefix; an interpreted
     // fallback would print a bare "Project"
