@@ -501,14 +501,18 @@ object LlmOps {
     // a rolling-hash fingerprint — one codegen'd Project, no shuffle.
     "l_text_stats" -> ((s, d) => {
       val toks = split(lower(col("text")), " ")
-      val nTok = size(toks).cast("long")
       val nChars = length(col("text")).cast("long")
       val nDistinct = size(array_distinct(toks)).cast("long")
+      // token/stopword counts via the one-pass native kernel — the HOF
+      // stopword filter is a CodegenFallback expression, and ONE fallback
+      // expression knocks the whole Project out of whole-stage codegen
+      // (caught by PlanAuditSpec); kernel equality with the HOF spelling
+      // is property-tested, so the oracle is unchanged
+      val q = graft.functions.HashExprs.textQuality(col("text"))
+      val nTok = col("__q.n_tokens")
       val ttr = nDistinct.cast("double") / nTok.cast("double")
-      val stopHits = size(filter(toks, t =>
-        STOPWORDS.map(w => t === w).reduce(_ || _))).cast("long")
-      val stopRatio = stopHits.cast("double") / nTok.cast("double")
-      docs(s, d).select(
+      val stopRatio = col("__q.stop_hits").cast("double") / nTok.cast("double")
+      docs(s, d).withColumn("__q", q).select(
         col("doc_id"), col("lang"),
         nTok.as("n_tokens"),
         nChars.as("n_chars_calc"),

@@ -52,6 +52,16 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // Each table lands as `<dst>/<t>.parquet` — a Spark PART DIRECTORY,
+    // the production shape: multi-part tables scan in parallel (a single
+    // flattened file is one Spark partition = one scan task, which
+    // serializes every scan-shaped query and is exactly what a 10× stress
+    // run must not measure). All consumers take either layout: batch
+    // reads and the streaming sources point at the table path, and
+    // tools/check.py globs part directories. NOTE: events.ts round-trips
+    // as BIGINT raw nanos (Spark reads nanos-as-long and cannot write ns
+    // timestamps) — Tables.events and the streaming schema already handle
+    // that; check.py adapts its DuckDB view the same way.
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
 

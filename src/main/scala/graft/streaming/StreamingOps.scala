@@ -69,25 +69,35 @@ object StreamingOps {
   private def nanosTs(df: DataFrame): DataFrame =
     df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** Stream one table out of an sf dir, taking EITHER physical layout:
+    * the driver's testdata ships `<t>.parquet` as a single FILE (the
+    * file source needs a directory basePath, so stream the sf dir
+    * glob-filtered to that leaf name), while ScaleUp stress data writes
+    * it as a Spark PART DIRECTORY (stream the directory itself — the
+    * leaf-name glob would see zero files inside it and fail schema
+    * inference). */
+  private def streamTable(s: SparkSession, dir: String, table: String,
+                          schema: StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(path).isDirectory)
+      s.readStream.schema(schema).parquet(path.toString)
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** File-source stream over the events table (ns→µs timestamp restore,
     * same as the batch loader Tables.events). */
   def readEventsStream(s: SparkSession, dir: String): DataFrame = {
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
-    // the file source wants a directory: stream the sf dir, glob-filtered
-    // to the events table (the other tables never enter the file index)
-    nanosTs(s.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+    nanosTs(streamTable(s, dir, "events", eventsSchema))
   }
 
   /** File-source stream over the documents table. */
   def readDocumentsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    streamTable(s, dir, "documents", documentsSchema)
 
   /** One-row far-future feed unioned into windowed queries so the final
     * real windows finalize (see the scale-design note above). Both file

