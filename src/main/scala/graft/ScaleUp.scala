@@ -40,7 +40,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val n = args(2).toInt
-    require(n >= 1, s"factor must be >= 1, got $n")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,6 +49,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, n)
+    println(s"""{"scaled": "$src -> $dst", "factor": $n}""")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+    require(n >= 1, s"factor must be >= 1, got $n")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // Each table lands as `<dst>/<t>.parquet` — a Spark PART DIRECTORY,
@@ -118,8 +124,5 @@ object ScaleUp {
             s"CAST((j + ${i * 7}) % size(embedding) AS INT) + 1))"))
       rotated.withColumn("vec_id", col("vec_id") + lit(vs * i))
     }), "embeddings")
-
-    println(s"""{"scaled": "$src -> $dst", "factor": $n}""")
-    spark.stop()
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScaleUp integrity: the sf1 stress claims rest on the derived data
+  * actually scaling the WORKLOAD linearly — row counts ×N, foreign keys
+  * intact per copy, no cross-copy near-dups, intra-copy vector geometry
+  * exactly preserved. A silent violation here would quietly invalidate
+  * every §8.6 scaling ratio. */
+class ScaleUpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val src = TestSpark.sfDir
+
+  private lazy val dst: String = {
+    val d = java.nio.file.Files.createTempDirectory("scaleup-test-").toString
+    ScaleUp.run(spark, src, d, 2)
+    d
+  }
+  private def s(t: String) = spark.read.parquet(s"$dst/$t.parquet")
+  private def o(t: String) = spark.read.parquet(s"$src/$t.parquet")
+
+  test("row counts: fact tables scale exactly xN, fixed dims do not") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings"))
+      assert(s(t).count() === 2 * o(t).count(), t)
+    for (t <- Seq("region", "nation"))
+      assert(s(t).count() === o(t).count(), t)
+  }
+
+  test("foreign keys hold inside every copy: no join loses rows") {
+    // orders -> customer
+    val orders = s("orders")
+    assert(orders.join(s("customer"),
+      orders("o_custkey") === col("c_custkey")).count() === orders.count())
+    // lineitem -> orders/part/supplier
+    val li = s("lineitem")
+    assert(li.join(s("orders"), li("l_orderkey") === col("o_orderkey"))
+      .count() === li.count())
+    assert(li.join(s("part"), li("l_partkey") === col("p_partkey"))
+      .count() === li.count())
+    assert(li.join(s("supplier"), li("l_suppkey") === col("s_suppkey"))
+      .count() === li.count())
+    // events.user_id rides the CUSTOMER offset (stream-static join contract)
+    val ev = s("events")
+    assert(ev.join(s("customer"), ev("user_id") === col("c_custkey"))
+      .count() === ev.count())
+    // and keys never collide across copies: still unique
+    assert(orders.select("o_orderkey").distinct().count() === orders.count())
+  }
+
+  test("copies never join to each other: every FK resolves within its own copy") {
+    val custStride = o("customer").agg(max(col("c_custkey"))).head().getLong(0) + 1
+    val ordStride = o("orders").agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val crossCopy = s("orders").filter(
+      (col("o_orderkey") / ordStride).cast("long") =!=
+        (col("o_custkey") / custStride).cast("long")).count()
+    assert(crossCopy === 0L, "an order must reference its own copy's customer range")
+  }
+
+  test("documents: near-dup structure replicates per copy, zero cross-copy pairs") {
+    val docStride = o("documents").agg(max(col("doc_id"))).head().getLong(0) + 1
+    val origPairs = LlmOps.queries("l_minhash_lsh")(spark, src)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scaledPairs = LlmOps.queries("l_minhash_lsh")(spark, dst)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(scaledPairs.length === 2 * origPairs.length,
+      s"pair count must scale x2: ${origPairs.length} -> ${scaledPairs.length}")
+    assert(scaledPairs.forall { case (a, b) => a / docStride === b / docStride },
+      "per-token copy tags must prevent every cross-copy near-dup pair")
+    // copy 0 is byte-identical to the source: its pairs are exactly the originals
+    assert(scaledPairs.filter(_._1 < docStride).toSet === origPairs.toSet)
+  }
+
+  test("embeddings: rotation is orthogonal — intra-copy norms and dots exact") {
+    val vecStride = o("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1
+    val e = s("embeddings")
+    val base = e.filter(col("vec_id") < vecStride)
+      .select(col("vec_id").as("v"), col("embedding").as("eb"))
+    val copy = e.filter(col("vec_id") >= vecStride)
+      .select((col("vec_id") - vecStride).as("v"), col("embedding").as("ec"))
+    import graft.functions.HashExprs.vecDot
+    val drift = base.join(copy, "v")
+      .select(abs(vecDot(col("eb"), col("eb")) - vecDot(col("ec"), col("ec"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    // rotation preserves the component MULTISET exactly; the left-to-right
+    // double fold visits it in permuted order, so the sum agrees to the
+    // ulp (non-associativity), not bit-for-bit
+    assert(drift < 1e-12, s"rotation must preserve self-dot to the ulp, drift=$drift")
+    // and the copy really is rotated, not duplicated
+    val identical = base.join(copy, "v")
+      .filter(col("eb") === col("ec")).count()
+    assert(identical === 0L, "copy vectors must differ from their originals")
+  }
+}
