@@ -40,5 +40,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_bloom_might_contain"),
       info("graft_bloom_might_contain",
         "graft_bloom_might_contain(sketch, key) - bloom probe of a BIGINT key against a constant serialized sketch"),
-      (es: Seq[Expression]) => BloomMightContainLong(es.head, es(1))))
+      (es: Seq[Expression]) => BloomMightContainLong(es.head, es(1))),
+    (FunctionIdentifier("graft_text_quality"),
+      info("graft_text_quality",
+        "graft_text_quality(str) - struct(n_tokens, stop_hits, n_symbols) in one pass"),
+      (es: Seq[Expression]) => TextQualityStats(es.head)))
 }

@@ -62,6 +62,9 @@ class HashExprsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_poly_hash('abc') AS h").head().getLong(0) === 96354L)
     assert(spark.sql(
       "SELECT graft_vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").head().getDouble(0) === 11.0)
+    val q = spark.sql(
+      "SELECT graft_text_quality('the quick brown fox!') AS q").head().getStruct(0)
+    assert((q.getLong(0), q.getLong(1), q.getLong(2)) === ((4L, 1L, 1L)))
   }
 
   test("TextQualityStats == the HOF/regexp spellings it replaces, on adversarial strings") {
