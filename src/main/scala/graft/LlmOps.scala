@@ -240,14 +240,19 @@ object LlmOps {
     val s = batch.sparkSession
     val sig = signatureFrame(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact-Jaccard scalar over two shingle-hash sets — the same
+    // |A∩B| / (|A|+|B|-|A∩B|) the batch pipeline (jaccardOf) and the
+    // static-index stream (streamNearDup) spell out with their component
+    // columns exposed; here only the scalar is needed
     def jaccardCol(a: Column, b: Column): Column = {
       val shared = size(array_intersect(a, b)).cast("double")
       shared / (size(a).cast("double") + size(b).cast("double") - shared)
     }
+    // strict b<digits> match (bounded well under Long range): a foreign
+    // directory named "b" or "b<overflow>" is ignored, not a crash
     val priorDirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && (f.getName == "seed" ||
-        (f.getName.startsWith("b") && f.getName.drop(1).forall(_.isDigit) &&
-          f.getName.drop(1).toLong < batchId)))
+        (f.getName.matches("b\\d{1,17}") && f.getName.drop(1).toLong < batchId)))
       .map(_.getAbsolutePath)
     val vsIndex: DataFrame =
       if (priorDirs.isEmpty)
@@ -293,10 +298,17 @@ object LlmOps {
     * grown LSH index — a doc admitted in batch N is index content for
     * batch N+1, closing the loop the static-index variant leaves open. */
   def streamNearDupMaintained(docs: DataFrame, indexDir: String,
-                              admitDir: String): Unit = {
+                              admitDir: String,
+                              checkpointDir: String = null): Unit = {
+    // the checkpoint is part of the index's identity: a RESTART against
+    // the same indexDir must reuse the same checkpoint so batch ids
+    // continue (recovered offsets) instead of renumbering from 0 —
+    // a fresh checkpoint over an existing indexDir would overwrite b0
+    // while stale b1+ dirs still count as "index-so-far". Same contract
+    // as cdcApplyInto's versioned state.
     docs.writeStream
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-admit-ckpt-").toString)
+      .option("checkpointLocation", Option(checkpointDir).getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-admit-ckpt-").toString))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -412,15 +424,19 @@ object LlmOps {
     * Per pass: the frames carry only (long, long) labels and ONE job
     * runs — the convergence check is FUSED (the owner's current label
     * rides the union with an own-flag, so "did any label improve" is a
-    * filter over the pass result, not a second join job), and the pass
-    * result is LAZILY localCheckpoint'ed so that same counting job also
-    * materializes its blocks and TRUNCATES LINEAGE. Truncation is
-    * load-bearing, not hygiene: the jump self-join doubles the logical
+    * filter over the pass result, not a second join job). The pass
+    * result is persisted and the NEXT pass plans against a LogicalRDD
+    * over those cached rows, which TRUNCATES LINEAGE: truncation is
+    * load-bearing, not hygiene — the jump self-join doubles the logical
     * plan each pass, so an un-truncated loop pays 2^passes planning
     * cost and OOMs the driver around pass ~10 regardless of data size.
-    * changed==0 is a sound exit: no improvement under the 1-hop min
-    * means labels are equal across every edge, i.e. constant per
-    * component — nothing a further pass (or jump) could lower. */
+    * (persist + createDataFrame(rdd) rather than localCheckpoint:
+    * Dataset.unpersist is a CacheManager call and does NOT free local
+    * checkpoint blocks, so a checkpoint-based loop leaks one full label
+    * copy per pass until GC.) changed==0 is a sound exit: no improvement
+    * under the 1-hop min means labels are equal across every edge, i.e.
+    * constant per component — nothing a further pass (or jump) could
+    * lower. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -450,18 +466,20 @@ object LlmOps {
           max(when(col("own") === 1, col("label"))).as("own_label"))
       // pointer jump: label := label(label). Every label IS a vertex id
       // in the frame (labels are mins over vertex ids), so the left
-      // join's fallback arm is belt-and-braces only. The lazy local
-      // checkpoint materializes + truncates under the SAME count job.
+      // join's fallback arm is belt-and-braces only.
       val jumped = merged.as("a")
         .join(merged.as("b"), col("a.label") === col("b.v"), "left")
         .select(col("a.v").as("v"),
           coalesce(col("b.label"), col("a.label")).as("label"),
           col("a.own_label").as("own_label"))
-        .localCheckpoint(false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = jumped.filter(col("label") < col("own_label")).count()
       cached.unpersist()
       cached = jumped
-      labels = jumped.select(col("v"), col("label"))
+      // lineage truncation: the next pass plans against a LogicalRDD over
+      // the rows just cached, so its plan is O(1) in pass count
+      val lbl = jumped.select(col("v"), col("label"))
+      labels = jumped.sparkSession.createDataFrame(lbl.rdd, lbl.schema)
       iters += 1
     }
     p.unpersist()

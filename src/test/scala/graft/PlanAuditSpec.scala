@@ -55,22 +55,28 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q has no codegen span:\n${plan.take(1200)}")
       // a single CodegenFallback expression (e.g. a higher-order-function
       // lambda) knocks its whole Project out of codegen: the Project would
-      // print bare, with no *(n) prefix
-      assert("(?m)^\\s*\\+?-?\\s*Project ".r.findFirstIn(plan).isEmpty,
+      // print bare, with no *(n) prefix. Prefix class covers every tree
+      // glyph (indent, '+-', and the ':-'/':  +-' left-join branches).
+      assert("(?m)^[\\s:+-]*Project ".r.findFirstIn(plan).isEmpty,
         s"$q has a non-codegen Project on the hot path:\n${plan.take(1200)}")
     }
   }
 
-  test("no oracle query plans a CartesianProduct or BroadcastNestedLoopJoin at sf0.001") {
-    // the two crossJoins in the suite are broadcasts of 1-row stats frames —
-    // anything else nested-loop-shaped is a scale bug, caught here before it
-    // hides behind a green answer on tiny data
+  test("no oracle query plans a CartesianProduct at sf0.001") {
+    // BroadcastNestedLoopJoin is NOT banned here: the suite's crossJoins
+    // broadcast 1-row stats frames, which legitimately plan as BNLJ — the
+    // unbounded shape is CartesianProduct. A query that fails to PLAN is
+    // a failure of this audit too, never silently skipped.
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("s_")) // streaming rows drain real queries; audited by their own specs
-      .filter { q =>
-        val plan = try planOf(q) catch { case _: Throwable => "" }
-        plan.contains("CartesianProduct")
+      .flatMap { q =>
+        val plan = try planOf(q) catch {
+          case e: Throwable => s"PLANNING FAILED: ${e.getMessage}"
+        }
+        if (plan.contains("CartesianProduct") || plan.startsWith("PLANNING FAILED"))
+          Some(q -> plan.linesIterator.next())
+        else None
       }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    assert(offenders.isEmpty, s"cartesian products / planning failures: $offenders")
   }
 }

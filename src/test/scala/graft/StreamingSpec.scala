@@ -263,9 +263,10 @@ class StreamingSpec extends AnyFunSuite {
     writeDocFile("b.parquet", 1700000100000L, Seq(2L -> (base + " beta")))
     val indexDir = java.nio.file.Files.createTempDirectory("admit-index-").toString
     val admitDir = java.nio.file.Files.createTempDirectory("admit-log-").toString
-    val docs = spark.readStream.schema(docSchema)
+    val ckptDir = java.nio.file.Files.createTempDirectory("admit-ckpt-").toString
+    def docs() = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
-    LlmOps.streamNearDupMaintained(docs, indexDir, admitDir)
+    LlmOps.streamNearDupMaintained(docs(), indexDir, admitDir, ckptDir)
     def verdicts(b: Int) = spark.read.parquet(s"$admitDir/b$b")
       .collect().map(r => r.getLong(0) ->
         (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
@@ -285,6 +286,21 @@ class StreamingSpec extends AnyFunSuite {
     val batch1 = spark.read.parquet(feedDir.resolve("b.parquet").toString)
     LlmOps.admitBatch(batch1, 1L, indexDir, admitDir)
     assert(verdicts(1) === b1, "replayed batch must rewrite its verdict identically")
+    // a stray non-batch directory in the index must be ignored, not parsed
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(indexDir).resolve("b"))
+    LlmOps.admitBatch(batch1, 1L, indexDir, admitDir)
+    assert(verdicts(1) === b1, "a foreign 'b' directory must not break admission")
+    // RESTART: a new doc lands, a NEW query resumes from the SAME
+    // checkpoint — batch ids continue (no b0 overwrite) and the new doc
+    // is checked against the full grown index (dups doc 5 from batch 0)
+    writeDocFile("c.parquet", 1700000200000L, Seq(
+      7L -> "completely different text about spark structured streaming state stores today"))
+    LlmOps.streamNearDupMaintained(docs(), indexDir, admitDir, ckptDir)
+    assert(verdicts(0) === b0, "restart must not renumber batches over b0")
+    val b2 = verdicts(2)
+    assert(b2 === Map(7L -> (false, 5L)),
+      s"restarted batch 2 must reject doc 7 against batch-0-admitted doc 5, got $b2")
   }
 
   test("late row beyond the watermark is dropped, finalized window unchanged") {

@@ -24,8 +24,8 @@ for t in ["region","nation","customer","supplier","part","orders",
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
         if t == "events":
-            (ty,) = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
-            if ty == "BIGINT":
+            row = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if row is not None and row[0] == "BIGINT":
                 # ScaleUp round trip: ts is raw nanos (Spark nanosAsLong read,
                 # no ns write type) — restore the timestamp exactly like
                 # Tables.events does Spark-side (ns -> us)
