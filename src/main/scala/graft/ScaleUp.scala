@@ -103,7 +103,15 @@ object ScaleUp {
     write(stack(li)((d, i) => d
       .withColumn("l_orderkey", col("l_orderkey") + lit(os * i))
       .withColumn("l_partkey", col("l_partkey") + lit(ps * i))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(ss * i))), "lineitem")
+      .withColumn("l_suppkey", col("l_suppkey") + lit(ss * i))
+      // break cross-copy value ties BY DATA: copy i's clone of an order
+      // would otherwise have bit-identical revenue, and a global top-k
+      // over exact float ties ranks on whichever engine's summation
+      // lands an ulp higher — a stress-data artifact real corpora don't
+      // have. +i µ¢ per item keeps the economics identical and makes
+      // every engine agree on the order deterministically.
+      .withColumn("l_extendedprice", col("l_extendedprice") + lit(i * 1e-6))),
+      "lineitem")
     write(stack(ev)((d, i) => d
       .withColumn("event_id", col("event_id") + lit(es * i))
       .withColumn("user_id", col("user_id") + lit(cs * i))), "events")

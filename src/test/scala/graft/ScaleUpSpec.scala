@@ -72,6 +72,33 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(scaledPairs.filter(_._1 < docStride).toSet === origPairs.toSet)
   }
 
+  test("lineitem: cross-copy clones are never value-ties (deterministic top-k)") {
+    // A copy's clone of an order would have bit-identical revenue, and a
+    // global top-k over exact float ties ranks on whichever engine's
+    // summation lands an ulp higher — a stress-data artifact real corpora
+    // don't have. The +i µ¢ perturbation must break every such tie while
+    // leaving copy 0 byte-identical to the source.
+    val ordStride = o("orders").agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val li = s("lineitem")
+    val h0 = li.filter(col("l_orderkey") < ordStride)
+      .groupBy(col("l_extendedprice").as("p")).count()
+    val h1 = li.filter(col("l_orderkey") >= ordStride)
+      .groupBy(col("l_extendedprice").as("p")).count()
+    // a two-decimal price can never bit-equal a two-decimal price + 1 µ¢:
+    // the copies' price SETS must be fully disjoint (no cross-copy tie)
+    assert(h0.join(h1, "p").count() === 0L,
+      "no cross-copy price may tie bit-for-bit")
+    // copy 1's price histogram is EXACTLY copy 0's shifted by the same
+    // double addition ScaleUp performed (1 * 1e-6) — bit-exact both ways
+    val shifted = h0.select((col("p") + lit(1e-6)).as("p"), col("count"))
+    assert(shifted.exceptAll(h1).count() === 0L &&
+      h1.exceptAll(shifted).count() === 0L,
+      "copy 1 prices must be copy 0 prices + exactly 1 µ¢")
+    // copy 0 remains byte-identical to the source table
+    val hsrc = o("lineitem").groupBy(col("l_extendedprice").as("p")).count()
+    assert(h0.exceptAll(hsrc).count() === 0L && hsrc.exceptAll(h0).count() === 0L)
+  }
+
   test("embeddings: rotation is orthogonal — intra-copy norms and dots exact") {
     val vecStride = o("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1
     val e = s("embeddings")
