@@ -81,7 +81,14 @@ object Exporter {
   /** One poll cycle (batch) or a drain-available run (streams=true).
     * Returns Some(delivery) when pushAndPull enabled. */
   def run(spark: SparkSession, cfg: Config): Option[CloudEventSink.Delivery] = {
-    val transport = new CloudEventSink.NdjsonDirTransport(cfg.outDir)
+    // K_SINK parity: the reference's sink target is a URL and delivery is
+    // a per-event CE POST (adapter.go:146). An http(s) outDir selects the
+    // real HTTP transport (binary content mode, the Go SDK default); a
+    // plain path keeps the offline NDJSON stand-in.
+    val transport: CloudEventSink.EventTransport =
+      if (cfg.outDir.startsWith("http://") || cfg.outDir.startsWith("https://"))
+        new operators.HttpCloudEventTransport(cfg.outDir)
+      else new CloudEventSink.NdjsonDirTransport(cfg.outDir)
     if (!cfg.streams) {
       val traces = spark.read.format("cts")
         .option("pages", cfg.pages).option("limit", cfg.limit).load()
