@@ -71,6 +71,16 @@ object Exporter {
     val bad = overrides.keySet.intersect(reserved)
     require(bad.isEmpty,
       s"K_CE_OVERRIDES cannot override core CE attributes: ${bad.mkString(", ")}")
+    // CE attribute names are lowercase [a-z0-9] (the SDK's SetExtension
+    // validates the same way). Enforcing it HERE keeps every transport
+    // equivalent: binary mode carries attributes as ce-* HTTP headers,
+    // where an uppercase key would be case-folded by header normalization
+    // and a non-token key (space, control char) would fail per-event at
+    // send time — a config error must fail at config time, identically
+    // across NDJSON / structured / binary delivery.
+    val malformed = overrides.keySet.filterNot(_.matches("[a-z0-9]{1,20}"))
+    require(malformed.isEmpty,
+      s"CE extension attribute names must match [a-z0-9]{1,20}: ${malformed.mkString(", ")}")
     val overridden = baseExtensionKeys.foldLeft(base) { (df, k) =>
       overrides.get(k).fold(df)(v => df.withColumn(k, lit(v)))
     }

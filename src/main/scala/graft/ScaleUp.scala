@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   *    (or copying verbatim) would turn every doc into an N-way near-dup
   *    cluster and inflate the LSH pair count quadratically.
   *  - embeddings: copy i's vectors are circularly component-rotated by
-  *    i·7 positions — an orthogonal transform, so every intra-copy
+  *    i·7 positions and, past copy 63 (where rotation alone would cycle
+  *    back to the identity), sign-flipped by a per-64-block hash mask —
+  *    both exactly orthogonal transforms, so every intra-copy
   *    cosine/distance is EXACTLY preserved (ANN/k-means/PQ workloads
   *    replicate) while cross-copy cosine decorrelates to the vectors'
   *    autocorrelation, far below any near-dup threshold.
@@ -125,12 +127,25 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }), "documents")
     write(stack(emb)((d, i) => {
-      val rotated =
+      // Circular rotation alone has PERIOD dim in i (i·7 mod 64 cycles):
+      // copy 64 would be bit-identical to copy 0, silently planting exact
+      // cross-copy duplicates — the precise failure this transform exists
+      // to prevent. Compose it with a per-64-block sign-flip mask
+      // (diagonal ±1 = still exactly orthogonal, applied uniformly within
+      // a copy so intra-copy geometry stays bit-preserved): the (rotation,
+      // mask) pair is distinct for every copy in practice. Copies 0-63
+      // keep the pure rotation, so sf1-scale artifacts are unchanged.
+      val g = i / 64
+      val rotated = s"element_at(embedding, " +
+        s"CAST((j + ${i * 7}) % size(embedding) AS INT) + 1)"
+      val signed =
+        if (g == 0) rotated
+        else s"IF(pmod(hash(j, $g), 2) = 0, $rotated, -$rotated)"
+      val transformed =
         if (i == 0) d
-        else d.withColumn("embedding", expr(
-          s"transform(embedding, (x, j) -> element_at(embedding, " +
-            s"CAST((j + ${i * 7}) % size(embedding) AS INT) + 1))"))
-      rotated.withColumn("vec_id", col("vec_id") + lit(vs * i))
+        else d.withColumn("embedding",
+          expr(s"transform(embedding, (x, j) -> $signed)"))
+      transformed.withColumn("vec_id", col("vec_id") + lit(vs * i))
     }), "embeddings")
   }
 }

@@ -51,6 +51,11 @@ class HttpCloudEventTransport(url: String, structured: Boolean = false,
     mapper = new ObjectMapper()
   }
 
+  /** Java 17's HttpClient has no close(); dropping the reference lets its
+    * selector thread and pooled connections be collected promptly instead
+    * of riding each micro-batch's transport copy to the next GC. */
+  override def close(): Unit = { client = null; mapper = null }
+
   override def send(eventJson: String): Boolean = {
     val builder = HttpRequest.newBuilder(URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))

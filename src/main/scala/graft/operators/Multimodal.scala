@@ -81,7 +81,10 @@ object Multimodal {
       val o = off.toInt
       val id = tag(o)
       val size = i32le(payload, o + 4).toLong & 0xffffffffL
-      if (id == "fmt " && off + 24 <= payload.length) {
+      // the chunk's own declared size must cover the PCM fmt block (16
+      // bytes): a short fmt chunk would otherwise read the next chunk's
+      // header bytes as plausible-garbage channels/blockAlign
+      if (id == "fmt " && size >= 16 && off + 24 <= payload.length) {
         chans = u16le(payload, o + 10)
         rate = i32le(payload, o + 12)
         blockAlign = u16le(payload, o + 20)

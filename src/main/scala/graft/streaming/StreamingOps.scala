@@ -80,7 +80,11 @@ object StreamingOps {
                           schema: StructType): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.getFileStatus(path).isDirectory)
+    // a not-yet-written table is NOT an error: fall through to the
+    // glob-filtered dir stream, which starts empty and picks the file up
+    // when a producer lands it (the receive → ingest loop starts the
+    // consumer first)
+    if (fs.exists(path) && fs.getFileStatus(path).isDirectory)
       s.readStream.schema(schema).parquet(path.toString)
     else
       s.readStream.schema(schema)

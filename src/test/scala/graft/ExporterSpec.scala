@@ -95,6 +95,18 @@ class ExporterSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("core CE attributes"), s"'$k' must be reserved")
     }
+    // non-[a-z0-9] extension names are config errors too: binary-mode HTTP
+    // delivery carries attributes as ce-* headers, where "myKey" would be
+    // case-folded in flight (diverging from the other transports) and
+    // "my key" would fail per-event as a malformed header — both must die
+    // at config time, identically across transports
+    Seq("myKey", "my key", "k-1", "", "waytoolongforanattributename").foreach { k =>
+      val e = intercept[IllegalArgumentException] {
+        Exporter.run(spark, Exporter.Config(fixtures().toString, out,
+          overrides = Map(k -> "x")))
+      }
+      assert(e.getMessage.contains("[a-z0-9]"), s"'$k' must be malformed")
+    }
   }
 
   test("--overrides / GRAFT_CE_OVERRIDES drive the config path end-to-end") {

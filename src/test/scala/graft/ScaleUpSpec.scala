@@ -99,6 +99,30 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(h0.exceptAll(hsrc).count() === 0L && hsrc.exceptAll(h0).count() === 0L)
   }
 
+  test("embeddings: no copy repeats another past the rotation period (factor > 64)") {
+    // rotation alone cycles at copy 64 (i*7 mod 64 = 0 → identity): copy 64
+    // would byte-clone copy 0, planting exact cross-copy duplicate vectors.
+    // The sign-flip composition must keep every copy distinct while staying
+    // orthogonal (self-dot preserved to the ulp).
+    val d = java.nio.file.Files.createTempDirectory("scaleup-period-").toString
+    ScaleUp.run(spark, src, d, 66)
+    val vecStride = o("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val c0 = e.filter(col("vec_id") < vecStride)
+      .select(col("vec_id").as("v"), col("embedding").as("e0"))
+    val c64 = e.filter(col("vec_id") >= vecStride * 64 && col("vec_id") < vecStride * 65)
+      .select((col("vec_id") - vecStride * 64).as("v"), col("embedding").as("e64"))
+    val j = c0.join(c64, "v").cache()
+    assert(j.count() === c0.count())
+    assert(j.filter(col("e0") === col("e64")).count() === 0L,
+      "copy 64 must not clone copy 0's vectors")
+    import graft.functions.HashExprs.vecDot
+    val drift = j.select(abs(vecDot(col("e0"), col("e0")) -
+      vecDot(col("e64"), col("e64"))).as("d")).agg(max(col("d"))).head().getDouble(0)
+    assert(drift < 1e-12, s"sign-flipped rotation must stay orthogonal, drift=$drift")
+    j.unpersist()
+  }
+
   test("embeddings: rotation is orthogonal — intra-copy norms and dots exact") {
     val vecStride = o("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1
     val e = s("embeddings")
