@@ -55,6 +55,23 @@ object LlmOps {
   private val NGRAM_DF_CAP_MIN = 8L
   private val NGRAM_DF_CAP_FRAC = 0.001
 
+  /** Embedding near-dup sign-LSH: L tables × `bits` hyperplanes per table.
+    * `bits` ADAPTS to corpus size: the candidate-join work per table is
+    * Σ_buckets occ²/2 ≈ N²/2^(bits+1), so fixed bits is quadratic in N —
+    * measured as a multi-hour stall at the 100× stress SF before this dial
+    * existed. enrBits picks the smallest bits in [2, MAX] with
+    * N ≤ TARGET_OCC·2^bits (pure integer compare; the oracle derives the
+    * identical value from count(*) with the same thresholds). Plane index
+    * p = MAX_BITS·t + j keeps tables independent at any bits. */
+  private val ENR_TABLES = 4
+  private val ENR_MAX_BITS = 8
+  private val ENR_TARGET_OCC = 500L
+  private def enrBits(n: Long): Int = {
+    var b = 2
+    while (b < ENR_MAX_BITS && n > (ENR_TARGET_OCC << b)) b += 1
+    b
+  }
+
   /** BM25 query terms, in the FIXED order both engines fold per-term score
     * contributions (cross-engine-deterministic double addition). */
   private val BM25_TERMS = Seq("spark", "join", "stream")
@@ -935,19 +952,24 @@ object LlmOps {
         .orderBy(col("subspace"), col("code"))
     }),
 
-    // Embedding-cosine near-dup: multi-TABLE sign-LSH (4 tables × 2
-    // hyperplanes). One k-bit table has recall p^k at similarity p; L
-    // independent tables lift it to 1-(1-p^k)^L ≈ 0.9 for cos 0.5 here —
-    // the standard recall/cost dial. Candidates come ONLY from shared
-    // (table, bucket) cells, then exact cosine ≥ 0.45 verifies. The same
-    // deterministic hyperplanes replay in the oracle, so the (bounded-
-    // recall) result is still hash-exact.
+    // Embedding-cosine near-dup: multi-TABLE sign-LSH (ENR_TABLES tables ×
+    // enrBits(N) hyperplanes). One k-bit table has recall p^k at similarity
+    // p; L independent tables lift it to 1-(1-p^k)^L — the standard
+    // recall/cost dial. Candidates come ONLY from shared (table, bucket)
+    // cells, then exact cosine ≥ 0.45 verifies. bits adapts to corpus size
+    // (see enrBits) so the per-table join work N²/2^(bits+1) stays bounded;
+    // the oracle derives the same bits from count(*) and replays the same
+    // deterministic hyperplanes, so the (bounded-recall) result is still
+    // hash-exact at every SF. A production corpus raises L alongside bits
+    // to hold recall (cost is linear in L, so that trade is benign).
     "l_embed_neardup" -> ((s, d) => {
       import graft.functions.HashExprs.{planeDot, vecDot}
       val thr = 0.45
+      // one cheap metadata-driven count(*) job sizes the dial
+      val bits = enrBits(Tables.embeddings(s, d).count())
       def bucket(emb: Column, t: Int): Column =
-        (0 until 2).map { j =>
-          val p = 2 * t + j
+        (0 until bits).map { j =>
+          val p = ENR_MAX_BITS * t + j
           when(planeDot(emb, A(p), B(p)) > 0, lit(1 << j)).otherwise(lit(0))
         }.reduce(_ + _)
       // Embeddings RIDE the cell join and the cosine is computed inline,
@@ -956,17 +978,16 @@ object LlmOps {
       // shape) was tried in round 7 and measured 4-5× SLOWER here: the
       // verify join-back re-sorts the full candidate volume, while the
       // inline cosine is free pipeline work — for 64-float vectors the
-      // wider join payload is the cheaper trade. Scale dial: bits/table
-      // (2, matched by the oracle's replay) sets bucket occupancy
-      // N/2^bits; a production corpus raises bits and tables together
-      // (recall 1-(1-p^bits)^L holds while buckets stay O(1)).
+      // wider join payload is the cheaper trade.
       val e = spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
       val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array((0 until 4).map(t =>
+        explode(array((0 until ENR_TABLES).map(t =>
           struct(lit(t).as("tbl"), bucket(col("embedding"), t).as("bkt"))): _*)).as("c"))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("c.tbl"), col("c.bkt"))
+      // thr-filter BEFORE the cross-table distinct: the aggregate then
+      // ingests only true near-dups, not the full candidate volume
       val cand = cells.as("x")
         .join(cells.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
@@ -974,9 +995,9 @@ object LlmOps {
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
           (vecDot(col("x.embedding"), col("y.embedding")) /
             (col("x.nrm") * col("y.nrm"))).as("cosine"))
+        .filter(col("cosine") >= thr)
         .distinct()
-      cand.filter(col("cosine") >= thr)
-        .orderBy(col("v1"), col("v2"))
+      cand.orderBy(col("v1"), col("v2"))
     }),
 
     // UDTF surface (§2.7): the corpus shingle profile through the SQL
@@ -1675,13 +1696,21 @@ object LlmOps {
         s"""list_reduce(list_prepend(0.0::DOUBLE,
            |      list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * CAST((${A(p)} * i + ${B(p)}) % $P - $half AS DOUBLE))),
            |      (a, b) -> a + b)""".stripMargin
-      val cellSelects = (0 until 4).map { t =>
-        val bkt = (0 until 2).map { j =>
-          s"(CASE WHEN ${planeDot(2 * t + j)} > 0 THEN ${1 << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"SELECT vec_id, embedding, nrm, $t AS tbl, $bkt AS bkt FROM n"
+      // same integer thresholds as enrBits: smallest bits in [2, MAX) with
+      // cnt <= TARGET_OCC << bits, else MAX
+      val bitsExpr = (2 until ENR_MAX_BITS).foldRight(s"$ENR_MAX_BITS") {
+        (b, els) => s"CASE WHEN cnt <= ${ENR_TARGET_OCC << b} THEN $b ELSE $els END"
+      }
+      val cellSelects = (0 until ENR_TABLES).map { t =>
+        val bkt = (0 until ENR_MAX_BITS).map { j =>
+          s"(CASE WHEN $j < p.bits AND ${planeDot(ENR_MAX_BITS * t + j)} > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString("\n     + ")
+        s"SELECT vec_id, embedding, nrm, $t AS tbl,\n       $bkt AS bkt FROM n, p"
       }.mkString("\n  UNION ALL ")
-      s"""WITH n AS (
+      s"""WITH p AS (
+         |  SELECT $bitsExpr AS bits
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)
+         |), n AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
          |  FROM embeddings
