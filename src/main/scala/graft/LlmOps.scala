@@ -476,11 +476,16 @@ object LlmOps {
       // the label frame lacks)
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("label"), lit(0).as("own"))
+      // persisted because the pointer jump reads it TWICE: the self-join's
+      // sides need different partitionings (a.label vs b.v), so ReuseExchange
+      // cannot dedup them and an unpersisted merged would run its edge-join +
+      // aggregate subtree once per side (verified in CcReuseProbeSpec)
       val merged = labels.select(col("v"), col("label"), lit(1).as("own"))
         .unionAll(prop)
         .groupBy(col("v"))
         .agg(min(col("label")).as("label"),
           max(when(col("own") === 1, col("label"))).as("own_label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: label := label(label). Every label IS a vertex id
       // in the frame (labels are mins over vertex ids), so the left
       // join's fallback arm is belt-and-braces only.
@@ -491,6 +496,7 @@ object LlmOps {
           col("a.own_label").as("own_label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = jumped.filter(col("label") < col("own_label")).count()
+      merged.unpersist()
       cached.unpersist()
       cached = jumped
       // lineage truncation: the next pass plans against a LogicalRDD over
