@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-side validation for the rows whose DuckDB oracle is
+  * disk-infeasible at stress scale (sf10: the recursive transitive
+  * closure and the 4-pass unrolled PageRank CTEs each spill >60 GB).
+  * The oracle stays the cross-engine referee at sf0.001–sf1; here the
+  * same rows are pinned by invariants the engine output must satisfy
+  * GIVEN inputs that ARE cross-engine verified at sf10:
+  *
+  *  - `l_dedup_clusters` / `l_dedup_apply`: the near-dup pair set
+  *    (`l_minhash_lsh`) is hash-verified against DuckDB at sf10; a
+  *    labeling is THE connected-components answer over those pairs iff
+  *    (a) both endpoints of every pair carry the same cluster_id —
+  *    labels are constant on components and no pair bridges two
+  *    clusters, i.e. components are maximal; (b) each cluster_id is the
+  *    min member doc_id; (c) the labeled set is exactly the paired set.
+  *    Those three properties admit one labeling: the oracle's.
+  *  - `k3_pagerank`: the DAG-depth argument (kind graph is 3 hops deep,
+  *    so depth+1 = 4 passes reach the fixed point) is proven AT the
+  *    stress SF by running pass 5 and requiring bit-identical ranks.
+  *
+  * Usage: StressCheck <sfDir>  → one PASS/FAIL line per invariant,
+  * nonzero exit on any FAIL.
+  */
+object StressCheck {
+
+  def run(spark: SparkSession, d: String): Seq[(String, Boolean, String)] = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, String)]
+    def check(name: String)(body: => (Boolean, String)): Unit = {
+      val (ok, detail) =
+        try body
+        catch { case e: Exception => (false, s"exception: ${e.getMessage}") }
+      results += ((name, ok, detail))
+    }
+
+    val pairs = SparkEntry.queries("l_minhash_lsh")(spark, d)
+      .select(col("d1"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = SparkEntry.queries("l_dedup_clusters")(spark, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = clusters.select(col("doc_id"), col("cluster_id"))
+
+    check("cc_edge_consistency") {
+      val l1 = labels.select(col("doc_id").as("d1"), col("cluster_id").as("c1"))
+      val l2 = labels.select(col("doc_id").as("d2"), col("cluster_id").as("c2"))
+      val bad = pairs.join(l1, Seq("d1"), "left").join(l2, Seq("d2"), "left")
+        .filter(col("c1").isNull || col("c2").isNull || col("c1") =!= col("c2"))
+        .count()
+      (bad == 0L, s"pairs with missing/mismatched cluster: $bad")
+    }
+
+    check("cc_min_representative") {
+      val bad = clusters.groupBy(col("cluster_id"))
+        .agg(min(col("doc_id")).as("mn"), count(lit(1)).as("n"),
+          max(col("n_members")).as("nm_max"), min(col("n_members")).as("nm_min"))
+        .filter(col("cluster_id") =!= col("mn") ||
+          col("n") =!= col("nm_max") || col("n") =!= col("nm_min"))
+        .count()
+      (bad == 0L, s"clusters with non-min id or wrong n_members: $bad")
+    }
+
+    check("cc_covers_paired_set_exactly") {
+      val paired = pairs.select(col("d1").as("doc_id"))
+        .unionAll(pairs.select(col("d2").as("doc_id"))).distinct()
+      val missing = paired.join(labels, Seq("doc_id"), "left_anti").count()
+      val extra = labels.join(paired, Seq("doc_id"), "left_anti").count()
+      (missing == 0L && extra == 0L, s"missing=$missing extra=$extra")
+    }
+
+    check("apply_consistent_with_clusters") {
+      val applied = SparkEntry.queries("l_dedup_apply")(spark, d)
+      val nDocs = Tables.documents(spark, d).count()
+      val joined = applied.join(labels.withColumnRenamed("cluster_id", "cl"),
+        Seq("doc_id"), "left")
+      val bad = joined.filter(
+        !(col("cluster_id") <=> col("cl")) ||
+          col("keep") =!= (col("cluster_id").isNull || col("cluster_id") === col("doc_id")) ||
+          col("reason") =!= when(col("cluster_id").isNotNull &&
+            col("cluster_id") =!= col("doc_id"), lit("near_dup")).otherwise(lit("ok")))
+        .count()
+      val n = applied.count()
+      (bad == 0L && n == nDocs, s"inconsistent=$bad rows=$n corpus=$nDocs")
+    }
+
+    check("pagerank_fixed_point_at_4") {
+      val ce = operators.CtsParity.eventsAsTraces(Tables.events(spark, d))
+      val links = operators.CtsParity.linkPairs(
+        operators.CtsParity.toCloudEvents(ce))
+      val r4 = operators.CtsParity.pageRank(links, iters = 4)
+        .select(col("node"), col("pr_fixed").as("pr4"))
+      val r5 = operators.CtsParity.pageRank(links, iters = 5)
+        .select(col("node"), col("pr_fixed").as("pr5"))
+      val diff = r4.join(r5, Seq("node"), "full")
+        .filter(!(col("pr4") <=> col("pr5"))).count()
+      (diff == 0L, s"nodes where pass 5 changed the rank: $diff")
+    }
+
+    pairs.unpersist(); clusters.unpersist()
+    results.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .withExtensions(new functions.GraftExtensions)
+      .appName("graft-stress-check").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rs = run(spark, d)
+    rs.foreach { case (n, ok, detail) =>
+      println(s"${if (ok) "PASS" else "FAIL"} $n ($detail)")
+    }
+    val failed = rs.count(!_._2)
+    println(s"STRESSCHECK ${rs.size - failed}/${rs.size} pass")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
