@@ -41,10 +41,34 @@ object LlmOps {
   private val A: IndexedSeq[Long] = (0 until K).map(i => (2654435761L * (i + 1)) % P)
   private val B: IndexedSeq[Long] = (0 until K).map(i => (40503L * 65537L * (i + 1) + 97531L) % P)
 
-  /** SimHash width and banding: 32-bit fingerprint, 4 bands × 8 bits. */
-  private val SIM_BITS = 32
+  /** SimHash banding: 4 bands × adaptive band width. The hamming ≤ SIM_HAM
+    * guarantee is width-independent (pigeonhole over 4 bands catches any
+    * pair within distance 3 at ANY width), but candidate volume is not:
+    * per band Σ_buckets occ²/2 ≈ N²/2^(bb+1), so a FIXED band width is
+    * quadratic in corpus size — measured as 29.5× wall for 10× data at the
+    * sf10 stress run. `simBandBits` picks the smallest bb in [8, 15] with
+    * N ≤ TARGET_OCC·2^bb (the l_embed_neardup dial; Manku et al. WWW'07
+    * likewise widen to 64-bit fingerprints at web scale). Width = 4·bb ≤ 60
+    * keeps the fingerprint a positive int64 in both engines. Fingerprint
+    * bit b comes from an independent affine rehash of the shingle hash
+    * (raw h bits stop at ~2^30 = P, so high raw bits would be degenerate). */
   private val SIM_BANDS = 4
   private val SIM_HAM = 3
+  private val SIM_MIN_BB = 8
+  private val SIM_MAX_BB = 15
+  private val SIM_TARGET_OCC = 16L
+  private def simBandBits(n: Long): Int = {
+    var b = SIM_MIN_BB
+    while (b < SIM_MAX_BB && n > (SIM_TARGET_OCC << b)) b += 1
+    b
+  }
+  private val SIM_W_MAX = SIM_BANDS * SIM_MAX_BB
+  /** Per-fingerprint-bit affine constants — same derived family as A/B,
+    * offset so the simhash bit hashes are independent of the minhash rows. */
+  private val SA: IndexedSeq[Long] =
+    (0 until SIM_W_MAX).map(i => (2654435761L * (i + 101)) % P)
+  private val SB: IndexedSeq[Long] =
+    (0 until SIM_W_MAX).map(i => (40503L * 65537L * (i + 101) + 97531L) % P)
 
   private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in")
   private val NEAR_DUP_J = 0.5
@@ -614,28 +638,37 @@ object LlmOps {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // Near-dup via SimHash: 32-bit sign-sum fingerprint over shingle-hash
-    // features, bucketed on 4 8-bit bands (hamming ≤ 3 ⟹ some band equal),
-    // verified with bit_count(xor) — the constant-space alternative to
-    // MinHash. Features are 3-gram shingles, not unigrams: this corpus has
-    // a ~30-word vocabulary, so unigram sign-sums converge to the vocab
-    // distribution and every fingerprint collides (measured: 16 k pairs).
+    // Near-dup via SimHash: adaptive-width sign-sum fingerprint over
+    // shingle-hash features, bucketed on 4 bands of `bb` bits (hamming ≤ 3
+    // ⟹ some band equal, at ANY width), verified with bit_count(xor) — the
+    // constant-space alternative to MinHash. Band width adapts to corpus
+    // size (simBandBits) so bucket occupancy — and with it the candidate
+    // join — stays bounded; fingerprint bit b is an independent affine
+    // rehash of the shingle hash (raw h bits end at ~2^30). Features are
+    // 3-gram shingles, not unigrams: this corpus has a ~30-word
+    // vocabulary, so unigram sign-sums converge to the vocab distribution
+    // and every fingerprint collides (measured: 16 k pairs).
     "l_simhash" -> ((s, d) => {
+      // metadata-only count; bb lands in the plan as literals, and the
+      // oracle re-derives the identical value from count(*)
+      val bb = simBandBits(Tables.documents(s, d).count())
+      val w = SIM_BANDS * bb
       val tk = shingleHashes(s, d)
-      val sums = tk.groupBy(col("doc_id")).agg(
-        sum(when((shiftright(col("h"), 0) % 2) === 1, 1).otherwise(-1)).as("s0"),
-        (1 until SIM_BITS).map(b =>
-          sum(when((shiftright(col("h"), b) % 2) === 1, 1).otherwise(-1)).as(s"s$b")): _*)
+      def bitSum(b: Int) =
+        sum(when(((lit(SA(b)) * col("h") + lit(SB(b))) % P) % 2 === 1, 1)
+          .otherwise(-1)).as(s"s$b")
+      val sums = tk.groupBy(col("doc_id"))
+        .agg(bitSum(0), (1 until w).map(bitSum): _*)
       // persisted: both sides of the band-bucket self-join read it
       val fp = sums.select(col("doc_id"),
-        (0 until SIM_BITS).map(b =>
+        (0 until w).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
           .reduce(_ + _).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = fp.select(col("doc_id"), col("fp"), explode(array(
         (0 until SIM_BANDS).map(j =>
           struct(lit(j).as("band"),
-            (shiftright(col("fp"), 8 * j) % 256).as("bucket"))): _*)).as("b"))
+            (shiftright(col("fp"), bb * j) % lit(1L << bb)).as("bucket"))): _*)).as("b"))
         .select(col("doc_id"), col("fp"), col("b.band"), col("b.bucket"))
       bands.as("x")
         .join(bands.as("y"),
@@ -1476,21 +1509,29 @@ object LlmOps {
          |ORDER BY d1, d2""".stripMargin,
 
     "l_simhash" -> {
-      val sums = (0 until SIM_BITS)
-        .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      // same integer thresholds as simBandBits: smallest bb in [MIN, MAX)
+      // with cnt <= TARGET_OCC << bb, else MAX
+      val bbExpr = (SIM_MIN_BB until SIM_MAX_BB).foldRight(s"$SIM_MAX_BB") {
+        (b, els) => s"CASE WHEN cnt <= ${SIM_TARGET_OCC << b} THEN $b ELSE $els END"
+      }
+      val sums = (0 until SIM_W_MAX)
+        .map(b => s"sum(CASE WHEN ((${SA(b)} * h + ${SB(b)}) % $P) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
         .mkString(",\n    ")
-      val fpExpr = (0 until SIM_BITS)
-        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
+      val fpExpr = (0 until SIM_W_MAX)
+        .map(b => s"CASE WHEN $b < ${SIM_BANDS} * pr.bb AND s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString("\n    + ")
       val bandSelects = (0 until SIM_BANDS)
-        .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ${8 * j}) % 256 AS bucket FROM fp")
+        .map(j => s"SELECT doc_id, fp, $j AS band, (fp >> ($j * pr.bb)) % (1::BIGINT << pr.bb) AS bucket FROM fp, pr")
         .mkString("\n  UNION ALL ")
-      s"""$shingleCte, sums AS (
+      s"""$shingleCte, pr AS (
+         |  SELECT $bbExpr AS bb
+         |  FROM (SELECT count(*) AS cnt FROM documents)
+         |), sums AS (
          |  SELECT doc_id,
          |    $sums
          |  FROM sh GROUP BY doc_id
          |), fp AS (
-         |  SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums
+         |  SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM sums, pr
          |), bands AS (
          |  $bandSelects
          |), cand AS (
