@@ -100,6 +100,28 @@ object LlmOps {
     * contributions (cross-engine-deterministic double addition). */
   private val BM25_TERMS = Seq("spark", "join", "stream")
 
+  /** PII regexes, shared verbatim with the oracle SQL. Kept to constructs
+    * with identical semantics under Java regex (Spark) and RE2 (DuckDB):
+    * character classes, bounded/greedy repetition, `\b` — no lookaround,
+    * no backrefs (RE2 has neither). */
+  private val PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val PII_IP =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** DSIR-style importance scoring: hashed-bigram feature buckets. 2^16
+    * buckets keeps buckets ≈ single-bigram at our vocabulary sizes (the
+    * signal; a small table would alias many bigrams per bucket and blur
+    * the target ratio toward the corpus mix) while the model stays a
+    * kilobyte-scale broadcast at ANY corpus size — bucket count is a
+    * model constant, not a data-derived quantity. Fixed-point integer
+    * scores: (t+1)·SCALE div (r+1) is reduce-order-independent where the
+    * paper's float log-ratios are not. */
+  private val DSIR_BUCKETS = 65536L
+  private val DSIR_SCALE = 1000000L
+  private val DSIR_LANG = "en"
+  private val DSIR_TOP = 50
+
   // ---------------------------------------------------------------- Spark
 
   /** Polynomial rolling hash — the native codegen expression
@@ -1350,6 +1372,83 @@ object LlmOps {
           (col("frame_ts_ms") / stepMs).cast("long").as("frame_no"),
           col("frame_ts_ms"), col("duration_ms"))
         .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // PII detection + redaction — the compliance pass a training corpus
+    // runs before text leaves the ingest zone: emails / phone numbers /
+    // IPv4 addresses detected and rewritten to typed placeholders. Pure
+    // per-row regex Project at scan speed (counts on the pre-redaction
+    // text, then sequential redaction email → phone → ip — the same
+    // order both engines apply); the only exchange is the oracle sort.
+    // The synthetic corpus carries no PII, so the fixture plants
+    // deterministic PII derived from doc_id IN the query (the
+    // q_quality_audit planted-violation pattern): every detector class
+    // is demonstrably exercised, and the redacted-text poly-hash proves
+    // the rewrite is byte-identical cross-engine, not just count-equal.
+    "l_pii_scrub" -> ((s, d) => {
+      val planted = when(col("doc_id") % 7 === 0,
+          concat(lit(" Contact user"), col("doc_id").cast("string"),
+            lit("@example.com for access.")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit(" Call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now.")))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit(" Logged from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit("."), (col("doc_id") % 254 + 1).cast("string"), lit(" tonight.")))
+        .otherwise(lit(""))
+      val red = regexp_replace(regexp_replace(regexp_replace(col("aug"),
+        lit(PII_EMAIL), lit("[EMAIL]")),
+        lit(PII_PHONE), lit("[PHONE]")),
+        lit(PII_IP), lit("[IP]"))
+      docs(s, d)
+        .withColumn("aug", concat(col("text"), planted))
+        .select(col("doc_id"), col("lang"),
+          regexp_count(col("aug"), lit(PII_EMAIL)).cast("long").as("n_email"),
+          regexp_count(col("aug"), lit(PII_PHONE)).cast("long").as("n_phone"),
+          regexp_count(col("aug"), lit(PII_IP)).cast("long").as("n_ip"),
+          length(red).cast("long").as("clean_len"),
+          polyHash(red).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance scoring — domain-targeted data selection
+    // (Xie et al. 2023's hashed-n-gram importance resampling, the
+    // select-what-looks-like-the-target step of corpus curation): score
+    // every document by how much its hashed bigram features look like a
+    // TARGET slice (here lang = 'en') relative to the whole corpus, then
+    // keep the top-N. The model is a ≤2^16-row integer table — per
+    // bucket, fixed-point (t+1)·SCALE div (r+1) over distinct-doc
+    // counts — built by ONE map-side-combined aggregate (≤ buckets rows
+    // per task cross the wire, never the corpus) and BROADCAST back;
+    // scoring is a map-side join + one |docs|-row combine; the answer is
+    // TakeOrderedAndProject. All-integer arithmetic makes the row
+    // hash-reproducible cross-engine where float log-likelihood ratios
+    // would not be; per-feature monotonicity vs the paper's log weights
+    // is preserved (log is monotone).
+    "l_importance" -> ((s, d) => {
+      val feats = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(transform(
+            graft.functions.Generators.wordNGramArray(lower(col("text")), 2),
+            g => polyHash(g) % DSIR_BUCKETS)).as("fb"))
+        .filter(size(col("fb")) >= 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = feats.select(col("doc_id"), col("lang"),
+        explode(col("fb")).as("b"))
+      val stats = pairs.groupBy(col("b"))
+        .agg(count(lit(1)).as("r"),
+          sum(when(col("lang") === DSIR_LANG, 1L).otherwise(0L)).as("t"))
+        .select(col("b"),
+          expr(s"(t + 1) * $DSIR_SCALE div (r + 1)").as("s"))
+      pairs.join(broadcast(stats), "b")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("s")).as("score_sum"))
+        .withColumn("score_avg", expr("score_sum div n_feats"))
+        .select(col("doc_id"), col("lang"), col("n_feats"),
+          col("score_sum"), col("score_avg"))
+        .orderBy(col("score_avg").desc, col("doc_id"))
+        .limit(DSIR_TOP)
     })
   )
 
@@ -1972,6 +2071,57 @@ object LlmOps {
         |FROM (SELECT doc_id, n_chars,
         |        unnest(generate_series(0, CAST(n_chars AS BIGINT) * 40, 5000)) AS f
         |      FROM documents WHERE doc_id % 3 = 2)
-        |ORDER BY doc_id, frame_no""".stripMargin
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // identical planted-PII derivation, regexes, and redaction order;
+    // the poly-hash of the redacted text proves byte-identity
+    "l_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, lang, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+         |                               || '@example.com for access.'
+         |         WHEN doc_id % 7 = 3 THEN ' Call +1-555-'
+         |                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+         |         WHEN doc_id % 7 = 5 THEN ' Logged from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |                               || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |                               || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) || ' tonight.'
+         |         ELSE '' END AS aug
+         |  FROM documents
+         |), red AS (
+         |  SELECT doc_id, lang, aug,
+         |    regexp_replace(regexp_replace(regexp_replace(aug,
+         |      '$PII_EMAIL', '[EMAIL]', 'g'),
+         |      '$PII_PHONE', '[PHONE]', 'g'),
+         |      '$PII_IP', '[IP]', 'g') AS clean
+         |  FROM aug)
+         |SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(aug, '$PII_EMAIL')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$PII_PHONE')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(aug, '$PII_IP')) AS BIGINT) AS n_ip,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  ${sqlPoly("clean")} AS clean_fp
+         |FROM red ORDER BY doc_id""".stripMargin,
+
+    // same bigram construction, bucket hash, and fixed-point ratio model
+    "l_importance" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+         |), fb AS (
+         |  SELECT DISTINCT doc_id, lang, ${sqlPoly("g")} % $DSIR_BUCKETS AS b FROM (
+         |    SELECT doc_id, lang, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+         |    FROM toks WHERE len(w) >= 2)
+         |), stats AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS r,
+         |         CAST(sum(CASE WHEN lang = '$DSIR_LANG' THEN 1 ELSE 0 END) AS BIGINT) AS t
+         |  FROM fb GROUP BY b
+         |), scored AS (
+         |  SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_feats,
+         |         CAST(sum((s.t + 1) * $DSIR_SCALE // (s.r + 1)) AS BIGINT) AS score_sum
+         |  FROM fb f JOIN stats s ON s.b = f.b
+         |  GROUP BY f.doc_id, f.lang
+         |)
+         |SELECT doc_id, lang, n_feats, score_sum, score_sum // n_feats AS score_avg
+         |FROM scored
+         |ORDER BY score_avg DESC, doc_id LIMIT $DSIR_TOP""".stripMargin
   )
 }

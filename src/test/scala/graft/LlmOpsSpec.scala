@@ -324,4 +324,48 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("pii scrub: every planted class detected; clean docs round-trip byte-identical") {
+    val rows = run("l_pii_scrub").collect()
+    assert(rows.length === 500)
+    def g(r: org.apache.spark.sql.Row, i: Int) = r.getLong(i)
+    rows.foreach { r =>
+      val id = g(r, 0)
+      if (id % 7 == 0) assert(g(r, 2) >= 1, s"doc $id: planted email missed")
+      else if (id % 7 == 3) assert(g(r, 3) >= 1, s"doc $id: planted phone missed")
+      else if (id % 7 == 5) assert(g(r, 4) >= 1, s"doc $id: planted IP missed")
+      else assert(g(r, 2) + g(r, 3) + g(r, 4) === 0, s"doc $id: false positive")
+    }
+    // non-planted docs must pass through UNTOUCHED: redacted fingerprint
+    // and length equal the raw text's (l_text_stats is the reference);
+    // planted docs must NOT (the placeholder rewrite changed the bytes)
+    val raw = run("l_text_stats").select("doc_id", "fingerprint", "n_chars_calc")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val id = g(r, 0)
+      val cleanFpLen = (g(r, 6), g(r, 5))
+      if (Seq(0L, 3L, 5L).contains(id % 7))
+        assert(cleanFpLen !== raw(id), s"doc $id: PII survived redaction")
+      else
+        assert(cleanFpLen === raw(id), s"doc $id: clean text was altered")
+    }
+  }
+
+  test("importance: target-language docs dominate a deterministic top-50") {
+    val rows = run("l_importance").collect()
+    assert(rows.length === 50)
+    assert(rows.count(_.getString(1) == "en") >= 40,
+      "importance scoring must surface the target-language slice")
+    val keys = rows.map(r => (r.getLong(4), r.getLong(0)))
+    assert(keys.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2)
+    }, "rows must be (score_avg desc, doc_id) ordered")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L, "n_feats must be positive")
+      assert(r.getLong(3) >= r.getLong(2), "score_sum below n_feats is impossible")
+    }
+    // all-integer model ⇒ bit-identical rerun
+    val again = run("l_importance").collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }

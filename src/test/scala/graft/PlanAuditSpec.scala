@@ -62,6 +62,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("l_importance: the bucket model broadcasts; top-50 is TakeOrdered") {
+    val plan = planOf("l_importance")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤2^16-row score table must broadcast back to the corpus " +
+        s"(a shuffled join would exchange the corpus for a kilobyte model):\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must plan as top-k, not a global Sort+Limit:\n${plan.take(1500)}")
+  }
+
+  test("l_pii_scrub: detection + redaction is one scan-speed codegen Project") {
+    val df = SparkEntry.queries("l_pii_scrub")(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"l_pii_scrub has no codegen span:\n${plan.take(1200)}")
+    assert("(?m)^[\\s:+-]*Project ".r.findFirstIn(plan).isEmpty,
+      s"l_pii_scrub has a non-codegen Project on the hot path:\n${plan.take(1200)}")
+    // exactly the oracle sort's exchange and the spread() widen — a regex
+    // redaction that introduced any other shuffle would be a plan bug
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"unexpected exchanges in a per-row regex pipeline:\n${plan.take(1500)}")
+  }
+
   test("no oracle query plans a CartesianProduct at sf0.001") {
     // BroadcastNestedLoopJoin is NOT banned here: the suite's crossJoins
     // broadcast 1-row stats frames, which legitimately plan as BNLJ — the
