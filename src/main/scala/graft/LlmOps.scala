@@ -131,6 +131,38 @@ object LlmOps {
     * the whole suite (kernel contract documented in HashKernels). */
   private def polyHash(c: Column): Column = graft.functions.HashExprs.polyHash(c)
 
+  /** Stateless PII scrub over a (doc_id, lang, text) frame — one regex
+    * Project, no shuffle, no state store, so it binds to a batch scan or
+    * a document stream unchanged (the l_pii_scrub / s_pii pair proves the
+    * two plans answer-identical via the shared oracle). Counts are taken
+    * on the pre-redaction text; redaction applies email → phone → ip, the
+    * fixed order the oracle replays. The planted-PII fixture is derived
+    * from doc_id IN the query — see the l_pii_scrub entry. */
+  private[graft] def piiProjection(df: DataFrame): DataFrame = {
+    val planted = when(col("doc_id") % 7 === 0,
+        concat(lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com for access.")))
+      .when(col("doc_id") % 7 === 3,
+        concat(lit(" Call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now.")))
+      .when(col("doc_id") % 7 === 5,
+        concat(lit(" Logged from 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit("."), (col("doc_id") % 254 + 1).cast("string"), lit(" tonight.")))
+      .otherwise(lit(""))
+    val red = regexp_replace(regexp_replace(regexp_replace(col("aug"),
+      lit(PII_EMAIL), lit("[EMAIL]")),
+      lit(PII_PHONE), lit("[PHONE]")),
+      lit(PII_IP), lit("[IP]"))
+    df.withColumn("aug", concat(col("text"), planted))
+      .select(col("doc_id"), col("lang"),
+        regexp_count(col("aug"), lit(PII_EMAIL)).cast("long").as("n_email"),
+        regexp_count(col("aug"), lit(PII_PHONE)).cast("long").as("n_phone"),
+        regexp_count(col("aug"), lit(PII_IP)).cast("long").as("n_ip"),
+        length(red).cast("long").as("clean_len"),
+        polyHash(red).as("clean_fp"))
+  }
+
   /** The testdata ships one small parquet file per table, so a scan can
     * plan ONE task and every hash-heavy Project downstream serializes.
     * Widen ONLY when the scan is actually under-partitioned: an
@@ -1385,32 +1417,8 @@ object LlmOps {
     // q_quality_audit planted-violation pattern): every detector class
     // is demonstrably exercised, and the redacted-text poly-hash proves
     // the rewrite is byte-identical cross-engine, not just count-equal.
-    "l_pii_scrub" -> ((s, d) => {
-      val planted = when(col("doc_id") % 7 === 0,
-          concat(lit(" Contact user"), col("doc_id").cast("string"),
-            lit("@example.com for access.")))
-        .when(col("doc_id") % 7 === 3,
-          concat(lit(" Call +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now.")))
-        .when(col("doc_id") % 7 === 5,
-          concat(lit(" Logged from 10."), (col("doc_id") % 256).cast("string"),
-            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
-            lit("."), (col("doc_id") % 254 + 1).cast("string"), lit(" tonight.")))
-        .otherwise(lit(""))
-      val red = regexp_replace(regexp_replace(regexp_replace(col("aug"),
-        lit(PII_EMAIL), lit("[EMAIL]")),
-        lit(PII_PHONE), lit("[PHONE]")),
-        lit(PII_IP), lit("[IP]"))
-      docs(s, d)
-        .withColumn("aug", concat(col("text"), planted))
-        .select(col("doc_id"), col("lang"),
-          regexp_count(col("aug"), lit(PII_EMAIL)).cast("long").as("n_email"),
-          regexp_count(col("aug"), lit(PII_PHONE)).cast("long").as("n_phone"),
-          regexp_count(col("aug"), lit(PII_IP)).cast("long").as("n_ip"),
-          length(red).cast("long").as("clean_len"),
-          polyHash(red).as("clean_fp"))
-        .orderBy(col("doc_id"))
-    }),
+    "l_pii_scrub" -> ((s, d) =>
+      piiProjection(docs(s, d)).orderBy(col("doc_id"))),
 
     // DSIR-style importance scoring — domain-targeted data selection
     // (Xie et al. 2023's hashed-n-gram importance resampling, the

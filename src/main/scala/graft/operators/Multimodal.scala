@@ -11,7 +11,8 @@ import org.apache.spark.sql.Dataset
   * next to the scan and only the small feature rows travel on).
   *
   * Decode is REAL for the uncompressed containers a pure JVM can parse
-  * with no codec dependency: BMP (pixel dimensions from the DIB header)
+  * with no codec dependency: BMP (pixel dimensions from the DIB header,
+  * plus an actual nearest-neighbor pixel resize — [[resizeBmp]])
   * and WAV (sample rate / channels / duration from the RIFF chunks).
   * Compressed formats (JPEG/PNG/MP4...) still fall back to a clearly
   * deterministic fake — this container ships no codecs — behind the same
@@ -122,6 +123,53 @@ object Multimodal {
     else (math.max(1, math.round(w.toDouble * maxSide / h).toInt), maxSide)
   }
 
+  /** REAL pixel resize for the container a pure JVM can handle codec-free:
+    * nearest-neighbor downsample of an uncompressed 24bpp
+    * BITMAPINFOHEADER BMP to [[thumbDims]], honoring 4-byte row padding
+    * and both row orders (positive height = bottom-up storage, negative =
+    * top-down; the output is always bottom-up, the writer's convention).
+    * Returns None for any other pixel format — palette, 32bpp, RLE and
+    * the compressed containers belong to the codec seam. */
+  def resizeBmp(payload: Array[Byte], maxSide: Int = 128): Option[Array[Byte]] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    if (i32le(payload, 14) < 40) return None
+    val w = i32le(payload, 18)
+    val hRaw = i32le(payload, 22)
+    val h = math.abs(hRaw)
+    val bpp = u16le(payload, 28)
+    val compression = i32le(payload, 30)
+    val dataOff = i32le(payload, 10)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0 || dataOff < 54) return None
+    // Long stride math: a hostile width near 2^31 would overflow the int
+    // row-stride into a negative that slips past the bounds check below
+    val srcRowL = (w.toLong * 3 + 3) / 4 * 4
+    if (dataOff.toLong + srcRowL * h > payload.length) return None
+    val srcRow = srcRowL.toInt // fits: the payload bound above caps it
+    val (tw, th) = thumbDims(w, h, maxSide)
+    val out = makeBmp(tw, th)
+    val dstRow = (tw * 3 + 3) / 4 * 4
+    var y = 0
+    while (y < th) {
+      // logical row counted from the TOP, mapped nearest-neighbor into the
+      // source, then each side converted to its own storage order
+      val lyTop = th - 1 - y // out is bottom-up: storage row y is this logical row
+      val sLogical = (lyTop.toLong * h / th).toInt
+      val sStorage = if (hRaw > 0) h - 1 - sLogical else sLogical
+      val srcBase = dataOff + sStorage * srcRow
+      val dstBase = 54 + y * dstRow
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * w / tw).toInt
+        val so = srcBase + sx * 3
+        val po = dstBase + x * 3
+        out(po) = payload(so); out(po + 1) = payload(so + 1); out(po + 2) = payload(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   /** Frame-sample plan for video: k evenly spaced frame indices in
     * [0, nFrames) — first frame always included, never duplicated. */
   def frameOffsets(nFrames: Int, k: Int): Seq[Int] = {
@@ -162,6 +210,23 @@ object Multimodal {
     b.putShort(bitsPerSample.toShort)
     b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     b.array()
+  }
+
+  /** Partition-batched thumbnail pass: payload → payload. BMPs are REALLY
+    * downsampled ([[resizeBmp]]); codec formats pass through untouched
+    * behind the same seam (a linked codec would replace the None arm).
+    * Payloads still never shuffle — the resize runs next to the scan and
+    * the smaller bytes travel on. */
+  def resizeThumbs(media: Dataset[MediaRow], maxSide: Int = 128): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        resizeBmp(r.payload, maxSide) match {
+          case Some(p) => r.copy(payload = p)
+          case None    => r
+        }
+      }
+    }
   }
 
   /** The partition-batched extract: one decoder init per partition. */

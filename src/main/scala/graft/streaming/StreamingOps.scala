@@ -490,6 +490,15 @@ object StreamingOps {
       readSink(s, drainToParquet(scored, "append"))
         .orderBy(org.apache.spark.sql.functions.col("doc_id"))
     }),
+    // Streaming PII scrub at ingest: the stateless regex Project
+    // (LlmOps.piiProjection) bound to the document stream — like
+    // s_quality, no state store, so the streaming plan IS the batch
+    // plan, proven by the shared l_pii_scrub oracle.
+    "s_pii" -> ((s, d) => {
+      val scrubbed = graft.LlmOps.piiProjection(readDocumentsStream(s, d))
+      readSink(s, drainToParquet(scrubbed, "append"))
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    }),
     // Streaming CDC: incremental MERGE materialization of the changelog
     // (see cdcApplyInto) — shares the batch row's oracle, proving the
     // micro-batched upsert equals the one-shot batch apply.
@@ -520,6 +529,7 @@ object StreamingOps {
     // collapses them) — the oracle IS the batch oracle
     "s_neardup" -> graft.LlmOps.oracles("l_minhash_lsh"),
     "s_quality" -> graft.LlmOps.oracles("l_quality_filter"),
+    "s_pii" -> graft.LlmOps.oracles("l_pii_scrub"),
     "s_cdc" -> graft.Analytic.oracles("w_cdc_apply"),
 
     "s_tumbling" ->

@@ -66,6 +66,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w === 128 && h >= 1)                                    // rounding floor is 1
   }
 
+  test("resizeBmp really moves pixels: gradient round-trips through the downsample") {
+    // paint a deterministic gradient into a 256x64 bottom-up BMP
+    val (w, h) = (256, 64)
+    val src = Multimodal.makeBmp(w, h)
+    val srcRow = (w * 3 + 3) / 4 * 4
+    def paint(img: Array[Byte], topDown: Boolean): Unit =
+      for (ly <- 0 until h; x <- 0 until w) { // ly = logical row from top
+        val storageY = if (topDown) ly else h - 1 - ly
+        val o = 54 + storageY * srcRow + x * 3
+        img(o) = (x % 251).toByte; img(o + 1) = (ly % 241).toByte
+        img(o + 2) = ((x + ly) % 239).toByte
+      }
+    paint(src, topDown = false)
+    val out = Multimodal.resizeBmp(src, maxSide = 128).get
+    assert(Multimodal.decodeBmp(out) === Some(Multimodal.thumbDims(w, h, 128)))
+    val (tw, th) = Multimodal.thumbDims(w, h, 128)
+    val dstRow = (tw * 3 + 3) / 4 * 4
+    // every output pixel equals its nearest-neighbor source pixel
+    for (y <- 0 until th; x <- 0 until tw) {
+      val lyTop = th - 1 - y
+      val sx = (x.toLong * w / tw).toInt
+      val sly = (lyTop.toLong * h / th).toInt
+      val o = 54 + y * dstRow + x * 3
+      assert(out(o) === (sx % 251).toByte && out(o + 1) === (sly % 241).toByte &&
+        out(o + 2) === ((sx + sly) % 239).toByte, s"pixel ($x,$y)")
+    }
+    // a TOP-DOWN source with the same logical pixels resizes to identical bytes
+    val td = Multimodal.makeBmp(w, h)
+    java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -h)
+    paint(td, topDown = true)
+    assert(java.util.Arrays.equals(Multimodal.resizeBmp(td, 128).get, out),
+      "row order must not change the resized image")
+    // under-cap images pass through with identical pixels; junk is None
+    val small = Multimodal.makeBmp(100, 50)
+    assert(Multimodal.decodeBmp(Multimodal.resizeBmp(small, 128).get) === Some((100, 50)))
+    assert(Multimodal.resizeBmp("not an image".getBytes("UTF-8"), 128) === None)
+    // truncated pixel data must be rejected, not read out of bounds
+    assert(Multimodal.resizeBmp(src.take(1000), 128) === None)
+    // hostile header: a width near 2^31 must fail the Long-math bounds
+    // check, not overflow the row stride into a negative that reads wild
+    val hostile = Multimodal.makeBmp(4, 4)
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 0x7FFFFFF0)
+    assert(Multimodal.resizeBmp(hostile, 128) === None)
+  }
+
   test("frameOffsets samples evenly, in range, first frame included") {
     assert(Multimodal.frameOffsets(10, 4) === Seq(0, 2, 5, 7))
     assert(Multimodal.frameOffsets(3, 8) === Seq(0, 1, 2))         // k >= n: all frames
@@ -107,5 +153,20 @@ class MultimodalSpec extends AnyFunSuite {
     // the non-BMP row fell through to the labeled stub, not a crash
     val (sw, sh) = Multimodal.decodeImageStub("not-a-bmp".getBytes("UTF-8"))
     assert((feats(3L).width, feats(3L).height) === ((sw, sh)))
+  }
+
+  test("resizeThumbs really shrinks BMP payloads in the distributed path") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image/bmp", Multimodal.makeBmp(640, 480)),
+      MediaRow(2L, "image/bmp", Multimodal.makeBmp(96, 64)),
+      MediaRow(3L, "image/png", "not-a-bmp".getBytes("UTF-8"))).toDS().repartition(2)
+    val out = Multimodal.resizeThumbs(media).collect().map(r => r.doc_id -> r).toMap
+    assert(Multimodal.decodeBmp(out(1L).payload) === Some((128, 96)))
+    assert(out(1L).payload.length < Multimodal.makeBmp(640, 480).length,
+      "downsample must actually shrink the payload")
+    assert(Multimodal.decodeBmp(out(2L).payload) === Some((96, 64))) // under cap
+    assert(java.util.Arrays.equals(out(3L).payload, "not-a-bmp".getBytes("UTF-8")),
+      "codec formats pass through untouched")
   }
 }
