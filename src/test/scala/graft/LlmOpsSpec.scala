@@ -351,6 +351,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii detector: exact counts on seeded random corpora (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(911L)
+    def word() = (1 to 1 + rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docsWithPii = (0 until 200).map { i =>
+      val words = scala.collection.mutable.Buffer.fill(5 + rnd.nextInt(30))(word())
+      val (ne, np, ni) = (rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(3))
+      def insert(s: String): Unit = words.insert(rnd.nextInt(words.length + 1), s)
+      (1 to ne).foreach(j => insert(s"u$j@ex$j.com"))
+      (1 to np).foreach(j => insert(f"+1-${100 + rnd.nextInt(900)}%d-${rnd.nextInt(10000)}%04d"))
+      (1 to ni).foreach(_ => insert(Seq.fill(4)(rnd.nextInt(256)).mkString(".")))
+      // doc_id ≡ 1,2,4,6 mod 7: keeps the in-query planted fixture out of
+      // the way so the expected counts are exactly the inserted ones
+      val id = Seq(1L, 2L, 4L, 6L)(i % 4) + 7L * i
+      (id, "en", words.mkString(" "), ne.toLong, np.toLong, ni.toLong)
+    }
+    val df = docsWithPii.map(t => (t._1, t._2, t._3))
+      .toDF("doc_id", "lang", "text")
+    val out = LlmOps.piiProjection(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    docsWithPii.foreach { case (id, _, _, ne, np, ni) =>
+      assert(out(id) === ((ne, np, ni)), s"doc $id: wrong detection counts")
+    }
+  }
+
   test("importance: target-language docs dominate a deterministic top-50") {
     val rows = run("l_importance").collect()
     assert(rows.length === 50)
