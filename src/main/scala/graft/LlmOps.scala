@@ -1441,6 +1441,10 @@ object LlmOps {
             graft.functions.Generators.wordNGramArray(lower(col("text")), 2),
             g => polyHash(g) % DSIR_BUCKETS)).as("fb"))
         .filter(size(col("fb")) >= 1)
+        // persisted because BOTH subtrees (model build + scoring) read it —
+        // scan+hash the corpus once, not twice; spillable, and query-scoped
+        // like l_lm_score's bigram cache (the harness clears caches between
+        // queries; inside one action there is no unpersist point)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = feats.select(col("doc_id"), col("lang"),
         explode(col("fb")).as("b"))

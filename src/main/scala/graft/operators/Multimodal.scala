@@ -140,10 +140,12 @@ object Multimodal {
     val compression = i32le(payload, 30)
     val dataOff = i32le(payload, 10)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0 || dataOff < 54) return None
-    // Long stride math: a hostile width near 2^31 would overflow the int
-    // row-stride into a negative that slips past the bounds check below
+    // Long stride math in DIVISION form: a hostile width overflows an int
+    // stride, and width AND height together overflow even srcRowL * h in
+    // Long (≈1.4e19 wraps negative and would slip past a product-form
+    // bound) — dividing by h instead cannot overflow
     val srcRowL = (w.toLong * 3 + 3) / 4 * 4
-    if (dataOff.toLong + srcRowL * h > payload.length) return None
+    if (srcRowL > (payload.length - dataOff).toLong / h) return None
     val srcRow = srcRowL.toInt // fits: the payload bound above caps it
     val (tw, th) = thumbDims(w, h, maxSide)
     val out = makeBmp(tw, th)

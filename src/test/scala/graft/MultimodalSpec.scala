@@ -110,6 +110,12 @@ class MultimodalSpec extends AnyFunSuite {
     java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(18, 0x7FFFFFF0)
     assert(Multimodal.resizeBmp(hostile, 128) === None)
+    // width AND height hostile: stride × height overflows even a Long
+    // product — the division-form bound must still reject, not crash
+    val hostile2 = Multimodal.makeBmp(4, 4)
+    java.nio.ByteBuffer.wrap(hostile2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 0x7FFFFFF0).putInt(22, 0x7FFFFFF0)
+    assert(Multimodal.resizeBmp(hostile2, 128) === None)
   }
 
   test("frameOffsets samples evenly, in range, first frame included") {
