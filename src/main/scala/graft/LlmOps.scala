@@ -1420,6 +1420,36 @@ object LlmOps {
     "l_pii_scrub" -> ((s, d) =>
       piiProjection(docs(s, d)).orderBy(col("doc_id"))),
 
+    // Cross-document duplicated-text fraction — the RefinedWeb/FineWeb
+    // "duplicated n-gram" quality signal: per document, what fraction of
+    // its DISTINCT 5-grams also appears in at least one OTHER document.
+    // Complements the other duplication ops — l_repetition is intra-doc,
+    // l_decontaminate is vs a fixed benchmark set, the near-dup family is
+    // whole-document; this measures partial cross-doc copying (quoted
+    // boilerplate, templated spans) that none of those flag. Scale shape:
+    // the distinct (doc, gram-hash) frame is persisted and read by both
+    // the document-frequency aggregate (map-side combined) and the
+    // score-back join; the df frame is vocabulary-sized and therefore
+    // SHUFFLED back, never broadcast (same discipline as l_lm_score's
+    // count frames — vocabulary grows with the corpus). The one double
+    // division is a single op on two exact integers — bit-stable in both
+    // engines.
+    "l_dup_ngrams" -> ((s, d) => {
+      val grams = docs(s, d).select(col("doc_id"),
+          explode(array_distinct(transform(
+            graft.functions.Generators.wordNGramArray(lower(col("text")), 5),
+            g => polyHash(g)))).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      grams.join(dfreq, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          col("n_dup").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style importance scoring — domain-targeted data selection
     // (Xie et al. 2023's hashed-n-gram importance resampling, the
     // select-what-looks-like-the-target step of corpus curation): score
@@ -2113,6 +2143,26 @@ object LlmOps {
          |  CAST(length(clean) AS BIGINT) AS clean_len,
          |  ${sqlPoly("clean")} AS clean_fp
          |FROM red ORDER BY doc_id""".stripMargin,
+
+    // same 5-gram construction and poly-hash; docs under 5 tokens have no
+    // grams and drop out of both engines identically
+    "l_dup_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT DISTINCT doc_id, ${sqlPoly("s")} AS h FROM (
+         |    SELECT doc_id, unnest([list_reduce(w[i:i+4], (a, b) -> a || ' ' || b)
+         |                           for i in range(1, len(w) - 3)]) AS s
+         |    FROM toks WHERE len(w) >= 5)
+         |), dfreq AS (
+         |  SELECT h, count(*) AS df FROM g GROUP BY h
+         |)
+         |SELECT g.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+         |FROM g JOIN dfreq ON dfreq.h = g.h
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // same bigram construction, bucket hash, and fixed-point ratio model
     "l_importance" ->

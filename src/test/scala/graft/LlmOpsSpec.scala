@@ -376,6 +376,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-ngram fraction: near-dup pair members show cross-doc duplication") {
+    val rows = run("l_dup_ngrams").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    rows.values.foreach { case (n, dup, f) =>
+      assert(dup >= 0 && dup <= n)
+      assert(f === dup.toDouble / n)
+    }
+    val paired = run("l_ngram_jaccard").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(paired.nonEmpty)
+    paired.foreach { id =>
+      assert(rows(id)._2 > 0, s"doc $id is in a near-dup pair but shows no shared 5-grams")
+    }
+    // the corpus at large is clean: the median unpaired doc is not duplicated
+    val fracs = rows.collect { case (id, (_, _, f)) if !paired(id) => f }.toSeq.sorted
+    assert(fracs(fracs.size / 2) < 0.5, "median unpaired doc should not look duplicated")
+  }
+
   test("importance: target-language docs dominate a deterministic top-50") {
     val rows = run("l_importance").collect()
     assert(rows.length === 50)
