@@ -1440,11 +1440,16 @@ object LlmOps {
             graft.functions.Generators.wordNGramArray(lower(col("text")), 5),
             g => polyHash(g)))).as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      grams.join(dfreq, "h")
+      // only duplicated grams matter downstream: filtering df >= 2 BEFORE
+      // the score-back join shrinks its right side from the whole
+      // vocabulary (mostly df = 1 in a clean corpus) to just the
+      // duplicated subset; LEFT join + count(df) is output-identical to
+      // joining the full frame and testing df >= 2 per row
+      val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+      grams.join(dup, Seq("h"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .agg(count(lit(1)).as("n_grams"), count(col("df")).as("n_dup"))
         .withColumn("dup_frac",
           col("n_dup").cast("double") / col("n_grams"))
         .orderBy(col("doc_id"))

@@ -387,7 +387,9 @@ class LlmOpsSpec extends AnyFunSuite {
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(paired.nonEmpty)
     paired.foreach { id =>
-      assert(rows(id)._2 > 0, s"doc $id is in a near-dup pair but shows no shared 5-grams")
+      val r = rows.get(id)
+      assert(r.isDefined, s"doc $id is in a near-dup pair but absent from l_dup_ngrams")
+      assert(r.get._2 > 0, s"doc $id is in a near-dup pair but shows no shared 5-grams")
     }
     // the corpus at large is clean: the median unpaired doc is not duplicated
     val fracs = rows.collect { case (id, (_, _, f)) if !paired(id) => f }.toSeq.sorted
