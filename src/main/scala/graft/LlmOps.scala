@@ -1492,8 +1492,6 @@ object LlmOps {
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_feats"), sum(col("s")).as("score_sum"))
         .withColumn("score_avg", expr("score_sum div n_feats"))
-        .select(col("doc_id"), col("lang"), col("n_feats"),
-          col("score_sum"), col("score_avg"))
         .orderBy(col("score_avg").desc, col("doc_id"))
         .limit(DSIR_TOP)
     })

@@ -477,6 +477,14 @@ object StreamingOps {
 
   import graft.SparkEntry.Q
 
+  /** Stateless ingest-admission shape shared by s_quality / s_pii: bind a
+    * batch-identical per-row projection to the document stream, drain
+    * append-mode to parquet, re-read sorted for the oracle compare. */
+  private def drainedDocProjection(s: SparkSession, d: String,
+      proj: DataFrame => DataFrame): DataFrame =
+    readSink(s, drainToParquet(proj(readDocumentsStream(s, d)), "append"))
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+
   def queries: Map[String, Q] = Map(
     "s_dedup" -> ((s, d) => dedup(s, d)),
     "s_doc_dedup" -> ((s, d) => docDedup(s, d)),
@@ -485,20 +493,14 @@ object StreamingOps {
     // (LlmOps.qualityProjection) bound to the document stream — an
     // ingest-time gate needs no state store, so the streaming plan IS the
     // batch plan; provably so, since the row shares the batch oracle.
-    "s_quality" -> ((s, d) => {
-      val scored = graft.LlmOps.qualityProjection(readDocumentsStream(s, d))
-      readSink(s, drainToParquet(scored, "append"))
-        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
-    }),
+    "s_quality" -> ((s, d) =>
+      drainedDocProjection(s, d, graft.LlmOps.qualityProjection)),
     // Streaming PII scrub at ingest: the stateless regex Project
     // (LlmOps.piiProjection) bound to the document stream — like
     // s_quality, no state store, so the streaming plan IS the batch
     // plan, proven by the shared l_pii_scrub oracle.
-    "s_pii" -> ((s, d) => {
-      val scrubbed = graft.LlmOps.piiProjection(readDocumentsStream(s, d))
-      readSink(s, drainToParquet(scrubbed, "append"))
-        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
-    }),
+    "s_pii" -> ((s, d) =>
+      drainedDocProjection(s, d, graft.LlmOps.piiProjection)),
     // Streaming CDC: incremental MERGE materialization of the changelog
     // (see cdcApplyInto) — shares the batch row's oracle, proving the
     // micro-batched upsert equals the one-shot batch apply.
