@@ -32,7 +32,35 @@ object Exporter {
   case class Config(pages: String, outDir: String,
                     streams: Boolean = false, pushAndPull: Boolean = true,
                     limit: Int = 50, overrides: Map[String, String] = Map.empty,
-                    cycle: Long = 0L)
+                    cycle: Long = 0L,
+                    fromMinutes: Option[Int] = None, nowMs: Option[Long] = None)
+
+  /** Config-bounds parity (main.go:42-43,210-216 + querier.go:15-16):
+    * the reference fail-fasts (exit code 78) on a poll window outside
+    * [1, 10800] minutes, and the CTS API caps page size at 200. A
+    * mis-configured job must die at config time, before any Spark job is
+    * planned — not proceed silently on a window the live API would
+    * reject. `fromMinutes=None` is the fixture-replay mode (our source
+    * reads recorded pages, not the live API, so "no wall-clock window"
+    * is meaningful here where it isn't for the reference). */
+  private def validate(cfg: Config): Unit = {
+    cfg.fromMinutes.foreach { f =>
+      require(f >= 1 && f <= 10800,
+        s"'from' out of range: 1 and 10800 (got $f)")
+    }
+    require(cfg.limit >= 1 && cfg.limit <= 200,
+      s"'limit' out of range: 1 and 200 (got ${cfg.limit})")
+  }
+
+  /** CTS_FROM window semantics (adapter.go:93-100): the poll queries
+    * [now - from minutes, now]. The predicate lands on the source as an
+    * F1 pushdown (the server evaluates From/To), so the window prunes
+    * pages before they are parsed — same shape as the live API call. */
+  private def windowed(traces: DataFrame, cfg: Config): DataFrame =
+    cfg.fromMinutes.fold(traces) { f =>
+      val to = cfg.nowMs.getOrElse(System.currentTimeMillis())
+      traces.filter(col("time") >= to - f * 60000L && col("time") <= to)
+    }
 
   /** The six extension attributes the reference sets on every envelope
     * (adapter.go:249-254) — all FLAT at the top level of the CE JSON, the
@@ -91,6 +119,7 @@ object Exporter {
   /** One poll cycle (batch) or a drain-available run (streams=true).
     * Returns Some(delivery) when pushAndPull enabled. */
   def run(spark: SparkSession, cfg: Config): Option[CloudEventSink.Delivery] = {
+    validate(cfg)
     // K_SINK parity: the reference's sink target is a URL and delivery is
     // a per-event CE POST (adapter.go:146). An http(s) outDir selects the
     // real HTTP transport (binary content mode, the Go SDK default); a
@@ -102,13 +131,13 @@ object Exporter {
     if (!cfg.streams) {
       val traces = spark.read.format("cts")
         .option("pages", cfg.pages).option("limit", cfg.limit).load()
-      val ce = toCloudEvents(traces, cfg.overrides)
+      val ce = toCloudEvents(windowed(traces, cfg), cfg.overrides)
       if (cfg.pushAndPull) Some(CloudEventSink.deliver(ce, transport, cfg.cycle))
       else { ce.write.format("noop").mode("overwrite").save(); None }
     } else {
       val traces = spark.readStream.format("cts")
         .option("pages", cfg.pages).option("limit", cfg.limit).load()
-      val ce = toCloudEvents(traces, cfg.overrides)
+      val ce = toCloudEvents(windowed(traces, cfg), cfg.overrides)
       if (cfg.pushAndPull) {
         val sd = CloudEventSink.deliverStream(ce, transport,
           java.nio.file.Files.createTempDirectory("exporter-ckpt-").toString)
@@ -160,13 +189,26 @@ object Exporter {
         require(ovIdx + 1 < args.length, "--overrides needs a JSON argument")
         Some(args(ovIdx + 1))
       } else env.get("GRAFT_CE_OVERRIDES")
+    // CTS_FROM precedence parity (main.go:87-94): a nonzero --from flag
+    // wins over the env var; the flag path is range-checked at config
+    // time exactly as fromInRange does (main.go:210-216). The env path
+    // is checked too — stricter than the reference, which validates only
+    // the flag (an env-injected 0 would make its ticker panic anyway).
+    val fmIdx = args.indexOf("--from")
+    val fromMinutes =
+      (if (fmIdx >= 0) {
+        require(fmIdx + 1 < args.length, "--from needs a minutes argument")
+        Some(args(fmIdx + 1))
+      } else env.get("GRAFT_CTS_FROM")).map(_.toInt)
     Config(pages, out,
       streams = args.contains("--streams"),
       pushAndPull = !args.contains("--pull-only"),
-      overrides = ovJson.fold(Map.empty[String, String])(parseOverrides))
+      overrides = ovJson.fold(Map.empty[String, String])(parseOverrides),
+      fromMinutes = fromMinutes)
   }
 
   /** CLI: Exporter <pagesDir> <outDir> [--streams] [--pull-only]
+    *            [--from <minutes>]       (or GRAFT_CTS_FROM env)
     *            [--overrides '{"k":"v"}']  (or GRAFT_CE_OVERRIDES env) */
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)

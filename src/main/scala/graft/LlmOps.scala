@@ -566,21 +566,31 @@ object LlmOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: label := label(label). Every label IS a vertex id
       // in the frame (labels are mins over vertex ids), so the left
-      // join's fallback arm is belt-and-braces only.
-      val jumped = merged.as("a")
-        .join(merged.as("b"), col("a.label") === col("b.v"), "left")
-        .select(col("a.v").as("v"),
-          coalesce(col("b.label"), col("a.label")).as("label"),
-          col("a.own_label").as("own_label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = jumped.filter(col("label") < col("own_label")).count()
-      merged.unpersist()
+      // join's fallback arm is belt-and-braces only. GATED off on pass 1:
+      // the dominant near-dup graph shape (disjoint pairs / tiny stars)
+      // converges in the plain propagate pass, and the jump's self-join
+      // (two differently-partitioned reads of merged, so a real extra
+      // shuffle + persist) is pure overhead there. High-diameter graphs
+      // keep O(log d) passes — the jump kicks in from pass 2 onward.
+      val next =
+        if (iters == 0) merged
+        else {
+          val jumped = merged.as("a")
+            .join(merged.as("b"), col("a.label") === col("b.v"), "left")
+            .select(col("a.v").as("v"),
+              coalesce(col("b.label"), col("a.label")).as("label"),
+              col("a.own_label").as("own_label"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          jumped
+        }
+      changed = next.filter(col("label") < col("own_label")).count()
+      if (next ne merged) merged.unpersist()
       cached.unpersist()
-      cached = jumped
+      cached = next
       // lineage truncation: the next pass plans against a LogicalRDD over
       // the rows just cached, so its plan is O(1) in pass count
-      val lbl = jumped.select(col("v"), col("label"))
-      labels = jumped.sparkSession.createDataFrame(lbl.rdd, lbl.schema)
+      val lbl = next.select(col("v"), col("label"))
+      labels = next.sparkSession.createDataFrame(lbl.rdd, lbl.schema)
       iters += 1
     }
     p.unpersist()

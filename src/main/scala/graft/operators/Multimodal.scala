@@ -10,13 +10,17 @@ import org.apache.spark.sql.Dataset
   * matters at 100 TB (payload bytes never shuffle; features are extracted
   * next to the scan and only the small feature rows travel on).
   *
-  * Decode is REAL for the uncompressed containers a pure JVM can parse
-  * with no codec dependency: BMP (pixel dimensions from the DIB header,
-  * plus an actual nearest-neighbor pixel resize — [[resizeBmp]])
-  * and WAV (sample rate / channels / duration from the RIFF chunks).
-  * Compressed formats (JPEG/PNG/MP4...) still fall back to a clearly
-  * deterministic fake — this container ships no codecs — behind the same
-  * seam: swapping the fallback for an actual codec touches nothing else.
+  * Decode is REAL for everything a stock JVM can parse: BMP and WAV by
+  * direct byte parsing (DIB header / RIFF chunk walk — [[decodeBmp]],
+  * [[decodeWav]], plus an actual nearest-neighbor pixel resize,
+  * [[resizeBmp]]), and PNG / JPEG / GIF through JDK 17's built-in
+  * `javax.imageio` readers (the `java.desktop` module ships those codecs
+  * — zero external dependencies): header-only dimension reads for the
+  * feature scan ([[decodeImageDims]]) and a full decode → downsample →
+  * lossless re-encode for the thumbnail pass ([[resizeImageIO]]).
+  * Only formats the JVM genuinely cannot decode (video, compressed
+  * audio) fall back to a clearly deterministic fake behind the same
+  * seam: linking a real codec there touches nothing else.
   */
 object Multimodal {
 
@@ -101,18 +105,49 @@ object Multimodal {
     else None
   }
 
-  /** Deterministic FAKE for formats with no shipped codec (JPEG/PNG/...):
-    * dimensions derived from the content checksum. Clearly labeled — real
-    * decode for these means linking a codec at this exact seam. */
+  /** Deterministic FAKE for formats with no shipped codec (video frames,
+    * compressed audio art, ...): dimensions derived from the content
+    * checksum. Clearly labeled — real decode for these means linking a
+    * codec at this exact seam. */
   def decodeImageStub(payload: Array[Byte]): (Int, Int) = {
     val cs = checksum(payload)
     (64 + (cs % 1024).toInt, 48 + ((cs / 1024) % 768).toInt)
   }
 
-  /** Image decode dispatch: real parse where the container allows it
-    * (BMP today), stub fallback elsewhere. */
+  /** REAL header-only dimension read for the codec formats the JDK ships
+    * readers for (PNG / JPEG / GIF / BMP, `java.desktop`'s imageio SPIs).
+    * `reader.getWidth/getHeight` parse only the header — no pixel decode,
+    * no full-image allocation — which is the right cost model for a
+    * dims-only feature scan over 100 TB of media: bytes are read once,
+    * a few dozen header bytes are touched, and the payload never expands
+    * to pixels. Returns None for bytes no installed reader claims. */
+  def decodeImageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0); val h = r.getHeight(0)
+          if (w > 0 && h > 0) Some((w, h)) else None
+        } catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Image decode dispatch: our own byte parser for BMP (cheapest, and
+    * the adversarial-input guards live there), the JDK's imageio readers
+    * for PNG/JPEG/GIF, stub fallback only for genuinely codec-less
+    * formats. */
   def decodeImage(payload: Array[Byte]): (Int, Int) =
-    decodeBmp(payload).getOrElse(decodeImageStub(payload))
+    decodeBmp(payload)
+      .orElse(decodeImageDims(payload))
+      .getOrElse(decodeImageStub(payload))
 
   /** Resize step's aspect-preserving target math (the pixel work would
     * live in the codec; this is the part the pipeline owns). */
@@ -172,6 +207,55 @@ object Multimodal {
     Some(out)
   }
 
+  /** REAL pixel resize for the JDK-decodable codec formats (PNG / JPEG /
+    * GIF): full `ImageIO.read` decode, the SAME nearest-neighbor index
+    * math as [[resizeBmp]] (logical rows from the top, `x*w/tw` source
+    * mapping), re-encoded as PNG. PNG out regardless of input format is
+    * deliberate: it is lossless (the sampled pixels survive the
+    * round-trip bit-exactly, so tests can assert on them), while a
+    * JPEG re-encode would re-quantize — thumbnail fidelity silently
+    * dependent on encoder version. Returns None for undecodable bytes. */
+  def resizeImageIO(payload: Array[Byte], maxSide: Int = 128): Option[Array[Byte]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (tw, th) = thumbDims(w, h, maxSide)
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, img.getRGB((x.toLong * w / tw).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(out, "png", baos)) None
+    else Some(baos.toByteArray)
+  }
+
+  /** PNG/JPEG writer fixtures via the same JDK encoders the readers pair
+    * with — lets tests round-trip [[decodeImageDims]] / [[resizeImageIO]]
+    * on REAL codec bytes without any external image library. The pixel
+    * fill is a deterministic gradient so resize tests can assert on
+    * sampled values. */
+  def makeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x % 251) << 16) | ((y % 241) << 8) | ((x + y) % 239))
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"no JDK encoder for format '$format'")
+    baos.toByteArray
+  }
+
   /** Frame-sample plan for video: k evenly spaced frame indices in
     * [0, nFrames) — first frame always included, never duplicated. */
   def frameOffsets(nFrames: Int, k: Int): Seq[Int] = {
@@ -214,18 +298,28 @@ object Multimodal {
     b.array()
   }
 
-  /** Partition-batched thumbnail pass: payload → payload. BMPs are REALLY
-    * downsampled ([[resizeBmp]]); codec formats pass through untouched
-    * behind the same seam (a linked codec would replace the None arm).
+  /** Partition-batched thumbnail pass: payload → payload. Gated on the
+    * DECLARED type first — only rows whose mime starts with `image/` are
+    * touched, so a payload
+    * that merely sniffs like a BMP but is labeled audio/video is never
+    * silently mutated (the caller's label wins over magic bytes).
+    * Decodable images are REALLY downsampled: BMP by our byte parser
+    * ([[resizeBmp]], output stays BMP), PNG/JPEG/GIF via the JDK codecs
+    * ([[resizeImageIO]], output is PNG — mime is retagged to match).
+    * Undecodable image rows pass through untouched behind the same seam.
     * Payloads still never shuffle — the resize runs next to the scan and
     * the smaller bytes travel on. */
   def resizeThumbs(media: Dataset[MediaRow], maxSide: Int = 128): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        resizeBmp(r.payload, maxSide) match {
+        if (!r.mime.startsWith("image/")) r
+        else resizeBmp(r.payload, maxSide) match {
           case Some(p) => r.copy(payload = p)
-          case None    => r
+          case None => resizeImageIO(r.payload, maxSide) match {
+            case Some(p) => r.copy(mime = "image/png", payload = p)
+            case None    => r
+          }
         }
       }
     }

@@ -132,6 +132,13 @@ class CtsTable(props: Map[String, String]) extends Table with SupportsRead {
   private val dir = props.getOrElse("pages",
     throw new IllegalArgumentException("cts source requires option 'pages'"))
   private val limit = props.get("limit").map(_.toInt).getOrElse(50)
+  // CTS page-size legal band (querier.go:15-16 tracesLowerBound=50 /
+  // tracesUpperBound=200 — the API cap): a mis-configured page size must
+  // fail at table resolution, not paginate garbage silently (main.go's
+  // fail-fast-on-config-error posture, exit code 78)
+  if (limit < 1 || limit > 200)
+    throw new IllegalArgumentException(
+      s"cts option 'limit' out of range: 1 and 200 (got $limit)")
 
   override def name(): String = s"cts:$dir"
   override def schema(): StructType = CtsSource.schema

@@ -161,6 +161,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert((feats(3L).width, feats(3L).height) === ((sw, sh)))
   }
 
+  test("decodeImageDims parses REAL PNG/JPEG/GIF bytes via the JDK codecs") {
+    for (fmt <- Seq("png", "jpg", "gif"); (w, h) <- Seq((1, 1), (640, 480), (33, 7))) {
+      val bytes = Multimodal.makeImage(w, h, fmt)
+      assert(Multimodal.decodeImageDims(bytes) === Some((w, h)), s"$fmt ${w}x$h")
+      // dispatch picks the REAL codec parse, not the stub
+      assert(Multimodal.decodeImage(bytes) === ((w, h)), s"$fmt dispatch")
+    }
+    // junk bytes are None, never a garbage parse — and the stub arm of
+    // the dispatch is reached only for them
+    assert(Multimodal.decodeImageDims("not an image".getBytes("UTF-8")) === None)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")) ===
+      Multimodal.decodeImageStub("not an image".getBytes("UTF-8")))
+  }
+
+  test("resizeImageIO really moves pixels: PNG gradient survives the downsample") {
+    val (w, h) = (256, 64)
+    val png = Multimodal.makeImage(w, h, "png")
+    val out = Multimodal.resizeImageIO(png, maxSide = 128).get
+    val (tw, th) = Multimodal.thumbDims(w, h, 128)
+    assert(Multimodal.decodeImageDims(out) === Some((tw, th)))
+    assert(out.length < png.length, "downsample must actually shrink the payload")
+    // PNG out is lossless: every output pixel equals its nearest-neighbor
+    // source pixel from makeImage's gradient
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    for (y <- 0 until th; x <- 0 until tw) {
+      val sx = (x.toLong * w / tw).toInt; val sy = (y.toLong * h / th).toInt
+      val expected = ((sx % 251) << 16) | ((sy % 241) << 8) | ((sx + sy) % 239)
+      assert((img.getRGB(x, y) & 0xffffff) === expected, s"pixel ($x,$y)")
+    }
+    // JPEG decodes through the same path (pixels are codec-approximate,
+    // dimensions are exact); junk is None
+    val jpg = Multimodal.makeImage(300, 200, "jpg")
+    val jout = Multimodal.resizeImageIO(jpg, 128).get
+    assert(Multimodal.decodeImageDims(jout) === Some(Multimodal.thumbDims(300, 200, 128)))
+    assert(Multimodal.resizeImageIO("junk".getBytes("UTF-8"), 128) === None)
+  }
+
+  test("resizeThumbs shrinks PNG/JPEG and respects the declared mime over byte sniff") {
+    import spark.implicits._
+    val bmpBytes = Multimodal.makeBmp(640, 480)
+    val media = Seq(
+      MediaRow(1L, "image/png", Multimodal.makeImage(640, 480, "png")),
+      MediaRow(2L, "image/jpeg", Multimodal.makeImage(512, 256, "jpg")),
+      // declared audio: payload sniffs as a valid BMP but the label wins —
+      // the pass must not mutate a payload the caller says isn't an image
+      MediaRow(3L, "audio/wav", bmpBytes)).toDS().repartition(2)
+    val out = Multimodal.resizeThumbs(media).collect().map(r => r.doc_id -> r).toMap
+    assert(Multimodal.decodeImageDims(out(1L).payload) === Some((128, 96)))
+    assert(out(1L).mime === "image/png")
+    assert(Multimodal.decodeImageDims(out(2L).payload) === Some((128, 64)))
+    assert(out(2L).mime === "image/png", "re-encoded thumbnails are retagged PNG")
+    assert(java.util.Arrays.equals(out(3L).payload, bmpBytes),
+      "non-image mime passes through untouched even when bytes sniff as BMP")
+  }
+
   test("resizeThumbs really shrinks BMP payloads in the distributed path") {
     import spark.implicits._
     val media = Seq(
