@@ -67,9 +67,11 @@ object ScaleUp {
     // run must not measure). All consumers take either layout: batch
     // reads and the streaming sources point at the table path, and
     // tools/check.py globs part directories. NOTE: events.ts round-trips
-    // as BIGINT raw nanos (Spark reads nanos-as-long and cannot write ns
-    // timestamps) — Tables.events and the streaming schema already handle
-    // that; check.py adapts its DuckDB view the same way.
+    // in whatever encoding the source ships — int64-nanos source reads as
+    // BIGINT (nanosAsLong) and rewrites as BIGINT; timestamp[us] NTZ
+    // source (current driver shape) rewrites as timestamp[us] NTZ. All
+    // consumers are encoding-adaptive (Tables.normalizeEventTs, the
+    // footer-derived streaming schema, check.py's BIGINT view branch).
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
 

@@ -15,6 +15,36 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize `ts` to microsecond TimestampType regardless of how the
+    * events parquet physically encodes it. The driver has regenerated
+    * testdata with a different encoding between rounds, so ingestion keys
+    * off the LOADED dtype rather than assuming a shape:
+    *  - LongType: raw epoch NANOS — either parquet `timestamp[ns]` read
+    *    under `nanosAsLong` (Spark refuses native ns) or an int64 column
+    *    written by a fixture. Integral `div 1000`, not `/`: a double
+    *    round-trip loses sub-ms precision on 2^60-scale nanosecond epochs.
+    *    Truncation matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+    *  - TimestampNTZType: parquet timestamp with isAdjustedToUTC=false
+    *    (the current driver shape, `timestamp[us]`/`[ms]` from pandas)
+    *    under Spark 4's default NTZ inference. Cast to TimestampType —
+    *    with the UTC session timezone every main/test sets, the cast is
+    *    wall-clock identity on the stored micros.
+    *  - TimestampType: already instant-typed (Spark round-trips, e.g.
+    *    ScaleUp stress output) — pass through.
+    * Anything else is a data bug: fail loud at plan time.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType           => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType   => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType      => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected int64 nanos, timestamp, or timestamp_ntz")
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
@@ -22,11 +52,10 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4 refuses to read
-    * natively (PARQUET_TYPE_ILLEGAL). Read it as a long (legacy flag) and
-    * floor-divide to microsecond TimestampType — lossless here (testdata
-    * carries no sub-microsecond parts) and matching DuckDB's truncating
-    * TIMESTAMP_NS→TIMESTAMP cast in general.
+  /** Events with `ts` normalized to TimestampType whatever the parquet's
+    * physical encoding (see [[normalizeEventTs]]). The nanosAsLong flag is
+    * kept on so a `timestamp[ns]` file stays READABLE (Spark 4 otherwise
+    * throws PARQUET_TYPE_ILLEGAL) — it has no effect on µs/ms encodings.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Our own mains set this at session build (Verify/Bench/Smoke). The
@@ -35,10 +64,7 @@ object Tables {
     // every load, so no conf churn on the hot path.
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
-    // integral `div`, not `/` — a double round-trip loses sub-ms precision
-    // on 2^60-scale nanosecond epochs
-    apply(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -43,15 +43,33 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events.parquet schema with ts as raw nanos (nanosAsLong), supplied
-    * explicitly as streaming sources require. */
-  private val eventsSchema = StructType(Seq(
+  /** events schema with `ts` already normalized to TimestampType — the
+    * shape every downstream streaming query sees, and the shape the flush
+    * sentinel is generated in. */
+  private val eventsNormalizedSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Streaming sources require an explicit schema, but the driver has
+    * regenerated the events parquet with a different physical `ts`
+    * encoding between rounds (int64-nanos, then timestamp[us]). Derive
+    * the source schema from the batch footer at PLAN time — one footer
+    * read, not per-batch — so the stream takes whatever is on disk;
+    * `Tables.normalizeEventTs` then restores TimestampType the same way
+    * the batch loader does. A not-yet-written table (consumer-first
+    * receive→ingest loops) defaults to the normalized shape, which is
+    * what producers in this codebase write.
+    */
+  private def eventsRawSchema(s: SparkSession, dir: String): StructType = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
+    try s.read.parquet(s"$dir/events.parquet").schema
+    catch { case _: Exception => eventsNormalizedSchema }
+  }
 
   /** documents.parquet schema (TESTDATA.md) for the streamed-ingest rows. */
   private val documentsSchema = StructType(Seq(
@@ -61,13 +79,10 @@ object StreamingOps {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Flush sentinel: 2100-01-01T00:00:00Z in nanos — far past any testdata
-    * horizon, far below Long.MaxValue. */
-  private val SentinelNanos = 4102444800000000000L
+  /** Flush sentinel: 2100-01-01T00:00:00Z — far past any testdata horizon. */
+  private val SentinelTs = java.sql.Timestamp.from(
+    java.time.Instant.ofEpochSecond(4102444800L))
   private val SentinelType = "__flush__"
-
-  private def nanosTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Stream one table out of an sf dir, taking EITHER physical layout:
     * the driver's testdata ships `<t>.parquet` as a single FILE (the
@@ -91,13 +106,13 @@ object StreamingOps {
         .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
-  /** File-source stream over the events table (ns→µs timestamp restore,
-    * same as the batch loader Tables.events). */
-  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
-    val k = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
-    nanosTs(streamTable(s, dir, "events", eventsSchema))
-  }
+  /** File-source stream over the events table, `ts` normalized to
+    * TimestampType by the SAME seam as the batch loader
+    * (`Tables.normalizeEventTs`) over a footer-derived source schema —
+    * batch and stream can never again disagree about the encoding. */
+  def readEventsStream(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.normalizeEventTs(
+      streamTable(s, dir, "events", eventsRawSchema(s, dir)))
 
   /** File-source stream over the documents table. */
   def readDocumentsStream(s: SparkSession, dir: String): DataFrame =
@@ -109,10 +124,10 @@ object StreamingOps {
     * configured), so real rows are never late relative to the sentinel. */
   private def sentinelStream(s: SparkSession): DataFrame = {
     val dir = tmp("graft-sentinel-")
-    val row = Row(-1L, SentinelNanos, -1L, SentinelType, 0.0, "{}")
-    s.createDataFrame(java.util.Collections.singletonList(row), eventsSchema)
+    val row = Row(-1L, SentinelTs, -1L, SentinelType, 0.0, "{}")
+    s.createDataFrame(java.util.Collections.singletonList(row), eventsNormalizedSchema)
       .write.mode("overwrite").parquet(dir)
-    nanosTs(s.readStream.schema(eventsSchema).parquet(dir))
+    s.readStream.schema(eventsNormalizedSchema).parquet(dir)
   }
 
   private def eventsWithFlush(s: SparkSession, dir: String): DataFrame =
