@@ -134,10 +134,13 @@ object LlmOps {
   /** Stateless PII scrub over a (doc_id, lang, text) frame — one regex
     * Project, no shuffle, no state store, so it binds to a batch scan or
     * a document stream unchanged (the l_pii_scrub / s_pii pair proves the
-    * two plans answer-identical via the shared oracle). Counts are taken
-    * on the pre-redaction text; redaction applies email → phone → ip, the
-    * fixed order the oracle replays. The planted-PII fixture is derived
-    * from doc_id IN the query — see the l_pii_scrub entry. */
+    * two plans answer-identical via the shared oracle). Redaction applies
+    * email → phone → ip, the fixed order the oracle replays, and each
+    * class is COUNTED on the text as redacted by the classes before it —
+    * so a span matched by an earlier class can't be re-counted by a later
+    * one (an email like user555-1234@x.com would otherwise also count as
+    * a phone: one entity, two tallies). The planted-PII fixture is
+    * derived from doc_id IN the query — see the l_pii_scrub entry. */
   private[graft] def piiProjection(df: DataFrame): DataFrame = {
     val planted = when(col("doc_id") % 7 === 0,
         concat(lit(" Contact user"), col("doc_id").cast("string"),
@@ -150,15 +153,18 @@ object LlmOps {
           lit("."), ((col("doc_id") * 7) % 256).cast("string"),
           lit("."), (col("doc_id") % 254 + 1).cast("string"), lit(" tonight.")))
       .otherwise(lit(""))
-    val red = regexp_replace(regexp_replace(regexp_replace(col("aug"),
-      lit(PII_EMAIL), lit("[EMAIL]")),
-      lit(PII_PHONE), lit("[PHONE]")),
-      lit(PII_IP), lit("[IP]"))
+    // the intermediate redaction stages are named columns (not repeated
+    // subtrees) so each is evaluated once per row in codegen
+    val afterEmail = regexp_replace(col("aug"), lit(PII_EMAIL), lit("[EMAIL]"))
+    val afterPhone = regexp_replace(col("after_email"), lit(PII_PHONE), lit("[PHONE]"))
+    val red = regexp_replace(col("after_phone"), lit(PII_IP), lit("[IP]"))
     df.withColumn("aug", concat(col("text"), planted))
+      .withColumn("after_email", afterEmail)
+      .withColumn("after_phone", afterPhone)
       .select(col("doc_id"), col("lang"),
         regexp_count(col("aug"), lit(PII_EMAIL)).cast("long").as("n_email"),
-        regexp_count(col("aug"), lit(PII_PHONE)).cast("long").as("n_phone"),
-        regexp_count(col("aug"), lit(PII_IP)).cast("long").as("n_ip"),
+        regexp_count(col("after_email"), lit(PII_PHONE)).cast("long").as("n_phone"),
+        regexp_count(col("after_phone"), lit(PII_IP)).cast("long").as("n_ip"),
         length(red).cast("long").as("clean_len"),
         polyHash(red).as("clean_fp"))
   }
@@ -2128,8 +2134,10 @@ object LlmOps {
         |      FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id, frame_no""".stripMargin,
 
-    // identical planted-PII derivation, regexes, and redaction order;
-    // the poly-hash of the redacted text proves byte-identity
+    // identical planted-PII derivation, regexes, and redaction order; each
+    // class counted on the previous class's redaction (no double-count of
+    // one span by two detectors); the poly-hash of the redacted text
+    // proves byte-identity
     "l_pii_scrub" ->
       s"""WITH aug AS (
          |  SELECT doc_id, lang, text ||
@@ -2144,6 +2152,10 @@ object LlmOps {
          |  FROM documents
          |), red AS (
          |  SELECT doc_id, lang, aug,
+         |    regexp_replace(aug, '$PII_EMAIL', '[EMAIL]', 'g') AS after_email,
+         |    regexp_replace(regexp_replace(aug,
+         |      '$PII_EMAIL', '[EMAIL]', 'g'),
+         |      '$PII_PHONE', '[PHONE]', 'g') AS after_phone,
          |    regexp_replace(regexp_replace(regexp_replace(aug,
          |      '$PII_EMAIL', '[EMAIL]', 'g'),
          |      '$PII_PHONE', '[PHONE]', 'g'),
@@ -2151,8 +2163,8 @@ object LlmOps {
          |  FROM aug)
          |SELECT doc_id, lang,
          |  CAST(len(regexp_extract_all(aug, '$PII_EMAIL')) AS BIGINT) AS n_email,
-         |  CAST(len(regexp_extract_all(aug, '$PII_PHONE')) AS BIGINT) AS n_phone,
-         |  CAST(len(regexp_extract_all(aug, '$PII_IP')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(after_email, '$PII_PHONE')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(after_phone, '$PII_IP')) AS BIGINT) AS n_ip,
          |  CAST(length(clean) AS BIGINT) AS clean_len,
          |  ${sqlPoly("clean")} AS clean_fp
          |FROM red ORDER BY doc_id""".stripMargin,

@@ -376,6 +376,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii detector: a span inside an earlier class is counted once, not twice") {
+    import spark.implicits._
+    // the local-part of the email is itself phone-shaped (+1-555-1234@…):
+    // the email detector redacts it first, so the phone detector — which
+    // runs on the ALREADY-redacted text — must not tally it again. The
+    // trailing standalone phone still counts. Same for an IP-shaped
+    // quad inside an email's domain-ish local part vs a standalone IP.
+    val df = Seq(
+      (1L, "en", "mail me at +1-555-1234@corp.io or call +1-555-9999 ok"),
+      (2L, "en", "from 10.1.2.3@ex.com vs host 10.9.8.7 tonight"))
+      .toDF("doc_id", "lang", "text")
+    val out = LlmOps.piiProjection(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((1L, 1L, 0L)), "phone-shaped email local part double-counted")
+    assert(out(2L) === ((1L, 0L, 1L)), "ip-shaped email local part double-counted")
+  }
+
   test("dup-ngram fraction: near-dup pair members show cross-doc duplication") {
     val rows = run("l_dup_ngrams").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
