@@ -57,13 +57,30 @@ object Tables {
     * kept on so a `timestamp[ns]` file stays READABLE (Spark 4 otherwise
     * throws PARQUET_TYPE_ILLEGAL) — it has no effect on µs/ms encodings.
     */
+  /** Read-path confs for the events scan, applied once per session (the
+    * guarded sets cover driver-owned sessions that never ran our
+    * builders; they fire once, so no conf churn on the hot path):
+    *  - nanosAsLong keeps a `timestamp[ns]` file READABLE.
+    *  - NTZ inference OFF makes an `isAdjustedToUTC=false` file (the
+    *    current driver shape) load as TimestampType AT THE SCAN instead
+    *    of TimestampNTZType + a cast above it. Under the UTC session
+    *    every main/test sets, the values are identical either way, but
+    *    the scan-level typing is what lets a `ts` predicate reach the
+    *    parquet reader as a PushedFilter — with the cast in between,
+    *    an incremental time-window scan would read ALL row groups at
+    *    100 TB instead of pruning by footer stats.
+    */
+  private[graft] def eventsReadConfs(s: SparkSession): Unit = {
+    val confs = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+    confs.foreach { case (k, v) =>
+      if (!s.conf.getOption(k).contains(v)) s.conf.set(k, v)
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
-    // Our own mains set this at session build (Verify/Bench/Smoke). The
-    // guarded set below only covers driver-owned sessions (smoke-check of
-    // SparkEntry.entry) that never ran our builder — it fires once, not on
-    // every load, so no conf churn on the hot path.
-    val k = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
+    eventsReadConfs(s)
     normalizeEventTs(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

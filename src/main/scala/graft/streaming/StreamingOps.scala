@@ -65,8 +65,7 @@ object StreamingOps {
     * what producers in this codebase write.
     */
   private def eventsRawSchema(s: SparkSession, dir: String): StructType = {
-    val k = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
+    graft.Tables.eventsReadConfs(s)
     try s.read.parquet(s"$dir/events.parquet").schema
     catch { case _: Exception => eventsNormalizedSchema }
   }

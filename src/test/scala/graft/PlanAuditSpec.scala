@@ -26,6 +26,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"read schema not pruned to referenced columns: $read")
   }
 
+  test("p_window_scan: the ts window predicate reaches the events scan") {
+    // the incremental poll window (S4/F1) is THE filter that must prune
+    // row groups at 100 TB. The events read path types ts as Timestamp AT
+    // THE SCAN (Tables.eventsReadConfs disables NTZ inference) precisely
+    // so this predicate pushes down — a cast between filter and scan
+    // would silently turn every poll into a full-history read.
+    // an int64-nanos file CANNOT push a timestamp predicate (the ns->us
+    // restore expression necessarily sits above the scan) — the pin
+    // applies to timestamp-encoded data, the driver shape since round 8
+    Tables.eventsReadConfs(spark)
+    val raw = spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    assume(raw != org.apache.spark.sql.types.LongType,
+      "int64-nanos encoding cannot push a timestamp predicate")
+    val plan = planOf("p_window_scan")
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("ts"),
+      s"ts window predicate not pushed to the events scan: $pushed\n${plan.take(1500)}")
+  }
+
   test("q3: the filtered dim side broadcasts; top-10 is TakeOrdered, not a global sort") {
     val plan = planOf("q3_revenue_topn")
     assert(plan.contains("BroadcastHashJoin"),
