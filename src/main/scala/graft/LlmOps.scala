@@ -70,6 +70,17 @@ object LlmOps {
   private val SB: IndexedSeq[Long] =
     (0 until SIM_W_MAX).map(i => (40503L * 65537L * (i + 101) + 97531L) % P)
 
+  /** Oracle-side twin of [[Tables.normalizeEmbedding]]: every embedding
+    * oracle reads `FROM $EMB_SRC <alias>` instead of `FROM embeddings`, so
+    * DuckDB computes on the SAME canonical float32 values as the engine
+    * under either physical encoding. On the current float32 files the
+    * REAL cast is an identity no-op; on a float64 regeneration both
+    * engines apply the identical IEEE round-to-nearest narrowing before
+    * any arithmetic, keeping every row hash-exact. Row count and vec_id
+    * are dtype-independent, so count-only subqueries keep the raw table. */
+  private val EMB_SRC =
+    "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS REAL)) AS embedding FROM embeddings)"
+
   private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in")
   private val NEAR_DUP_J = 0.5
   /** Hot-shingle document-frequency cap for the exact-Jaccard ground
@@ -1705,7 +1716,7 @@ object LlmOps {
 
     "l_cosine_topk" ->
       s"""WITH q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM $EMB_SRC embeddings WHERE vec_id < 5
          |), scored AS (
          |  SELECT q.q_id, e.vec_id AS neighbor_id,
          |    list_reduce(list_prepend(0.0::DOUBLE,
@@ -1717,7 +1728,7 @@ object LlmOps {
          |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
          |         list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
          |         (a, b) -> a + b))) AS cosine
-         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+         |  FROM q JOIN $EMB_SRC e ON e.vec_id <> q.q_id
          |), ranked AS (
          |  SELECT q_id, neighbor_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
@@ -1742,7 +1753,7 @@ object LlmOps {
       s"""WITH b AS (
          |  SELECT vec_id, embedding,
          |    $bkt AS bkt
-         |  FROM embeddings
+         |  FROM $EMB_SRC embeddings
          |), q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb, bkt AS q_bkt FROM b WHERE vec_id < 5
          |), scored AS (
@@ -1768,7 +1779,7 @@ object LlmOps {
       s"""WITH e AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
+         |  FROM $EMB_SRC embeddings
          |), c AS (
          |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
          |  FROM e WHERE vec_id BETWEEN 100 AND 107
@@ -1823,7 +1834,7 @@ object LlmOps {
          |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
          |           + 1048576 AS comp
-         |  FROM embeddings),
+         |  FROM $EMB_SRC embeddings),
          |c0 AS (SELECT vec_id AS cid, dim, comp FROM q WHERE vec_id < 8),
          |${round(1)}, ${update(1)},
          |${round(2)}, ${update(2)},
@@ -1872,11 +1883,11 @@ object LlmOps {
     // codeword components on absolute dim, squared diffs summed per
     // (vector, subspace, codeword), argmin by (dist, code)
     "l_pq" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
         |           + 1048576 AS comp
-        |  FROM embeddings),
+        |  FROM $EMB_SRC embeddings),
         |cb AS (SELECT vec_id AS code, dim, comp FROM q WHERE vec_id < 4),
         |d AS (
         |  SELECT q.vec_id, CAST((q.dim - 1) // 8 AS BIGINT) AS subspace, c.code,
@@ -1920,7 +1931,7 @@ object LlmOps {
          |), n AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
+         |  FROM $EMB_SRC embeddings
          |), cells AS (
          |  $cellSelects
          |), cand AS (

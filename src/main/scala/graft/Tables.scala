@@ -84,5 +84,35 @@ object Tables {
     normalizeEventTs(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Normalize `embedding` to canonical `array<float>` whatever the parquet
+    * physically encodes. Same defense as [[normalizeEventTs]]: the r8 data
+    * regeneration proved the driver can flip a physical encoding between
+    * rounds, and pandas writes list<double> unless the writer pins float32
+    * — which would fail every embedding operator at analysis (the native
+    * kernels type-check ARRAY<FLOAT>). Keyed off the LOADED dtype:
+    *  - array<float>: pass through (the current driver shape).
+    *  - array<double>: cast element-wise to float (IEEE round-to-nearest,
+    *    the same rounding DuckDB's CAST(x AS REAL) applies — the oracle
+    *    SQL normalizes through an inline REAL-cast view, so both engines
+    *    compute on identical float32 values under EITHER encoding; see
+    *    LlmOps.EMB_SRC). float stays the canonical width on purpose: at
+    *    100 TB the embedding column dominates shuffle bytes and float64
+    *    carries no signal the similarity ops use.
+    * Anything else is a data bug: fail loud at plan time.
+    */
+  def normalizeEmbedding(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _)  => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding has unsupported type $other — expected array<float> or array<double>")
+    }
+  }
+
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    normalizeEmbedding(apply(s, d, "embeddings"))
 }
