@@ -848,7 +848,9 @@ object LlmOps {
       // max(struct) aggregate alternative plans as a SortAggregate that
       // sorts the corpus WITH its embeddings — measured and rejected).
       val cents = e.filter(col("vec_id").between(100, 107))
-        .select(col("vec_id"), col("embedding"), col("nrm"))
+        // cast pins the getLong below against an id-width regeneration;
+        // identity on the current int64 files
+        .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
@@ -923,6 +925,8 @@ object LlmOps {
           best.getField("cid").as("cid"), best.getField("dist").as("dist"))
       }
       var cents: Seq[(Long, IndexedSeq[Long])] = qv.filter(col("vec_id") < 8)
+        // pin column order AND id width for the positional getters below
+        .select(col("vec_id").cast("long"), col("qe"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
         .sortBy(_._1).toSeq
@@ -1048,6 +1052,8 @@ object LlmOps {
       val CODES = 4
       val qv = quantizedEmbeddings(s, d)
       val cb = qv.filter(col("vec_id") < CODES)
+        // pin column order AND id width for the positional getters below
+        .select(col("vec_id").cast("long"), col("qe"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
         .sortBy(_._1)

@@ -77,7 +77,7 @@ object ScaleUp {
 
     /** max(key)+1 — the per-copy id stride for a dense 0-based key. */
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+      df.agg(max(col(key)).cast("long")).collect()(0).getLong(0) + 1L
 
     /** N stacked copies, each transformed by `f(df, i)`. */
     def stack(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =

@@ -334,7 +334,12 @@ object StreamingOps {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val feed = eventsWithFlush(s, dir)
-      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      // width-adaptive at the typed boundary: the encoder below pins
+      // (Long, Double) and an int32/float32 regeneration of the events
+      // file would otherwise fail analysis here (identity casts are
+      // erased by SimplifyCasts, so the current shape pays nothing)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"), col("ts"))
       .withWatermark("ts", "1 day")
       .as[(Long, String, Double, java.sql.Timestamp)]
     val updates = feed
