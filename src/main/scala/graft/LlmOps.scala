@@ -703,7 +703,13 @@ object LlmOps {
       val cap = math.max(NGRAM_DF_CAP_MIN.toDouble, NGRAM_DF_CAP_FRAC * nDocs)
       val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select(col("h"))
+      // persisted: three consumers (per-doc sizes, both sides of the
+      // inverted-index self-join) would otherwise each replay the
+      // explode + hot-df aggregate + anti-join pipeline — alias-renamed
+      // branches are not plan-identical, so ReuseExchange cannot dedupe
+      // them (same disease the shingleSets persist cures upstream)
       val kept = sh.join(broadcast(hot), Seq("h"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = kept.select(col("doc_id").as("d1"), col("h"))
         .join(kept.select(col("doc_id").as("d2"), col("h").as("h2")),
@@ -1108,10 +1114,15 @@ object LlmOps {
       val e = spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      // persisted: both sides of the cell self-join read this frame, and
+      // without the cache each side replays the full norm + bits×TABLES
+      // planeDot projection over the corpus from its own scan (alias
+      // branches are not plan-identical, so ReuseExchange can't dedupe)
       val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
         explode(array((0 until ENR_TABLES).map(t =>
           struct(lit(t).as("tbl"), bucket(col("embedding"), t).as("bkt"))): _*)).as("c"))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("c.tbl"), col("c.bkt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // thr-filter BEFORE the cross-table distinct: the aggregate then
       // ingests only true near-dups, not the full candidate volume
       val cand = cells.as("x")
