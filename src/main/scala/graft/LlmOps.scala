@@ -665,8 +665,7 @@ object LlmOps {
         nDistinct.as("n_distinct_tokens"),
         ((nChars - (nTok - 1)).cast("double") / nTok.cast("double")).as("avg_token_len"),
         ttr.as("ttr"),
-        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
-          .cast("long").as("n_subtokens"),
+        col("__q.n_subtokens").as("n_subtokens"),
         stopRatio.as("stop_ratio"),
         when(stopRatio >= 0.05, lit("en_like")).otherwise(lit("other")).as("lang_guess"),
         (least(lit(1.0), nTok.cast("double") / 200.0) * (lit(0.25) + lit(0.75) * ttr))

@@ -43,6 +43,6 @@ object GraftExtensions {
       (es: Seq[Expression]) => BloomMightContainLong(es.head, es(1))),
     (FunctionIdentifier("graft_text_quality"),
       info("graft_text_quality",
-        "graft_text_quality(str) - struct(n_tokens, stop_hits, n_symbols) in one pass"),
+        "graft_text_quality(str) - struct(n_tokens, stop_hits, n_symbols, n_subtokens) in one pass"),
       (es: Seq[Expression]) => TextQualityStats(es.head)))
 }

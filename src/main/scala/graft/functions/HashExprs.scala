@@ -137,12 +137,20 @@ case class PlaneDot(child: Expression, a: Long, b: Long) extends UnaryExpression
   *  - stop_hits = size(filter(tokens, t ∈ STOPWORDS)) — region compare,
   *    no substring allocation (stopwords are ≤ 3 chars);
   *  - n_symbols = size(regexp_extract_all(lower(s), '[^a-z0-9 ]', 0)) —
-  *    one count per code point outside [a-z0-9 ].
+  *    one count per code point outside [a-z0-9 ];
+  *  - n_subtokens = size(regexp_extract_all(s, '[a-z]+|[0-9]|[^a-z0-9 ]', 0))
+  *    over the RAW string (case matters: an uppercase letter is a symbol
+  *    match, not part of a run) — leftmost-first alternation means each
+  *    position starts a maximal lowercase run, a single digit, or a
+  *    single non-[a-z0-9 ] code point; spaces match nothing. Java regex
+  *    and DuckDB's RE2 agree on this pattern (both take the first
+  *    matching alternative; greedy [a-z]+ is maximal in both), so the
+  *    structural count below replicates either engine exactly.
   * The HOF spelling walks an interpreted expression tree per TOKEN and
-  * the regexp materializes every match to count them — this kernel is the
+  * the regexps materialize every match to count them — this kernel is the
   * same values at scan speed (the quality gate is the shape that runs on
   * every ingested document at 100 TB). Equality with the built-in
-  * spelling is property-tested in HashExprsSpec. */
+  * spellings is property-tested in HashExprsSpec. */
 object TextKernels {
   /** Must mirror LlmOps.STOPWORDS (the oracle SQL interpolates the same
     * list); equality is pinned by LlmOpsSpec + the l_quality_filter row. */
@@ -177,8 +185,25 @@ object TextKernels {
         i += Character.charCount(cp)
       }
     }
+    // subtokens walk the RAW string (case-sensitive): a maximal [a-z]+
+    // run counts once; every other non-space code point counts once
+    val raw = s.toString
+    val rn = raw.length
+    var sub = 0L; var inRun = false
+    var j = 0
+    while (j < rn) {
+      val c = raw.charAt(j)
+      if (c >= 'a' && c <= 'z') {
+        if (!inRun) { sub += 1; inRun = true }
+        j += 1
+      } else {
+        inRun = false
+        if (c == ' ') j += 1
+        else { sub += 1; j += Character.charCount(raw.codePointAt(j)) }
+      }
+    }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nTok, stop, sym))
+      Array[Any](nTok, stop, sym, sub))
   }
 }
 
@@ -192,7 +217,8 @@ case class TextQualityStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("stop_hits", LongType, nullable = false),
-    StructField("n_symbols", LongType, nullable = false)))
+    StructField("n_symbols", LongType, nullable = false),
+    StructField("n_subtokens", LongType, nullable = false)))
   override def prettyName: String = "graft_text_quality"
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.qualityCounts(input.asInstanceOf[UTF8String])

@@ -81,9 +81,11 @@ class HashExprsSpec extends AnyFunSuite {
       expr("size(split(lower(s), ' '))").cast("long").as("nt"),
       expr("size(filter(split(lower(s), ' '), t -> t = 'the' or t = 'a' or " +
         "t = 'of' or t = 'and' or t = 'to' or t = 'in'))").cast("long").as("sh"),
-      expr("size(regexp_extract_all(lower(s), '[^a-z0-9 ]', 0))").cast("long").as("sy"))
+      expr("size(regexp_extract_all(lower(s), '[^a-z0-9 ]', 0))").cast("long").as("sy"),
+      expr("size(regexp_extract_all(s, '[a-z]+|[0-9]|[^a-z0-9 ]', 0))").cast("long").as("st"))
     val bad = df.filter(col("q.n_tokens") =!= col("nt") ||
-      col("q.stop_hits") =!= col("sh") || col("q.n_symbols") =!= col("sy"))
+      col("q.stop_hits") =!= col("sh") || col("q.n_symbols") =!= col("sy") ||
+      col("q.n_subtokens") =!= col("st"))
     assert(bad.count() === 0L, s"kernel drift:\n${bad.take(5).mkString("\n")}")
     // non-foldable input (a local Seq constant-folds to LocalTableScan)
     val plan = spark.range(10)
