@@ -37,9 +37,14 @@ object LlmOps {
   private val BANDS = 8
   private val R = K / BANDS
   /** Per-hash affine constants, derived (not magic) from Knuth's 2654435761
-    * multiplicative-hash constant — identical literals land in the SQL. */
-  private val A: IndexedSeq[Long] = (0 until K).map(i => (2654435761L * (i + 1)) % P)
-  private val B: IndexedSeq[Long] = (0 until K).map(i => (40503L * 65537L * (i + 1) + 97531L) % P)
+    * multiplicative-hash constant — identical literals land in the SQL.
+    * Sized for BOTH consumers: the K minhash functions (indices 0..K-1,
+    * unchanged) and the ENR_TABLES×ENR_MAX_BITS sign-LSH planes of
+    * l_embed_neardup (the formula is index-stable, so widening the array
+    * never perturbs existing hashes). */
+  private val NCONST = 64 // = max(K, ENR_TABLES * ENR_MAX_BITS); asserted below
+  private val A: IndexedSeq[Long] = (0 until NCONST).map(i => (2654435761L * (i + 1)) % P)
+  private val B: IndexedSeq[Long] = (0 until NCONST).map(i => (40503L * 65537L * (i + 1) + 97531L) % P)
 
   /** SimHash banding: 4 bands × adaptive band width. The hamming ≤ SIM_HAM
     * guarantee is width-independent (pigeonhole over 4 bands catches any
@@ -97,10 +102,21 @@ object LlmOps {
     * existed. enrBits picks the smallest bits in [2, MAX] with
     * N ≤ TARGET_OCC·2^bits (pure integer compare; the oracle derives the
     * identical value from count(*) with the same thresholds). Plane index
-    * p = MAX_BITS·t + j keeps tables independent at any bits. */
+    * p = MAX_BITS·t + j keeps tables independent at any bits.
+    *
+    * MAX_BITS = 16 (round 9; was 8): at MAX the dial saturates and the
+    * join turns quadratic again — measured at the sf10 decade-out run
+    * (200k vectors > TARGET·2^8 = 128k ⇒ avg bucket occupancy 780,
+    * l_embed_neardup 15.0 s, the suite's steepest 10× ratio at 8.14×).
+    * With MAX = 16 the linear regime N ≤ TARGET·2^MAX extends to 32M
+    * vectors per partitioning domain; the extra projection cost is only
+    * paid when bits actually grows (bucket() emits `bits` planeDots, not
+    * MAX). Beyond 32M, raise MAX again or pre-partition the corpus. */
   private val ENR_TABLES = 4
-  private val ENR_MAX_BITS = 8
+  private val ENR_MAX_BITS = 16
   private val ENR_TARGET_OCC = 500L
+  require(NCONST >= ENR_TABLES * ENR_MAX_BITS && NCONST >= K,
+    s"plane/hash constant table too small: $NCONST")
   private def enrBits(n: Long): Int = {
     var b = 2
     while (b < ENR_MAX_BITS && n > (ENR_TARGET_OCC << b)) b += 1
