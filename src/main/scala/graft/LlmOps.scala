@@ -168,7 +168,18 @@ object LlmOps {
     * one (an email like user555-1234@x.com would otherwise also count as
     * a phone: one entity, two tallies). The planted-PII fixture is
     * derived from doc_id IN the query — see the l_pii_scrub entry. */
-  private[graft] def piiProjection(df: DataFrame): DataFrame = {
+  private[graft] def piiProjection(df: DataFrame): DataFrame =
+    withRedaction(df).select(col("doc_id"), col("lang"),
+      regexp_count(col("aug"), lit(PII_EMAIL)).cast("long").as("n_email"),
+      regexp_count(col("after_email"), lit(PII_PHONE)).cast("long").as("n_phone"),
+      regexp_count(col("after_phone"), lit(PII_IP)).cast("long").as("n_ip"),
+      length(col("clean")).cast("long").as("clean_len"),
+      polyHash(col("clean")).as("clean_fp"))
+
+  /** Input frame + the aug/after_email/after_phone/clean redaction chain
+    * — the ONE spelling of the planted fixture and the email → phone → ip
+    * rewrite, shared by [[piiProjection]] and the pipeline head. */
+  private def withRedaction(df: DataFrame): DataFrame = {
     val planted = when(col("doc_id") % 7 === 0,
         concat(lit(" Contact user"), col("doc_id").cast("string"),
           lit("@example.com for access.")))
@@ -184,17 +195,23 @@ object LlmOps {
     // subtrees) so each is evaluated once per row in codegen
     val afterEmail = regexp_replace(col("aug"), lit(PII_EMAIL), lit("[EMAIL]"))
     val afterPhone = regexp_replace(col("after_email"), lit(PII_PHONE), lit("[PHONE]"))
-    val red = regexp_replace(col("after_phone"), lit(PII_IP), lit("[IP]"))
+    val clean = regexp_replace(col("after_phone"), lit(PII_IP), lit("[IP]"))
     df.withColumn("aug", concat(col("text"), planted))
       .withColumn("after_email", afterEmail)
       .withColumn("after_phone", afterPhone)
-      .select(col("doc_id"), col("lang"),
-        regexp_count(col("aug"), lit(PII_EMAIL)).cast("long").as("n_email"),
-        regexp_count(col("after_email"), lit(PII_PHONE)).cast("long").as("n_phone"),
-        regexp_count(col("after_phone"), lit(PII_IP)).cast("long").as("n_ip"),
-        length(red).cast("long").as("clean_len"),
-        polyHash(red).as("clean_fp"))
+      .withColumn("clean", clean)
   }
+
+  /** The STATELESS ingest half of the curation pipeline: quality cascade
+    * → PII scrub, one codegen Project + filter per row with no state
+    * store — so it binds unchanged to a batch scan or the document
+    * stream (l_pipeline / s_pipeline share it, and their oracle).
+    * Output: the ADMITTED corpus (doc_id, lang, text), text already
+    * redacted. Quality judges the ORIGINAL text (its n_chars are the
+    * scan's); redaction then rewrites only the survivors. */
+  private[graft] def pipelineHead(df: DataFrame): DataFrame =
+    withRedaction(withQuality(df).filter(col("q_reason") === "ok"))
+      .select(col("doc_id"), col("lang"), col("clean").as("text"))
 
   /** The testdata ships one small parquet file per table, so a scan can
     * plan ONE task and every hash-heavy Project downstream serializes.
@@ -213,19 +230,12 @@ object LlmOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     spread(Tables.documents(s, d))
 
-  /** Raw (doc_id, h) shingle hashes, duplicates INCLUDED — the native
-    * n-gram kernel + built-in explode keeps the Generate inside
-    * whole-stage codegen. Duplicate-insensitive consumers (MinHash mins)
-    * aggregate this directly with map-side combine, so the shuffle
-    * carries ~|docs| combined rows, not ~|shingles|. */
-  private def rawShingleHashes(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.Generators.wordNGramArray(lower(col("text")), 3)).as("sh"))
-      .select(col("doc_id"), polyHash(col("sh")).as("h"))
-
-  /** (doc_id, hs): the DISTINCT shingle-hash SET per document — ONE row
-    * per doc, the hub every shingle consumer derives from.
+  /** (doc_id, hs): the DISTINCT shingle-hash SET per document for an
+    * arbitrary (doc_id, text) corpus frame — the raw hashes keep
+    * duplicates (the native n-gram kernel + built-in explode stays inside
+    * whole-stage codegen; duplicate-insensitive consumers aggregate with
+    * map-side combine, so the shuffle carries ~|docs| combined rows, not
+    * ~|shingles|), the set aggregate collapses them to ONE row per doc.
     *
     * PERSISTED (memory+disk, spillable): the Jaccard verify joins it
     * twice, sizes read it, and the row-shaped consumers re-explode it —
@@ -236,10 +246,16 @@ object LlmOps {
     * previous row-shaped cache: same bytes, but consumers needing rows
     * re-explode ~|docs| cached rows with NO shuffle, instead of paying
     * their own distinct exchange over ~|shingles| rows. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    rawShingleHashes(s, d)
+  private def shingleSetsOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        explode(graft.functions.Generators.wordNGramArray(lower(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), polyHash(col("sh")).as("h"))
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleSetsOf(docs(s, d))
 
   /** (doc_id, h) DISTINCT rows — re-exploded from the cached sets. */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
@@ -251,8 +267,15 @@ object LlmOps {
     * self-join; one small row per doc). Min-hash is duplicate-insensitive
     * and the rows re-explode from the cached sets, so the aggregate is
     * map-side-combined over cached rows. */
-  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val mh = shingleHashes(s, d).groupBy(col("doc_id")).agg(
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashBandsOf(shingleSets(s, d))
+
+  /** [[minhashBands]] over an arbitrary persisted (doc_id, hs) set frame
+    * — shared by the corpus-wide row and the pipeline's near-dup stage
+    * (which indexes the quality+scrub SURVIVORS, not the raw corpus). */
+  private def minhashBandsOf(sets: DataFrame): DataFrame = {
+    val mh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id")).agg(
       min((lit(A(0)) * col("h") + lit(B(0))) % P).as("mh0"),
       (1 until K).map(i =>
         min((lit(A(i)) * col("h") + lit(B(i))) % P).as(s"mh$i")): _*)
@@ -477,7 +500,16 @@ object LlmOps {
     * corpus where this query was the suite's #2 cost. The kernel
     * replicates the built-in spellings bit-for-bit (HashExprsSpec
     * property-tests the equality), so the DuckDB oracle is unchanged. */
-  private[graft] def qualityProjection(df: DataFrame): DataFrame = {
+  private[graft] def qualityProjection(df: DataFrame): DataFrame =
+    withQuality(df).select(col("doc_id"), col("lang"),
+      col("q_n_tokens").as("n_tokens"), col("q_mean_tok_len").as("mean_tok_len"),
+      col("q_stop_ratio").as("stop_ratio"), col("q_symbol_ratio").as("symbol_ratio"),
+      (col("q_reason") === "ok").as("keep"), col("q_reason").as("reason"))
+
+  /** Input frame + the quality metric/reason columns (q_-prefixed) — the
+    * ONE spelling of the rule cascade, shared by the standalone row and
+    * the pipeline head so the two can never drift. */
+  private def withQuality(df: DataFrame): DataFrame = {
     val q = graft.functions.HashExprs.textQuality(col("text"))
     val nTok = col("__q.n_tokens")
     val meanLen = (col("n_chars") - (nTok - 1)).cast("double") / nTok.cast("double")
@@ -489,10 +521,11 @@ object LlmOps {
       .when(stopRatio < 0.02, lit("stopwords"))
       .otherwise(lit("ok"))
     df.withColumn("__q", q)
-      .select(col("doc_id"), col("lang"),
-        nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
-        stopRatio.as("stop_ratio"), symbolRatio.as("symbol_ratio"),
-        (reason === "ok").as("keep"), reason.as("reason"))
+      .withColumn("q_n_tokens", nTok)
+      .withColumn("q_mean_tok_len", meanLen)
+      .withColumn("q_stop_ratio", stopRatio)
+      .withColumn("q_symbol_ratio", symbolRatio)
+      .withColumn("q_reason", reason)
   }
 
   /** Offset shift for fixed-point embedding quantization (l_kmeans, l_pq):
@@ -525,8 +558,13 @@ object LlmOps {
     * NEAR_DUP_J over LSH candidates) — THE near-dup detection pipeline,
     * shared by the l_minhash_lsh row and the clustering loop so the
     * cluster rows are by construction the closure of the pair row. */
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBands(s, d)
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsOf(shingleSets(s, d))
+
+  /** [[nearDupPairs]] over an arbitrary persisted (doc_id, hs) set frame
+    * — the pipeline's near-dup stage runs this on the admitted survivors. */
+  private def nearDupPairsOf(sets: DataFrame): DataFrame = {
+    val bands = minhashBandsOf(sets)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -534,7 +572,7 @@ object LlmOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    jaccardOf(cand, shingleSets(s, d))
+    jaccardOf(cand, sets)
       .filter(col("jaccard") >= NEAR_DUP_J)
   }
 
@@ -637,6 +675,128 @@ object LlmOps {
 
   private def dedupLabels(s: SparkSession, d: String): DataFrame =
     connectedComponents(nearDupPairs(s, d).select(col("d1"), col("d2")))
+
+  /** Target language proportions for the mixing stage (en 40%, four
+    * others 15% each) — shared by l_mixture and the pipeline. */
+  private val MIX_WEIGHTS =
+    Seq("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
+
+  /** The l_mixture budget arithmetic over an arbitrary corpus frame
+    * carrying (doc_id, lang, h): downsample every language to the
+    * largest total hitting [[MIX_WEIGHTS]] exactly, bounded by the
+    * scarcest language. All budget arithmetic is integer (T = min over
+    * langs of n_l·100 div w_l; take_l = T·w_l div 100) on a langs-sized
+    * frame; selection ranks by the content hash `h` within each language
+    * partition (one per-key window shuffle) — deterministic across
+    * engines, retries and runs, which rand()-based sampling cannot give.
+    * Weights LEFT JOIN counts: a weight-listed language with ZERO rows
+    * must zero the whole budget (the mix is bounded by the scarcest
+    * language — silently dropping it would ship the wrong proportions).
+    * Returns the kept input rows with rk appended. */
+  private def mixtureKept(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    val wDf = s.createDataFrame(MIX_WEIGHTS).toDF("w_lang", "w")
+    val counts = wDf.join(
+        corpus.groupBy(col("lang")).agg(count(lit(1)).as("n")),
+        col("w_lang") === col("lang"), "left")
+      .select(col("w_lang").as("lang"), coalesce(col("n"), lit(0L)).as("n"), col("w"))
+      // langs-sized, but its lineage is a corpus aggregate — persisted
+      // so the tFrame min and the takes base share ONE scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tFrame = counts.agg(min(expr("n * 100 div w")).as("t"))
+    val takes = counts.crossJoin(broadcast(tFrame))
+      .select(col("lang").as("tk_lang"), expr("(t * w) div 100").as("take"))
+    val ranked = corpus.withColumn("rk", row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(takes), col("lang") === col("tk_lang"))
+      .filter(col("rk") <= col("take"))
+      .drop("tk_lang", "take")
+  }
+
+  /** Contamination cut for the pipeline: a surviving doc sharing at
+    * least this many distinct 8-grams with the benchmark set is dropped. */
+  private val DECON_MIN_OVERLAP = 3L
+
+  /** The STATEFUL tail of the curation pipeline — every corpus-global
+    * stage, composed over the ADMITTED store `admitted0` (doc_id, lang,
+    * text as emitted by [[pipelineHead]], whether that ran as a batch
+    * Project or as micro-batched streaming admission):
+    *
+    *   exact dedup → near-dup dedup-apply → decontaminate → mixture → pack
+    *
+    * Composition is what a real cleaning job runs; each stage keeps the
+    * scale shape of its standalone row (digests — not documents — ride
+    * the dedup shuffle; LSH-banded candidates only; bench grams and the
+    * label/budget frames stay kilobyte broadcasts; packing is one
+    * per-bucket window). Intermediates that feed two stages are
+    * persisted spillable so the admitted corpus is scanned once per
+    * consumer group, not once per stage — at 100 TB `admitted` would be
+    * a materialized table between the ingest and curation jobs, and the
+    * persists mark exactly the frames that table boundary would hold. */
+  private[graft] def pipelineTail(s: SparkSession, d: String,
+                                  admitted0: DataFrame): DataFrame = {
+    val SL = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // read twice: the digest aggregate and the canonical-keep semi join
+    val admitted = admitted0.persist(SL)
+    // exact dedup on the REDACTED text (the corpus the pipeline now
+    // carries): canonical survivor = min doc_id per normalized digest;
+    // only the 64-hex digest rides the shuffle
+    val canon = admitted
+      .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sv3 = admitted.join(canon, Seq("doc_id"), "left_semi").persist(SL)
+    // near-dup stage: the full LSH pipeline + CC clustering over the
+    // SURVIVORS' shingle sets; drop every non-representative member
+    // (same verdict rule as l_dedup_apply, whose broadcast-label shape
+    // this reuses — the loser frame is near-dup members only, orders of
+    // magnitude smaller than the corpus)
+    val losers = connectedComponents(
+        nearDupPairsOf(shingleSetsOf(sv3)).select(col("d1"), col("d2")))
+      .filter(col("label") =!= col("v"))
+      .select(col("v").as("doc_id"))
+    val sv4 = sv3.join(broadcast(losers), Seq("doc_id"), "left_anti").persist(SL)
+    // decontaminate against the FIXED benchmark set (first five 8-grams
+    // of every doc_id % 100 == 0 doc of the ORIGINAL corpus — the eval
+    // set exists independently of what the pipeline admitted)
+    val corpus = docs(s, d)
+    def gram8(c: Column): Column =
+      graft.functions.Generators.wordNGramArray(lower(c), 8)
+    val bench = corpus
+      .filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(explode(slice(gram8(corpus("text")), 1, 5)).as("g"))
+      .select(polyHash(col("g")).as("h"))
+      .distinct()
+    val contaminated = sv4
+      .select(col("doc_id"), explode(gram8(col("text"))).as("g"))
+      .select(col("doc_id"), polyHash(col("g")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_overlap"))
+      .filter(col("n_overlap") >= DECON_MIN_OVERLAP)
+      .select(col("doc_id"))
+    val sv5 = sv4.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // mixture needs (h, lang) twice (counts + rank) and pack reuses h
+    // for its bucket — project the text away FIRST so the window shuffle
+    // and the persist carry three longs and a lang, never the documents
+    val base = sv5.select(col("doc_id"), col("lang"),
+        polyHash(col("text")).as("h"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      .persist(SL)
+    val kept = mixtureKept(base)
+    // pack the final mix into 256-token bins (the l_pack shape: hash
+    // bucket → per-bucket running-total window)
+    val cap = 256L
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept.select(col("doc_id"), col("lang"), col("rk"),
+        pmod(col("h"), lit(8L)).as("bucket"), col("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("rk"), col("bucket"),
+        (col("tokens_before") / lit(cap)).cast("long").as("bin"),
+        col("n_tokens"), col("tokens_before"))
+      .orderBy(col("doc_id"))
+  }
 
   def queries: Map[String, Q] = Map(
 
@@ -1205,33 +1365,11 @@ object LlmOps {
     // rank ≤ take_l — reproducible across engines, retries and runs,
     // which rand()-based sampling cannot give. At 100 TB the only
     // corpus-sized work is the hash+window pass.
-    "l_mixture" -> ((s, d) => {
-      val W = Seq("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
-      // weights LEFT JOIN counts: a weight-listed language with ZERO
-      // documents must zero the whole budget (the mix is bounded by the
-      // scarcest language — silently dropping it would ship the wrong
-      // proportions), so the absent row coalesces to n = 0, not out of
-      // the min
-      val wDf = s.createDataFrame(W).toDF("w_lang", "w")
-      val counts = wDf.join(
-          docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n")),
-          col("w_lang") === col("lang"), "left")
-        .select(col("w_lang").as("lang"), coalesce(col("n"), lit(0L)).as("n"), col("w"))
-        // langs-sized, but its lineage is a corpus aggregate — persisted
-        // so the tFrame min and the takes base share ONE scan
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tFrame = counts.agg(min(expr("n * 100 div w")).as("t"))
-      val takes = counts.crossJoin(broadcast(tFrame))
-        .select(col("lang").as("tk_lang"), expr("(t * w) div 100").as("take"))
-      val ranked = docs(s, d)
-        .select(col("doc_id"), col("lang"), polyHash(col("text")).as("h"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
-      ranked.join(broadcast(takes), col("lang") === col("tk_lang"))
-        .filter(col("rk") <= col("take"))
+    "l_mixture" -> ((s, d) =>
+      mixtureKept(docs(s, d)
+          .select(col("doc_id"), col("lang"), polyHash(col("text")).as("h")))
         .select(col("doc_id"), col("lang"), col("rk"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Intra-document repetition (quality signal: boilerplate / template
     // spam repeats its own n-grams): duplicate-shingle ratio per doc from
@@ -1553,7 +1691,20 @@ object LlmOps {
         .withColumn("score_avg", expr("score_sum div n_feats"))
         .orderBy(col("score_avg").desc, col("doc_id"))
         .limit(DSIR_TOP)
-    })
+    }),
+
+    // The END-TO-END curation pipeline — every stage above, COMPOSED the
+    // way a real 100 TB cleaning job runs them: quality filter → PII
+    // scrub (the stateless ingest head) → exact dedup → near-dup
+    // dedup-apply → decontaminate → mixture → pack (the corpus-global
+    // tail). Each stage is oracle-validated in isolation by its own row;
+    // this row validates the COMPOSITION — schema flow between stages,
+    // shared-scan fusion, and the interactions isolation can't show
+    // (near-dup/dedup/mixture operate on the admitted survivors, not the
+    // raw corpus). The streaming twin s_pipeline feeds the same tail from
+    // micro-batched admission and shares this oracle.
+    "l_pipeline" -> ((s, d) =>
+      pipelineTail(s, d, pipelineHead(docs(s, d))))
   )
 
   // --------------------------------------------------------------- oracle
@@ -1562,10 +1713,13 @@ object LlmOps {
   private def sqlPoly(e: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % $P)"
 
-  /** Shared CTE: distinct shingle hashes + sizes (mirror of shingleHashes). */
-  private val shingleCte =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  /** Shingle chain CTE fragment (toks/sh/sizes — the mirror of
+    * shingleSetsOf) parameterized by its source relation: `documents`
+    * for the corpus-wide rows, the pipeline's survivor CTE for
+    * l_pipeline. ONE spelling either way. */
+  private def shingleChainFrom(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM $src
        |), sh AS (
        |  SELECT DISTINCT doc_id, h FROM (
        |    SELECT doc_id, ${sqlPoly("s")} AS h FROM (
@@ -1574,13 +1728,15 @@ object LlmOps {
        |      FROM toks WHERE len(w) >= 3))
        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Shared recursive connected-components chain, ending at
-    * `labels(doc_id, cluster_id)` — the oracle twin of [[dedupLabels]]. */
-  private def clusterLabelsCte: String = {
-    val withRec = shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
-    s"""$withRec, $minhashCandCte,
-       |$interCte,
-       |pairs AS (
+  /** Shared CTE: distinct shingle hashes + sizes (mirror of shingleHashes). */
+  private val shingleCte = "WITH " + shingleChainFrom("documents")
+
+  /** Pair-verify + recursive transitive-closure fragment (pairs/edges/
+    * reach/labels), ending at `labels(doc_id, cluster_id)` — assumes the
+    * shingle + minhash + inter CTEs precede it. Shared by the corpus
+    * rows and the pipeline so the CC oracle has ONE spelling. */
+  private val ccChainCte: String =
+    s"""pairs AS (
        |  SELECT i.d1, i.d2
        |  FROM inter i
        |  JOIN sizes s1 ON s1.doc_id = i.d1
@@ -1594,6 +1750,14 @@ object LlmOps {
        |  UNION
        |  SELECT re.v, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
        |labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
+  /** Shared recursive connected-components chain, ending at
+    * `labels(doc_id, cluster_id)` — the oracle twin of [[dedupLabels]]. */
+  private def clusterLabelsCte: String = {
+    val withRec = shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$withRec, $minhashCandCte,
+       |$interCte,
+       |$ccChainCte""".stripMargin
   }
 
   /** Shared-shingle intersection counts for the `cand` pairs — ONE SQL
@@ -2252,6 +2416,99 @@ object LlmOps {
          |)
          |SELECT doc_id, lang, n_feats, score_sum, score_sum // n_feats AS score_avg
          |FROM scored
-         |ORDER BY score_avg DESC, doc_id LIMIT $DSIR_TOP""".stripMargin
+         |ORDER BY score_avg DESC, doc_id LIMIT $DSIR_TOP""".stripMargin,
+
+    // The composed pipeline as ONE CTE chain: the per-stage oracles'
+    // spellings (quality cascade, planted-PII redaction, sha256 dedup,
+    // the shared shingle/minhash/inter/CC fragments — sourced from the
+    // survivor CTE instead of `documents` — 8-gram decontamination,
+    // mixture budget, pack window) rebound stage-to-stage exactly as the
+    // engine composes them. Shared with s_pipeline.
+    "l_pipeline" ->
+      s"""WITH RECURSIVE aug AS (
+         |  SELECT doc_id, lang, text, n_chars, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+         |                               || '@example.com for access.'
+         |         WHEN doc_id % 7 = 3 THEN ' Call +1-555-'
+         |                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+         |         WHEN doc_id % 7 = 5 THEN ' Logged from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |                               || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |                               || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) || ' tonight.'
+         |         ELSE '' END AS aug
+         |  FROM documents
+         |), qm AS (
+         |  SELECT doc_id, lang, aug,
+         |    CAST(len(qtoks) AS BIGINT) AS n_tokens,
+         |    CAST(n_chars - (len(qtoks) - 1) AS DOUBLE) / len(qtoks) AS mean_tok_len,
+         |    CAST(len(list_filter(qtoks, x -> x IN (${STOPWORDS.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(qtoks) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) / n_chars AS symbol_ratio
+         |  FROM (SELECT *, string_split(lower(text), ' ') AS qtoks FROM aug)
+         |), scrubbed AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(aug,
+         |      '$PII_EMAIL', '[EMAIL]', 'g'),
+         |      '$PII_PHONE', '[PHONE]', 'g'),
+         |      '$PII_IP', '[IP]', 'g') AS text
+         |  FROM qm
+         |  WHERE NOT (n_tokens < 20 OR mean_tok_len < 2.0 OR mean_tok_len > 12.0
+         |             OR symbol_ratio > 0.2 OR stop_ratio < 0.02)
+         |), fp AS (
+         |  SELECT doc_id, lang, text, sha256(lower(trim(text))) AS fp FROM scrubbed
+         |), canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp
+         |), sv3 AS (
+         |  SELECT f.doc_id, f.lang, f.text FROM fp f JOIN canon USING (doc_id)
+         |), ${shingleChainFrom("sv3")},
+         |$minhashCandCte,
+         |$interCte,
+         |$ccChainCte,
+         |sv4 AS (
+         |  SELECT s.doc_id, s.lang, s.text
+         |  FROM sv3 s LEFT JOIN labels l ON l.doc_id = s.doc_id
+         |  WHERE l.cluster_id IS NULL OR l.cluster_id = s.doc_id
+         |), bench AS (
+         |  SELECT DISTINCT ${sqlPoly("s")} AS h FROM (
+         |    SELECT unnest([list_reduce(bw[i:i+7], (a, b) -> a || ' ' || b)
+         |                   for i in range(1, least(6, len(bw) - 6))]) AS s
+         |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS bw FROM documents)
+         |    WHERE len(bw) >= 8 AND doc_id % 100 = 0)
+         |), dg AS (
+         |  SELECT doc_id, ${sqlPoly("s")} AS h FROM (
+         |    SELECT doc_id, unnest([list_reduce(gw[i:i+7], (a, b) -> a || ' ' || b)
+         |                           for i in range(1, len(gw) - 6)]) AS s
+         |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS gw FROM sv4)
+         |    WHERE len(gw) >= 8)
+         |), ov AS (
+         |  SELECT doc_id, CAST(count(DISTINCT dg.h) AS BIGINT) AS n_overlap
+         |  FROM dg JOIN bench USING (h) GROUP BY doc_id
+         |), base AS (
+         |  SELECT s.doc_id, s.lang, ${sqlPoly("s.text")} AS h,
+         |         CAST(len(string_split(lower(s.text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM sv4 s LEFT JOIN ov o ON o.doc_id = s.doc_id
+         |  WHERE coalesce(o.n_overlap, 0) < $DECON_MIN_OVERLAP
+         |), wt(lang, w) AS (
+         |  VALUES ${MIX_WEIGHTS.map { case (l, w) => s"('$l', $w)" }.mkString(", ")}
+         |), cnt AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY lang
+         |), tt AS (
+         |  SELECT min(coalesce(cnt.n, 0) * 100 // wt.w) AS t
+         |  FROM wt LEFT JOIN cnt ON cnt.lang = wt.lang
+         |), tk AS (
+         |  SELECT lang, (tt.t * wt.w) // 100 AS take FROM wt, tt
+         |), rk AS (
+         |  SELECT doc_id, lang, h, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk
+         |  FROM base
+         |), kept AS (
+         |  SELECT r.doc_id, r.lang, r.rk, r.h, r.n_tokens
+         |  FROM rk r JOIN tk ON tk.lang = r.lang
+         |  WHERE r.rk <= tk.take
+         |), pp AS (
+         |  SELECT doc_id, lang, rk, h % 8 AS bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |  FROM kept)
+         |SELECT doc_id, lang, rk, bucket, tokens_before // 256 AS bin, n_tokens, tokens_before
+         |FROM pp ORDER BY doc_id""".stripMargin
   )
 }

@@ -520,6 +520,17 @@ object StreamingOps {
     // plan, proven by the shared l_pii_scrub oracle.
     "s_pii" -> ((s, d) =>
       drainedDocProjection(s, d, graft.LlmOps.piiProjection)),
+    // The PRODUCTION ingest loop end-to-end: the pipeline's stateless
+    // head (quality cascade + PII scrub, LlmOps.pipelineHead) admits
+    // documents per micro-batch into a parquet store, and the
+    // corpus-global curation tail (exact dedup → near-dup → decontaminate
+    // → mixture → pack) then runs over the ADMITTED STORE — exactly the
+    // periodic-compaction shape a 100 TB deployment runs. Sharing
+    // l_pipeline's oracle proves micro-batched admission + batch curation
+    // equals the one-shot batch pipeline.
+    "s_pipeline" -> ((s, d) =>
+      graft.LlmOps.pipelineTail(s, d, readSink(s, drainToParquet(
+        graft.LlmOps.pipelineHead(readDocumentsStream(s, d)), "append")))),
     // Streaming CDC: incremental MERGE materialization of the changelog
     // (see cdcApplyInto) — shares the batch row's oracle, proving the
     // micro-batched upsert equals the one-shot batch apply.
@@ -551,6 +562,9 @@ object StreamingOps {
     "s_neardup" -> graft.LlmOps.oracles("l_minhash_lsh"),
     "s_quality" -> graft.LlmOps.oracles("l_quality_filter"),
     "s_pii" -> graft.LlmOps.oracles("l_pii_scrub"),
+    // micro-batched admission + batch curation ≙ the one-shot batch
+    // pipeline — the oracle IS the batch pipeline's oracle
+    "s_pipeline" -> graft.LlmOps.oracles("l_pipeline"),
     "s_cdc" -> graft.Analytic.oracles("w_cdc_apply"),
 
     "s_tumbling" ->
