@@ -79,6 +79,32 @@ class ScaleSpec extends AnyFunSuite {
       col("k"), col("dk"), saltSource = col("src"), buckets = 8)
     assert(oneToOne.count() === 64L,
       "every fact row must meet exactly one dim replica")
+    // forced-hot (hotFactor = 0): every key salts — the replica
+    // mechanics of the pre-split spelling, still one replica per row
+    val forcedHot = Scale.saltedJoin(factS, dimS,
+      col("k"), col("dk"), saltSource = col("src"), buckets = 8, hotFactor = 0.0)
+    assert(forcedHot.count() === 64L,
+      "forced-hot path must still meet exactly one dim replica per row")
+  }
+
+  test("saltedJoin hot-key split: identical answer whether keys fall hot, cold, or mixed") {
+    import spark.implicits._
+    // one genuinely hot key (0: 1000 rows) over a uniform cold tail
+    // (1..100: 5 rows each) — avg ≈ 14.9, so factor 4 isolates key 0
+    val fact = ((0 until 1000).map(i => (0L, i.toDouble)) ++
+      (1 to 100).flatMap(k => (0 until 5).map(i => (k.toLong, (k * 31 + i).toDouble))))
+      .toDF("k", "src")
+    val dim = (0 to 100).map(k => (k.toLong, s"d$k")).toDF("dk", "name")
+    val direct = fact.join(dim, col("k") === col("dk"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (factor <- Seq(0.0, 4.0, 1e9)) { // all-hot / split / all-cold
+      val got = Scale.saltedJoin(fact, dim, col("k"), col("dk"),
+          saltSource = col("src"), buckets = 8, hotFactor = factor)
+        .groupBy(col("name")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === direct, s"hotFactor=$factor changed the join answer")
+    }
   }
 
   test("bloomPrune keeps every true match, drops most non-matches, and preserves the join answer") {
