@@ -34,6 +34,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Host calibration: two FIXED kernels timed before the query loop, so
+    // cross-round/cross-box comparisons divide by a measured factor
+    // instead of reconstructed "the box was ~1.3× slower that day"
+    // arguments (SURVEY §8.4). (1) hostCpuSec: a single-threaded 2·10^8
+    // step multiply-xor hash loop — pure ALU, no allocation, no I/O;
+    // tracks per-core speed and neighbor-load steal. (2) hostScanSec: a
+    // full scan+aggregate of the CONSTANT sf0.01 lineitem file (driver
+    // testdata, identical bytes every round) through the same Spark
+    // session — tracks the parallel scan path (I/O, decompression,
+    // codegen). Both min-of-3 after one warm-up, same policy as queries.
+    def cpuKernel(): Double = {
+      var h = 2654435761L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 200000000L) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        h ^= h >>> 33
+        i += 1
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) print("") // keep the loop observable (no DCE)
+      t
+    }
+    def scanKernel(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val hostCpuSec = { cpuKernel(); (1 to 3).map(_ => cpuKernel()).min }
+    val hostScanSec =
+      try { scanKernel(); (1 to 3).map(_ => scanKernel()).min }
+      catch { case _: Throwable => -1.0 }
+
     def runOnce(fn: SparkEntry.Q): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -63,7 +99,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","host_cpu_sec":$hostCpuSec,"host_scan_sec":$hostScanSec,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout is the driver contract, but its capture has been observed to
     // clip mid-line (BENCH_r06 lost 3 queries) — persist the same JSON to a
