@@ -137,8 +137,13 @@ object CtsParity {
     val lnk = links.withColumn("outdeg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(MEMORY_AND_DISK)
-    val verts = links.select(col("src").as("node"))
-      .unionAll(links.select(col("dst").as("node")))
+    // vertices from the CACHED link frame, not from `links`: the links
+    // lineage is scan+explode+distinct, and deriving verts from it ran
+    // that chain twice more (one full scan + exchange per union side —
+    // read in the r9 plan audit as the query's largest fixed cost);
+    // re-projecting lnk's cached rows costs one distinct exchange only
+    val verts = lnk.select(col("src").as("node"))
+      .unionAll(lnk.select(col("dst").as("node")))
       .distinct()
       .persist(MEMORY_AND_DISK)
     val zero = verts.select(col("node"), lit(0L).as("contrib"))
