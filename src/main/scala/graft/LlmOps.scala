@@ -111,12 +111,44 @@ object LlmOps {
     * With MAX = 16 the linear regime N ≤ TARGET·2^MAX extends to 32M
     * vectors per partitioning domain; the extra projection cost is only
     * paid when bits actually grows (bucket() emits `bits` planeDots, not
-    * MAX). Beyond 32M, raise MAX again or pre-partition the corpus. */
+    * MAX). Beyond 32M, raise MAX again or pre-partition the corpus.
+    *
+    * RECALL trade (r9 ADVICE, made explicit): per-table catch
+    * probability for a pair at cosine c is p^bits with
+    * p = 1 − arccos(c)/π; L tables lift it to 1 − (1−p^bits)^L. bits
+    * grows with N while L stays fixed, so recall FALLS as the corpus
+    * grows — at the bits = 16 saturation point with L = 4, a pair just
+    * above the 0.45 threshold (p ≈ 0.649) is caught with probability
+    * ≈ 0.4 %, and even a 0.9-cosine pair (p ≈ 0.857) only ≈ 30 %: the
+    * saturated dial surfaces near-EXACT duplicates only. That is the
+    * documented contract of this row (bounded-recall candidate
+    * generation; the oracle replays the same planes so the check stays
+    * exact about what IS surfaced). A production corpus that needs
+    * recall held at threshold raises L alongside bits — cost is linear
+    * in L — and [[enrRecallWarning]] prints the achieved-recall figures
+    * whenever the dial leaves the high-recall regime so the trade is
+    * never silent. */
   private val ENR_TABLES = 4
   private val ENR_MAX_BITS = 16
   private val ENR_TARGET_OCC = 500L
   require(NCONST >= ENR_TABLES * ENR_MAX_BITS && NCONST >= K,
     s"plane/hash constant table too small: $NCONST")
+  /** Overall sign-LSH recall 1-(1-p^bits)^L at cosine `c`. */
+  private def enrRecall(c: Double, bits: Int): Double = {
+    val p = 1.0 - math.acos(c) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits), ENR_TABLES)
+  }
+  /** One stderr line when the adaptive dial trades recall below ~50% at
+    * the verify threshold — the quality loss is invisible to the oracle
+    * (it replays the same planes), so it must at least be LOUD. */
+  private def enrRecallWarning(bits: Int, n: Long, thr: Double): Unit = {
+    val atThr = enrRecall(thr, bits)
+    if (atThr < 0.5)
+      System.err.println(
+        f"[graft] l_embed_neardup: bits=$bits (N=$n) with L=$ENR_TABLES tables — " +
+        f"expected recall ${atThr * 100}%.1f%% at cosine $thr%.2f, " +
+        f"${enrRecall(0.9, bits) * 100}%.1f%% at 0.90; raise ENR_TABLES to hold recall")
+  }
   private def enrBits(n: Long): Int = {
     var b = 2
     while (b < ENR_MAX_BITS && n > (ENR_TARGET_OCC << b)) b += 1
@@ -1273,7 +1305,9 @@ object LlmOps {
       import graft.functions.HashExprs.{planeDot, vecDot}
       val thr = 0.45
       // one cheap metadata-driven count(*) job sizes the dial
-      val bits = enrBits(Tables.embeddings(s, d).count())
+      val n = Tables.embeddings(s, d).count()
+      val bits = enrBits(n)
+      enrRecallWarning(bits, n, thr)
       def bucket(emb: Column, t: Int): Column =
         (0 until bits).map { j =>
           val p = ENR_MAX_BITS * t + j
@@ -2115,9 +2149,14 @@ object LlmOps {
       val bitsExpr = (2 until ENR_MAX_BITS).foldRight(s"$ENR_MAX_BITS") {
         (b, els) => s"CASE WHEN cnt <= ${ENR_TARGET_OCC << b} THEN $b ELSE $els END"
       }
+      // NESTED case (not one `a AND b` conjunction): the outer `j <
+      // p.bits` gate selects rows before the planeDot branch evaluates,
+      // so DuckDB's lazy CASE skips the fold for every plane above the
+      // achieved bits — measured 3× on this oracle at sf0.01 (r9 ADVICE:
+      // the conjunction spelling paid all ENR_MAX_BITS projections)
       val cellSelects = (0 until ENR_TABLES).map { t =>
         val bkt = (0 until ENR_MAX_BITS).map { j =>
-          s"(CASE WHEN $j < p.bits AND ${planeDot(ENR_MAX_BITS * t + j)} > 0 THEN ${1 << j} ELSE 0 END)"
+          s"(CASE WHEN $j < p.bits THEN CASE WHEN ${planeDot(ENR_MAX_BITS * t + j)} > 0 THEN ${1 << j} ELSE 0 END ELSE 0 END)"
         }.mkString("\n     + ")
         s"SELECT vec_id, embedding, nrm, $t AS tbl,\n       $bkt AS bkt FROM n, p"
       }.mkString("\n  UNION ALL ")
