@@ -85,6 +85,46 @@ object StressCheck {
       (bad == 0L && n == nDocs, s"inconsistent=$bad rows=$n corpus=$nDocs")
     }
 
+    // l_pipeline embeds the CC closure in its oracle, so at stress SFs it
+    // inherits the same DuckDB infeasibility as the cluster rows. Pinned
+    // by: (a) kept ids unique and a strict subset of the cross-engine-
+    // verified quality-keep set (no stage may resurrect a rejected doc);
+    // (b) the mixture budget arithmetic — all 15-weight languages take
+    // EQUALLY and the en take matches T·40 div 100 for the T implied by
+    // the 15-weight take; (c) pack bookkeeping — per (bucket, doc_id
+    // order), tokens_before is exactly the running sum of n_tokens and
+    // bin = tokens_before div 256, recomputed independently via a window
+    // over the emitted frame.
+    check("pipeline_invariants") {
+      val pipe = SparkEntry.queries("l_pipeline")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = pipe.count()
+      val nIds = pipe.select(col("doc_id")).distinct().count()
+      val qualityOk = SparkEntry.queries("l_quality_filter")(spark, d)
+        .filter(col("keep")).select(col("doc_id"))
+      val leaked = pipe.select(col("doc_id"))
+        .join(qualityOk, Seq("doc_id"), "left_anti").count()
+      val takes = pipe.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val others = Seq("de", "es", "fr", "zh").map(takes.getOrElse(_, -1L))
+      val mixOk = others.distinct.size == 1 && others.head >= 0 && {
+        // smallest T with T*15 div 100 = take15 → en take determined ±1
+        val t = (others.head * 100L + 99L) / 15L
+        math.abs(takes.getOrElse("en", -1L) - t * 40L / 100L) <= 1L
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val packBad = pipe
+        .withColumn("tb2", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("tokens_before") =!= col("tb2") ||
+          col("bin") =!= (col("tokens_before") / lit(256L)).cast("long"))
+        .count()
+      pipe.unpersist()
+      (n > 0 && nIds == n && leaked == 0L && mixOk && packBad == 0L,
+        s"rows=$n distinct=$nIds quality_leaks=$leaked takes=$takes pack_bad=$packBad")
+    }
+
     check("pagerank_fixed_point_at_4") {
       val ce = operators.CtsParity.eventsAsTraces(Tables.events(spark, d))
       val links = operators.CtsParity.linkPairs(
