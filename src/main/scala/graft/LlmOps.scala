@@ -95,6 +95,51 @@ object LlmOps {
   private val NGRAM_DF_CAP_MIN = 8L
   private val NGRAM_DF_CAP_FRAC = 0.001
 
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    * fingerprinter): slide a window of WIN_W consecutive 3-gram rolling
+    * hashes and keep each window's minimum. Expected density 2/(WIN_W+1),
+    * so the fingerprint SET is a ~40% subsample of the shingle set that
+    * still guarantees any shared run of ≥ WIN_W+2 words produces a shared
+    * fingerprint — the containment detector this feeds catches
+    * doc-inside-doc duplication that symmetric Jaccard dilutes away. */
+  private val WIN_W = 4
+  /** Containment floor: |A∩B| / min(|A|,|B|) — asymmetric by design. */
+  private val WIN_CONTAIN = 0.5
+
+  /** Language-ID fixed-point weight scale: profile weights are
+    * w(lang, g) = cnt·SCALE div total — INTEGER, because the per-doc score
+    * is a shuffled sum and float addition is not reduce-order-stable
+    * across engines (same reason l_kmeans quantizes). Range: safe while
+    * per-language gram counts stay < 2^63/SCALE ≈ 9·10¹² grams; a 100 TB
+    * deployment shards the profile per corpus slice or widens to
+    * decimal(38,0) — the plan shape is unchanged. */
+  private val LANGID_SCALE = 1000000L
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cosine threshold for "same meaning" within a centroid cell. Matches
+    * the embed-neardup verify threshold so the two rows are comparable:
+    * l_embed_neardup is the LSH (recall-tunable) spelling, l_semdedup the
+    * cluster-partitioned (bounded-cell) spelling of the same decision.
+    *
+    * K ADAPTS to corpus size (semK): the in-cell pair join costs
+    * Σ_cells occ²/2 ≈ N²/2K, so a FIXED codebook is quadratic in N — the
+    * same saturation disease enrBits cures for the LSH row. Doubling K
+    * whenever expected occupancy exceeds SEM_TARGET_OCC holds the join
+    * linear; the codebook stays a ≤ SEM_MAX_K-row broadcast (kilobytes —
+    * at the cap, assignment cost N·K is the honest distributed-k-means
+    * price and the cap is raised alongside a hierarchical assignment).
+    * Deterministic stand-in codebook = the first K vectors; production
+    * swaps in an l_kmeans-trained one — the plan shape is K-invariant. */
+  private val SEM_COS = 0.45
+  private val SEM_TARGET_OCC = 500L
+  private val SEM_MIN_K = 8
+  private val SEM_MAX_K = 4096
+  private def semK(n: Long): Int = {
+    var k = SEM_MIN_K
+    while (k < SEM_MAX_K && n > SEM_TARGET_OCC * k) k <<= 1
+    k
+  }
+
   /** Embedding near-dup sign-LSH: L tables × `bits` hyperplanes per table.
     * `bits` ADAPTS to corpus size: the candidate-join work per table is
     * Σ_buckets occ²/2 ≈ N²/2^(bits+1), so fixed bits is quadratic in N —
@@ -882,6 +927,47 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID, the n-gram-profile classifier (Cavnar & Trenkle 1994
+    // shape): per-language character-trigram profiles trained
+    // SELF-SUPERVISED from the labeled corpus in one aggregate pass, then
+    // every document scored against every profile and argmax'd. Scale
+    // shape: the gram stream never shuffles raw — docGrams is a map-side-
+    // combined (doc, gram) histogram; the profile/weight frames are
+    // (langs × trigram-vocab)-sized and JOIN on the gram key (the alphabet
+    // bounds the vocab, so a deployment could broadcast them — the shuffle
+    // join is the no-assumptions spelling). Weights are integer fixed-
+    // point (LANGID_SCALE) so the scored sum is reduce-order-independent —
+    // float log-prob sums are NOT reproducible across engines or runs.
+    "l_langid" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 3)
+      val grams = base.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3)))).as("g"))
+      // persisted: feeds both the profile training aggregate and the
+      // scoring join; without it the corpus is re-scanned + re-exploded
+      val docGrams = grams
+        .groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("occ"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prof = docGrams.groupBy(col("lang"), col("g"))
+        .agg(sum(col("occ")).as("cnt"))
+      val weights = prof
+        .join(prof.groupBy(col("lang")).agg(sum(col("cnt")).as("tot")), Seq("lang"))
+        .selectExpr("lang AS plang", "g",
+          s"CAST(cnt * $LANGID_SCALE div tot AS BIGINT) AS wt")
+      val scored = docGrams.join(weights, Seq("g"))
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(sum(col("occ") * col("wt")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("plang"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"),
+          col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup via banded MinHash-LSH: shingles → K=32 affine min-hashes →
     // 8 bands of 4 → self-join ONLY on (band, bucket) → exact-Jaccard
     // verify of the candidates. Candidate generation is linear + bucket-
@@ -929,6 +1015,56 @@ object LlmOps {
           (col("n_shared").cast("double") /
             (col("n1") + col("n2") - col("n_shared")).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= NEAR_DUP_J)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Winnowing fingerprints + containment detection (MOSS): POSITIONAL
+    // 3-gram rolling hashes (order kept, duplicates kept — unlike the
+    // Jaccard set path), each WIN_W-window's minimum selected entirely
+    // inside one Project (transform/slice/array_min over the gram array —
+    // zero shuffle until the distinct fingerprint explode), then an
+    // inverted-index self-join scores CONTAINMENT |A∩B|/min(|A|,|B|).
+    // Containment is the asymmetric dup signal Jaccard misses: a page
+    // embedded verbatim in a 10× larger page has J ≈ 0.1 but C ≈ 1.0.
+    // Same hot-fingerprint df cap as the Jaccard row (identically in the
+    // oracle) bounds the df² join work at any corpus size; winnowing
+    // itself already subsamples the shingle set to ~2/(WIN_W+1) density,
+    // so this row joins ~40% of the volume l_ngram_jaccard does.
+    "l_winnow" -> ((s, d) => {
+      val fp = docs(s, d)
+        .select(col("doc_id"),
+          transform(
+            graft.functions.Generators.wordNGramArray(lower(col("text")), 3),
+            g => polyHash(g)).as("hs"))
+        .filter(size(col("hs")) >= WIN_W)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            transform(sequence(lit(0), size(col("hs")) - WIN_W),
+              i => array_min(slice(col("hs"), i + 1, lit(WIN_W)))))).as("f"))
+      val nDocs = Tables.documents(s, d).count()
+      val cap = math.max(NGRAM_DF_CAP_MIN.toDouble, NGRAM_DF_CAP_FRAC * nDocs)
+      val hot = fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("f"))
+      // persisted: three consumers (sizes + both self-join sides) — the
+      // same ReuseExchange-can't-dedupe-alias-branches disease as the
+      // shingle frames above
+      val kept = fp.join(broadcast(hot), Seq("f"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = kept.select(col("doc_id").as("d1"), col("f"))
+        .join(kept.select(col("doc_id").as("d2"), col("f").as("f2")),
+          col("f") === col("f2") && col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      val contain = col("n_shared").cast("double") /
+        least(col("n1"), col("n2")).cast("double")
+      inter
+        .join(sizes.select(col("doc_id").as("zd1"), col("n").as("n1")),
+          col("d1") === col("zd1"))
+        .join(sizes.select(col("doc_id").as("zd2"), col("n").as("n2")),
+          col("d2") === col("zd2"))
+        .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
+          contain.as("containment"))
+        .filter(col("containment") >= WIN_CONTAIN)
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -1344,6 +1480,61 @@ object LlmOps {
         .filter(col("cosine") >= thr)
         .distinct()
       cand.orderBy(col("v1"), col("v2"))
+    }),
+
+    // Semantic dedup, the SemDeDup shape (Abbas et al. 2023): partition
+    // the embedding space by a centroid codebook, then dedup ONLY within
+    // each cell — greedy by id, a vector is dropped iff an earlier
+    // same-cell vector sits within SEM_COS cosine. The cell id is the
+    // partition key, so the quadratic pair work is bounded by the worst
+    // cell, not the corpus — and K ADAPTS to corpus size (semK) so
+    // expected occupancy stays ~SEM_TARGET_OCC at any N (a fixed K would
+    // be the enrBits saturation disease: N²/2K in-cell pairs). Assignment
+    // is a broadcast-codebook N×K cosine sweep folded by ONE map-side-
+    // combined argmax aggregate (max over struct(cos, -cid): ties break
+    // to the smallest cid, the oracle's row_number order) — no literal
+    // expression tree that would blow past JVM codegen limits as K grows.
+    // The deliberate trade vs l_embed_neardup's LSH: dups straddling a
+    // cell boundary are missed by design; in exchange every in-cell pair
+    // is checked exactly.
+    "l_semdedup" -> ((s, d) => {
+      import graft.functions.HashExprs.vecDot
+      // metadata-only count sizes the codebook; K lands in the plan
+      val k = semK(Tables.embeddings(s, d).count())
+      val e = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      // deterministic stand-in codebook: the first K vectors (production
+      // swaps in an l_kmeans-trained one; the plan shape is K-invariant)
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+          col("nrm").as("cnrm"))
+      // persisted: both sides of the cell self-join + the verdict join
+      val asn = e.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(
+          max(struct(
+            (vecDot(col("embedding"), col("cemb")) /
+              (col("nrm") * col("cnrm"))).as("cos"),
+            (-col("cid")).as("ncid"))).as("best"),
+          first(col("embedding")).as("embedding"),
+          first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          (-col("best.ncid")).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dup = asn.as("x")
+        .join(asn.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("partner"),
+          (vecDot(col("x.embedding"), col("y.embedding")) /
+            (col("x.nrm") * col("y.nrm"))).as("cos"))
+        .filter(col("cos") >= SEM_COS)
+        .groupBy(col("vec_id")).agg(min(col("partner")).as("earliest"))
+      asn.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("earliest"), lit(-1L)).as("dup_of"),
+          when(col("earliest").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy(col("vec_id"))
     }),
 
     // UDTF surface (§2.7): the corpus shingle profile through the SQL
@@ -1875,6 +2066,38 @@ object LlmOps {
          |FROM st ORDER BY doc_id""".stripMargin
     },
 
+    // self-trained char-trigram profiles; integer fixed-point weights so
+    // the scored sum is reduce-order-independent (see the query comment)
+    "l_langid" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, lower(text) AS t FROM documents
+         |  WHERE length(lower(text)) >= 3
+         |), g AS (
+         |  SELECT doc_id, lang,
+         |         unnest([t[i:i+2] for i in range(1, len(t) - 1)]) AS g
+         |  FROM base
+         |), dg AS (
+         |  SELECT doc_id, lang, g, count(*) AS occ FROM g GROUP BY 1, 2, 3
+         |), prof AS (
+         |  SELECT lang, g, CAST(sum(occ) AS BIGINT) AS cnt FROM dg GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM prof GROUP BY 1
+         |), wt AS (
+         |  SELECT p.lang AS plang, p.g,
+         |         CAST(p.cnt * $LANGID_SCALE // t.tot AS BIGINT) AS wt
+         |  FROM prof p JOIN tot t ON t.lang = p.lang
+         |), sc AS (
+         |  SELECT d.doc_id, d.lang, w.plang,
+         |         CAST(sum(d.occ * w.wt) AS BIGINT) AS score
+         |  FROM dg d JOIN wt w ON w.g = d.g GROUP BY 1, 2, 3
+         |), top AS (
+         |  SELECT doc_id, lang, plang, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+         |  FROM sc
+         |)
+         |SELECT doc_id, lang, plang AS pred_lang, score FROM top
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "l_minhash_lsh" -> jaccardSql(minhashCandCte),
 
     // capped ground truth — the hot-shingle DF cap (> max(MIN, FRAC·N)
@@ -1907,6 +2130,43 @@ object LlmOps {
          |JOIN sizes s1 ON s1.doc_id = i.d1
          |JOIN sizes s2 ON s2.doc_id = i.d2
          |WHERE CAST(i.n_shared AS DOUBLE) / CAST(s1.n + s2.n - i.n_shared AS DOUBLE) >= $NEAR_DUP_J
+         |ORDER BY d1, d2""".stripMargin,
+
+    // winnowing: POSITIONAL gram hashes (order + duplicates kept), each
+    // WIN_W-window's minimum, distinct per doc, then containment pairs
+    // under the same hot-df cap as the Jaccard row
+    "l_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |         [${sqlPoly("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+         |          for i in range(1, len(w) - 1)] AS hs
+         |  FROM toks WHERE len(w) >= 3
+         |), fp AS (
+         |  SELECT DISTINCT doc_id, f FROM (
+         |    SELECT doc_id,
+         |           unnest([list_min(hs[i:i+${WIN_W - 1}])
+         |                   for i in range(1, len(hs) - ${WIN_W} + 2)]) AS f
+         |    FROM g WHERE len(hs) >= ${WIN_W})
+         |), hot AS (
+         |  SELECT f FROM fp GROUP BY f
+         |  HAVING count(*) > greatest($NGRAM_DF_CAP_MIN,
+         |                             $NGRAM_DF_CAP_FRAC * (SELECT count(*) FROM documents))
+         |), kept AS (
+         |  SELECT * FROM fp WHERE f NOT IN (SELECT f FROM hot)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |  FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.d1, i.d2, i.n_shared, s1.n AS n1, s2.n AS n2,
+         |       CAST(i.n_shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) AS containment
+         |FROM inter i
+         |JOIN sizes s1 ON s1.doc_id = i.d1
+         |JOIN sizes s2 ON s2.doc_id = i.d2
+         |WHERE CAST(i.n_shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) >= $WIN_CONTAIN
          |ORDER BY d1, d2""".stripMargin,
 
     "l_simhash" -> {
@@ -2177,6 +2437,48 @@ object LlmOps {
          |)
          |SELECT v1, v2, cosine FROM cand WHERE cosine >= 0.45
          |ORDER BY v1, v2""".stripMargin
+    },
+
+    // codebook size K re-derived from count(*) with the same doubling
+    // thresholds as semK; assignment = cross join + row_number argmax
+    // (cos DESC, cid ASC = the engine's max(struct(cos, -cid)) tie),
+    // greedy-by-id dedup within each cell
+    "l_semdedup" -> {
+      def sqlDot(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |      (a, b) -> a + b)""".stripMargin
+      val kExpr = Iterator.iterate(SEM_MIN_K)(_ << 1).takeWhile(_ < SEM_MAX_K)
+        .foldRight(s"$SEM_MAX_K") { (kk, els) =>
+          s"CASE WHEN cnt <= ${SEM_TARGET_OCC * kk} THEN $kk ELSE $els END"
+        }
+      s"""WITH p AS (
+         |  SELECT $kExpr AS k
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)
+         |), e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM $EMB_SRC embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM e, p WHERE vec_id < p.k
+         |), asn AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1
+         |), dup AS (
+         |  SELECT y.vec_id, min(x.vec_id) AS earliest
+         |  FROM asn x JOIN asn y ON y.cell = x.cell AND x.vec_id < y.vec_id
+         |  WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $SEM_COS
+         |  GROUP BY y.vec_id
+         |)
+         |SELECT a.vec_id, a.cell,
+         |       CAST(coalesce(d.earliest, -1) AS BIGINT) AS dup_of,
+         |       CAST(CASE WHEN d.earliest IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM asn a LEFT JOIN dup d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
     },
 
     "l_shingle_profile" ->

@@ -430,4 +430,71 @@ class LlmOpsSpec extends AnyFunSuite {
     val again = run("l_importance").collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("winnow: containment pairs are consistent and catch the planted near-dups") {
+    val rows = run("l_winnow").collect()
+    assert(rows.nonEmpty, "planted near-dups must surface as containment pairs")
+    rows.foreach { r =>
+      val (d1, d2, shared, n1, n2, c) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(d1 < d2)
+      assert(shared <= math.min(n1, n2), "shared fingerprints exceed a set size")
+      assert(c >= 0.5 && c <= 1.0)
+      assert(c === shared.toDouble / math.min(n1, n2))
+    }
+    // J >= 0.5 over the FULL shingle sets implies heavy overlap of any
+    // uniform-ish subsample: the winnowed containment pairs must overlap
+    // the exact-Jaccard pair set (both detect the planted duplications)
+    val win = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("l_ngram_jaccard").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(win.intersect(exact).nonEmpty,
+      "winnow containment and exact Jaccard disagree on every planted pair")
+  }
+
+  test("semdedup: greedy-by-id within cells, verdicts consistent with the LSH pairs") {
+    val rows = run("l_semdedup").collect()
+    val n = Tables.embeddings(spark, d).count()
+    assert(rows.length.toLong === n, "one verdict per vector")
+    val cell = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      val (v, c, dupOf, k) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k == 0L || k == 1L)
+      if (k == 1L) assert(dupOf == -1L, s"kept vector $v carries a dup_of")
+      else {
+        assert(dupOf >= 0 && dupOf < v, "dup_of must be an earlier vector")
+        assert(cell(dupOf) == c, "dup_of must sit in the same cell")
+      }
+    }
+    // each cell's smallest id is the greedy anchor — always kept
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val anchor = rs.map(_.getLong(0)).min
+      assert(keep(anchor) == 1L, s"cell anchor $anchor was dropped")
+    }
+    // every LSH-verified near-dup pair that shares a cell must drop the
+    // later member (LSH pairs are exact-cosine-verified, so no FPs)
+    run("l_embed_neardup").collect().foreach { r =>
+      val (v1, v2) = (r.getLong(0), r.getLong(1))
+      if (cell(v1) == cell(v2))
+        assert(keep(v2) == 0L, s"same-cell near-dup $v2 of $v1 was kept")
+    }
+  }
+
+  test("langid: one deterministic argmax verdict per doc over the corpus langs") {
+    val rows = run("l_langid").collect()
+    val langs = Tables.documents(spark, d).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    val nDocs = Tables.documents(spark, d).count()
+    assert(rows.length.toLong === nDocs, "every doc gets exactly one verdict")
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(1)), "lang column must round-trip")
+      assert(langs.contains(r.getString(2)), "prediction outside the profile set")
+      assert(r.getLong(3) > 0L, "integer profile score must be positive")
+    }
+    // all-integer scoring ⇒ bit-identical rerun despite the shuffled sums
+    val again = run("l_langid").collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
