@@ -125,6 +125,38 @@ object StressCheck {
         s"rows=$n distinct=$nIds quality_leaks=$leaked takes=$takes pack_bad=$packBad")
     }
 
+    check("semdedup_invariants") {
+      // l_semdedup's DuckDB oracle pays an N×K cross-join of 64-float
+      // list_reduce dots — feasible to sf1, slow beyond. Engine-side, the
+      // verdict frame is THE greedy-by-id in-cell dedup iff: one row per
+      // vector; keep ⟺ dup_of = -1; every dropped row names an EARLIER
+      // SAME-CELL vector; each cell's min id is kept; and (cross-checked
+      // against the hash-verified l_embed_neardup pairs) no same-cell
+      // exact-cosine near-dup's later member survives.
+      val sd = SparkEntry.queries("l_semdedup")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = Tables.embeddings(spark, d).count()
+      val rows = sd.count()
+      val partnerCells = sd.select(col("vec_id").as("p"), col("cell").as("pcell"))
+      val bad = sd.join(partnerCells, col("dup_of") === col("p"), "left")
+        .filter(
+          (col("keep") === 1L && col("dup_of") =!= -1L) ||
+          (col("keep") === 0L && (col("dup_of") < 0L ||
+            col("dup_of") >= col("vec_id") || col("pcell") =!= col("cell"))))
+        .count()
+      val anchorBad = sd.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+        .join(sd, Seq("vec_id")).filter(col("keep") =!= 1L).count()
+      val lshKept = SparkEntry.queries("l_embed_neardup")(spark, d)
+        .select(col("v1"), col("v2"))
+        .join(sd.select(col("vec_id").as("v1"), col("cell").as("c1")), Seq("v1"))
+        .join(sd.select(col("vec_id").as("v2"), col("cell").as("c2"),
+          col("keep").as("k2")), Seq("v2"))
+        .filter(col("c1") === col("c2") && col("k2") =!= 0L).count()
+      sd.unpersist()
+      (rows == n && bad == 0L && anchorBad == 0L && lshKept == 0L,
+        s"rows=$rows n=$n bad=$bad anchor_bad=$anchorBad same_cell_lsh_kept=$lshKept")
+    }
+
     check("pagerank_fixed_point_at_4") {
       val ce = operators.CtsParity.eventsAsTraces(Tables.events(spark, d))
       val links = operators.CtsParity.linkPairs(
