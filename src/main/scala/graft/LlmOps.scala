@@ -1490,10 +1490,16 @@ object LlmOps {
     // cell, not the corpus — and K ADAPTS to corpus size (semK) so
     // expected occupancy stays ~SEM_TARGET_OCC at any N (a fixed K would
     // be the enrBits saturation disease: N²/2K in-cell pairs). Assignment
-    // is a broadcast-codebook N×K cosine sweep folded by ONE map-side-
-    // combined argmax aggregate (max over struct(cos, -cid): ties break
-    // to the smallest cid, the oracle's row_number order) — no literal
-    // expression tree that would blow past JVM codegen limits as K grows.
+    // is ONE codegen'd Project through the CodebookBestCell native
+    // expression: the K×D codebook rides the expression as a driver-
+    // resident reference object (kilobytes at SEM_MAX_K) and the argmax
+    // loop runs in compiled code — constant code size in K where a
+    // literal least(struct...) tree blows the JVM 64 KB method limit, and
+    // ZERO row fan-out where a broadcast cross-join + argmax aggregate
+    // materializes N×K wide rows (the first spelling of this row —
+    // measured 21× superlinear at sf10, 41 s; the kernel spelling is
+    // ~2 s). Ties break to the smallest cid (strict > keeps the first
+    // maximum), the oracle's row_number (cos DESC, cid ASC) order.
     // The deliberate trade vs l_embed_neardup's LSH: dups straddling a
     // cell boundary are missed by design; in exchange every in-cell pair
     // is checked exactly.
@@ -1505,22 +1511,21 @@ object LlmOps {
         .select(col("vec_id"), col("embedding"),
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
       // deterministic stand-in codebook: the first K vectors (production
-      // swaps in an l_kmeans-trained one; the plan shape is K-invariant)
+      // swaps in an l_kmeans-trained one; the plan shape is K-invariant).
+      // The collect is ≤ SEM_MAX_K rows — the broadcast-codebook pattern,
+      // fail-loud on a mis-shaped corpus; cast pins the getters against
+      // an id-width regeneration.
       val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-          col("nrm").as("cnrm"))
+        .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      require(cents.length == k,
+        s"l_semdedup: expected seed vec_ids 0..${k - 1} in the corpus, found ${cents.length}")
       // persisted: both sides of the cell self-join + the verdict join
-      val asn = e.crossJoin(broadcast(cents))
-        .groupBy(col("vec_id"))
-        .agg(
-          max(struct(
-            (vecDot(col("embedding"), col("cemb")) /
-              (col("nrm") * col("cnrm"))).as("cos"),
-            (-col("cid")).as("ncid"))).as("best"),
-          first(col("embedding")).as("embedding"),
-          first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          (-col("best.ncid")).as("cell"))
+      val asn = e.withColumn("cell",
+          graft.functions.HashExprs.bestCell(col("embedding"), col("nrm"),
+            cents.map(_._2), cents.map(_._3), cents.map(_._1)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dup = asn.as("x")
         .join(asn.as("y"),

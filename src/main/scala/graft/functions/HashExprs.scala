@@ -55,6 +55,41 @@ object HashKernels {
     acc
   }
 
+  /** Argmax-cosine cell id against a driver-resident codebook: returns
+    * cids(k*) where k* maximizes dotFF(e, cb(k)) / (nrm · cnorms(k)).
+    * Each per-centroid dot uses the EXACT dotFF accumulation (ascending
+    * index, double acc), so every cosine is bit-identical to the oracle's
+    * per-pair list_reduce; the strict `>` keeps the FIRST maximum, i.e.
+    * the smallest cid when cids ascend — the oracle's row_number
+    * (cos DESC, cid ASC) tie. A loop over a reference-object codebook
+    * keeps generated-code size CONSTANT in K, where a literal
+    * least(struct...) tree blows the JVM's 64 KB method limit, and avoids
+    * the N×K row materialization a broadcast cross-join + argmax
+    * aggregate pays (measured 21× superlinear at sf10 before this). */
+  def bestCell(e: ArrayData, nrm: Double, cb: Array[Array[Float]],
+               cnorms: Array[Double], cids: Array[Long]): Long = {
+    val n = e.numElements()
+    var best = Double.NegativeInfinity
+    var bi = 0
+    var k = 0
+    while (k < cb.length) {
+      val c = cb(k)
+      if (c.length != n)
+        throw new IllegalArgumentException(
+          s"graft_best_cell: centroid ${cids(k)} has dim ${c.length}, embedding has $n")
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += e.getFloat(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      val cos = acc / (nrm * cnorms(k))
+      if (cos > best) { best = cos; bi = k }
+      k += 1
+    }
+    cids(bi)
+  }
+
   /** Σ double(v_i) * double((a*(i+1) + b) % P − (P−1)/2) — the integer-
     * coefficient LSH hyperplane dot (coefficients < 2^30 are exactly
     * representable, so the double product is well-defined). */
@@ -109,6 +144,35 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotFF($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codebook argmax-cosine assignment (see HashKernels.bestCell): left =
+  * embedding ARRAY<FLOAT>, right = its precomputed norm DOUBLE; the
+  * codebook rides the expression as driver-resident reference objects
+  * (kilobytes at SEM_MAX_K), so generated code is one static call whose
+  * size is constant in K. */
+case class CodebookBestCell(left: Expression, right: Expression,
+    codebook: Array[Array[Float]], cnorms: Array[Double], cids: Array[Long])
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (ARRAY<FLOAT>, DOUBLE), got $l / $r")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_best_cell"
+  override protected def nullSafeEval(e: Any, nrm: Any): Any =
+    HashKernels.bestCell(e.asInstanceOf[ArrayData], nrm.asInstanceOf[Double],
+      codebook, cnorms, cids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("graftCodebook", codebook, "float[][]")
+    val cn = ctx.addReferenceObj("graftCnorms", cnorms, "double[]")
+    val ci = ctx.addReferenceObj("graftCids", cids, "long[]")
+    defineCodeGen(ctx, ev,
+      (e, n) => s"graft.functions.HashKernels.bestCell($e, $n, $cb, $cn, $ci)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CodebookBestCell =
     copy(left = newLeft, right = newRight)
 }
 
@@ -295,6 +359,9 @@ object HashExprs {
     GraftSqlBridge.column(FloatVecDot(expr(a), expr(b)))
   def planeDot(v: Column, a: Long, b: Long): Column =
     GraftSqlBridge.column(PlaneDot(expr(v), a, b))
+  def bestCell(emb: Column, nrm: Column, cb: Array[Array[Float]],
+               cnorms: Array[Double], cids: Array[Long]): Column =
+    GraftSqlBridge.column(CodebookBestCell(expr(emb), expr(nrm), cb, cnorms, cids))
   def bloomMightContain(sketch: Column, key: Column): Column =
     GraftSqlBridge.column(BloomMightContainLong(expr(sketch), expr(key)))
   def textQuality(c: Column): Column =

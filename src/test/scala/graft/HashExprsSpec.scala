@@ -130,6 +130,38 @@ class HashExprsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("foldable"), err.getMessage)
   }
 
+  test("CodebookBestCell == the max(struct(cos, -cid)) derivation, and stays codegen'd") {
+    val dim = 16
+    val cb = samples(Gen.listOfN(dim,
+      Gen.choose(-1000000, 1000000).map(_ / 1000.0f)), 32).map(_.toArray).toArray
+    val cids = cb.indices.map(_.toLong * 3 + 5).toArray // non-contiguous ids
+    val cnorms = cb.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+    val vecs = samples(Gen.listOfN(dim,
+      Gen.choose(-1000000, 1000000).map(_ / 1000.0f)), 300).map(_.toArray)
+    val base = vecs.toDF("v").select(col("v"),
+      HashExprs.vecDot(col("v"), col("v")).as("sq"))
+      .select(col("v"), sqrt(col("sq")).as("nrm"))
+    val fast = base.select(
+      HashExprs.bestCell(col("v"), col("nrm"), cb, cnorms, cids).as("cell"))
+    // slow path: explicit per-centroid cosine columns + greatest-struct
+    val slow = base.select(org.apache.spark.sql.functions.greatest(cb.indices.map { k =>
+      struct((HashExprs.vecDot(col("v"), lit(cb(k))) / (col("nrm") * lit(cnorms(k)))).as("cos"),
+        lit(-cids(k)).as("ncid"))
+    }: _*).getField("ncid").as("ncell"))
+    val both = fast.withColumn("rid", monotonically_increasing_id())
+      .join(slow.withColumn("rid", monotonically_increasing_id()), "rid")
+    assert(both.filter(col("cell") =!= -col("ncell")).count() === 0L)
+    // the local relation above constant-folds (which exercises the
+    // interpreted nullSafeEval path); a repartition forces a real
+    // Project for the codegen assertion
+    val shuffled = base.repartition(2).select(
+      HashExprs.bestCell(col("v"), col("nrm"), cb, cnorms, cids).as("cell"))
+    shuffled.collect() // finalize the AQE plan so codegen stars materialize
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(plan.contains(") Project") && plan.contains("*("),
+      s"CodebookBestCell fell out of codegen:\n$plan")
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // codegen'd spans print with the "*(stageId)" prefix; an interpreted
     // fallback would print a bare "Project"
