@@ -930,41 +930,62 @@ object LlmOps {
     // Language-ID, the n-gram-profile classifier (Cavnar & Trenkle 1994
     // shape): per-language character-trigram profiles trained
     // SELF-SUPERVISED from the labeled corpus in one aggregate pass, then
-    // every document scored against every profile and argmax'd. Scale
-    // shape: the gram stream never shuffles raw — docGrams is a map-side-
-    // combined (doc, gram) histogram; the profile/weight frames are
-    // (langs × trigram-vocab)-sized and JOIN on the gram key (the alphabet
-    // bounds the vocab, so a deployment could broadcast them — the shuffle
-    // join is the no-assumptions spelling). Weights are integer fixed-
-    // point (LANGID_SCALE) so the scored sum is reduce-order-independent —
-    // float log-prob sums are NOT reproducible across engines or runs.
+    // every document scored against every profile and argmax'd. Features
+    // are HASHED trigrams (poly-31 window hashes via the CharNGramHashArray
+    // kernel — one long[] per doc, the hashing-trick/DSIR discipline):
+    // the substr spelling allocated ~|text| 3-char strings per doc per
+    // pass and dominated the row at sf10. Scale shape: the raw gram
+    // stream NEVER shuffles — the profile aggregate map-side-combines the
+    // exploded rows down to (langs × vocab) per task (the alphabet bounds
+    // the vocab at |Σ|³, so the profile is a PERSISTED kilobyte-scale
+    // frame and the per-gram weight MAP is a broadcast); scoring is one
+    // broadcast map probe per gram occurrence with every language's sum
+    // computed as a COLUMN of a single (doc_id)-keyed aggregate — zero
+    // row fan-out, no window. (Spellings measured at sf10: doc-keyed gram
+    // histogram shuffle 51 s; per-(gram,lang) weight-row broadcast join
+    // with ×langs fan-out + uncached profile replays 196 s; this one
+    // 8.4 s, scan-bound.) The argmax ties break to the smallest language
+    // exactly like the oracle's row_number (score DESC, plang ASC): langs
+    // are sorted and greatest(struct(score, -idx)) prefers the smaller
+    // index. Weights are integer fixed-point (LANGID_SCALE) so the scored
+    // sum is reduce-order-independent — float log-prob sums are NOT
+    // reproducible across engines or runs.
     "l_langid" -> ((s, d) => {
       val base = docs(s, d)
         .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
         .filter(length(col("t")) >= 3)
+      // recomputed per consumer (profile + scoring): the kernel is
+      // scan-speed compute; persisting ~300×|docs| skinny rows would
+      // spill for no shuffle saved
       val grams = base.select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), length(col("t")) - 2),
-          i => col("t").substr(i, lit(3)))).as("g"))
-      // persisted: feeds both the profile training aggregate and the
-      // scoring join; without it the corpus is re-scanned + re-exploded
-      val docGrams = grams
-        .groupBy(col("doc_id"), col("lang"), col("g"))
-        .agg(count(lit(1)).as("occ"))
+        explode(graft.functions.Generators.charNGramHashArray(col("t"), 3)).as("g"))
+      val prof = grams.groupBy(col("lang"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val prof = docGrams.groupBy(col("lang"), col("g"))
-        .agg(sum(col("occ")).as("cnt"))
-      val weights = prof
-        .join(prof.groupBy(col("lang")).agg(sum(col("cnt")).as("tot")), Seq("lang"))
-        .selectExpr("lang AS plang", "g",
+      // the language list is a model constant: tiny fail-loud collect,
+      // sorted so the argmax tie order is deterministic
+      val langs = prof.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted
+      require(langs.nonEmpty && langs.length <= 64,
+        s"l_langid: implausible language-set size ${langs.length}")
+      val tot = prof.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+      val wtsByG = prof.join(broadcast(tot), Seq("lang"))
+        .selectExpr("g", "lang",
           s"CAST(cnt * $LANGID_SCALE div tot AS BIGINT) AS wt")
-      val scored = docGrams.join(weights, Seq("g"))
-        .groupBy(col("doc_id"), col("lang"), col("plang"))
-        .agg(sum(col("occ") * col("wt")).as("score"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("plang"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"), col("plang").as("pred_lang"),
-          col("score"))
+        .groupBy(col("g"))
+        .agg(map_from_entries(collect_list(struct(col("lang"), col("wt")))).as("wm"))
+      val scoreCols = langs.zipWithIndex.map { case (l, i) =>
+        sum(coalesce(element_at(col("wm"), lit(l)), lit(0L))).as(s"s_$i") }
+      val scored = grams.join(broadcast(wtsByG), Seq("g"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(scoreCols.head, scoreCols.tail: _*)
+      val best =
+        if (langs.length == 1) struct(col("s_0").as("score"), lit(0).as("nidx"))
+        else greatest(langs.indices.map(i =>
+          struct(col(s"s_$i").as("score"), lit(-i).as("nidx"))): _*)
+      scored.select(col("doc_id"), col("lang"),
+          element_at(typedLit(langs.toSeq), -best.getField("nidx") + 1).as("pred_lang"),
+          best.getField("score").as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2071,15 +2092,18 @@ object LlmOps {
          |FROM st ORDER BY doc_id""".stripMargin
     },
 
-    // self-trained char-trigram profiles; integer fixed-point weights so
-    // the scored sum is reduce-order-independent (see the query comment)
+    // self-trained HASHED char-trigram profiles (poly-31 window hash =
+    // sqlPoly of the 3-char slice, the engine kernel's exact arithmetic);
+    // integer fixed-point weights so the scored sum is
+    // reduce-order-independent (see the query comment)
     "l_langid" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, lower(text) AS t FROM documents
          |  WHERE length(lower(text)) >= 3
          |), g AS (
          |  SELECT doc_id, lang,
-         |         unnest([t[i:i+2] for i in range(1, len(t) - 1)]) AS g
+         |         unnest([${sqlPoly("t[i:i+2]")}
+         |                 for i in range(1, len(t) - 1)]) AS g
          |  FROM base
          |), dg AS (
          |  SELECT doc_id, lang, g, count(*) AS occ FROM g GROUP BY 1, 2, 3

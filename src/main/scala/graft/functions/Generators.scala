@@ -49,6 +49,59 @@ object NGramKernels {
       new GenericArrayData(out)
     }
   }
+
+  /** Poly-31-mod-P hash of every n-CODE-POINT window of `s` — the hashed
+    * character-n-gram feature stream (hashing-trick features, the DSIR
+    * precedent) as ONE long[] per document: no per-gram string
+    * allocation, the cost that made the substr spelling of l_langid
+    * 2–4× slower at sf10. Each window hash is the polyHash fold over the
+    * window's code points, i.e. EXACTLY sqlPoly(t[i:i+n-1]) in the DuckDB
+    * oracle (DuckDB slices strings and `ascii()` returns code points, and
+    * polyHash iterates codePointAt the same way). */
+  def charNGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    // code-point array (BMP + astral safe), usually == char array for
+    // this corpus but the contract is code points, matching DuckDB
+    val cps = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0; var si = 0
+    while (si < str.length) {
+      val cp = str.codePointAt(si)
+      cps(ci) = cp; ci += 1; si += Character.charCount(cp)
+    }
+    val m = cps.length - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val P = HashKernels.P
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var j = 0
+        while (j < n) { acc = (acc * 31 + cps(i + j)) % P; j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Scalar hashed char-n-gram expression: ARRAY<BIGINT> of the poly-hashes
+  * of every n-code-point window, codegen'd to one static kernel call.
+  * Pair with the built-in `explode`. */
+case class CharNGramHashArray(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_ngram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    NGramKernels.charNGramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernels.charNGramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNGramHashArray =
+    copy(child = newChild)
 }
 
 /** Scalar n-gram expression: ARRAY<STRING> of word n-grams, codegen'd to a
@@ -108,4 +161,7 @@ object Generators {
 
   def wordNGramArray(c: Column, n: Int): Column =
     GraftSqlBridge.column(WordNGramArray(GraftSqlBridge.expression(c), n))
+
+  def charNGramHashArray(c: Column, n: Int): Column =
+    GraftSqlBridge.column(CharNGramHashArray(GraftSqlBridge.expression(c), n))
 }

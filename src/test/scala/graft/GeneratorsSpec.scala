@@ -33,6 +33,17 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(df.filter(not(col("fast") <=> col("slow"))).count() === 0L)
   }
 
+  test("CharNGramHashArray == polyHash of the substr windows (incl. unicode)") {
+    val strs = samples(wordGen, 300) :+ "" :+ "ab" :+ "abc" :+ "ñçü日本語テスト" :+ " a b "
+    val df = strs.toDF("s").select(
+      Generators.charNGramHashArray(col("s"), 3).as("fast"),
+      when(length(col("s")) >= 3,
+        transform(sequence(lit(1), length(col("s")) - 2),
+          i => graft.functions.HashExprs.polyHash(col("s").substr(i, lit(3)))))
+        .otherwise(array().cast("array<bigint>")).as("slow"))
+    assert(df.filter(not(col("fast") <=> col("slow"))).count() === 0L)
+  }
+
   test("UDTF graft_shingles (LATERAL VIEW) == explode(WordNGramArray)") {
     org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
     val docs = Tables.documents(spark, TestSpark.sfDir).limit(100).cache()
