@@ -326,8 +326,7 @@ object LlmOps {
   private def shingleSetsOf(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"),
-        explode(graft.functions.Generators.wordNGramArray(lower(col("text")), 3)).as("sh"))
-      .select(col("doc_id"), polyHash(col("sh")).as("h"))
+        explode(graft.functions.Generators.wordNGramHashArray(lower(col("text")), 3)).as("h"))
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -391,9 +390,8 @@ object LlmOps {
     * expressions). Identical math to the batch minhashBands, usable on a
     * streaming frame (no groupBy, no state store). */
   private[graft] def signatureFrame(df: DataFrame): DataFrame = {
-    val hsCol = array_distinct(transform(
-      graft.functions.Generators.wordNGramArray(lower(col("text")), 3),
-      sh => polyHash(sh)))
+    val hsCol = array_distinct(
+      graft.functions.Generators.wordNGramHashArray(lower(col("text")), 3))
     val minsCol = array((0 until K).map(i =>
       array_min(transform(col("hs"), h => (lit(A(i)) * h + lit(B(i))) % P))): _*)
     def bucket(j: Int): Column =
@@ -838,15 +836,13 @@ object LlmOps {
     // set exists independently of what the pipeline admitted)
     val corpus = docs(s, d)
     def gram8(c: Column): Column =
-      graft.functions.Generators.wordNGramArray(lower(c), 8)
+      graft.functions.Generators.wordNGramHashArray(lower(c), 8)
     val bench = corpus
       .filter(pmod(col("doc_id"), lit(100)) === 0)
-      .select(explode(slice(gram8(corpus("text")), 1, 5)).as("g"))
-      .select(polyHash(col("g")).as("h"))
+      .select(explode(slice(gram8(corpus("text")), 1, 5)).as("h"))
       .distinct()
     val contaminated = sv4
-      .select(col("doc_id"), explode(gram8(col("text"))).as("g"))
-      .select(col("doc_id"), polyHash(col("g")).as("h"))
+      .select(col("doc_id"), explode(gram8(col("text"))).as("h"))
       .join(broadcast(bench), "h")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_overlap"))
@@ -1054,9 +1050,7 @@ object LlmOps {
     "l_winnow" -> ((s, d) => {
       val fp = docs(s, d)
         .select(col("doc_id"),
-          transform(
-            graft.functions.Generators.wordNGramArray(lower(col("text")), 3),
-            g => polyHash(g)).as("hs"))
+          graft.functions.Generators.wordNGramHashArray(lower(col("text")), 3).as("hs"))
         .filter(size(col("hs")) >= WIN_W)
         .select(col("doc_id"),
           explode(array_distinct(
@@ -1769,16 +1763,14 @@ object LlmOps {
     // ever shuffle, into the per-doc overlap count.
     "l_decontaminate" -> ((s, d) => {
       def gram8(df: DataFrame): Column =
-        graft.functions.Generators.wordNGramArray(lower(df("text")), 8)
+        graft.functions.Generators.wordNGramHashArray(lower(df("text")), 8)
       val corpus = docs(s, d)
       val benchGrams = corpus
         .filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(explode(slice(gram8(corpus), 1, 5)).as("g"))
-        .select(polyHash(col("g")).as("h"))
+        .select(explode(slice(gram8(corpus), 1, 5)).as("h"))
         .distinct()
       corpus
-        .select(col("doc_id"), explode(gram8(corpus)).as("g"))
-        .select(col("doc_id"), polyHash(col("g")).as("h"))
+        .select(col("doc_id"), explode(gram8(corpus)).as("h"))
         .join(broadcast(benchGrams), "h")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("h")).as("n_overlap"))
@@ -1884,9 +1876,8 @@ object LlmOps {
     // engines.
     "l_dup_ngrams" -> ((s, d) => {
       val grams = docs(s, d).select(col("doc_id"),
-          explode(array_distinct(transform(
-            graft.functions.Generators.wordNGramArray(lower(col("text")), 5),
-            g => polyHash(g)))).as("h"))
+          explode(array_distinct(
+            graft.functions.Generators.wordNGramHashArray(lower(col("text")), 5))).as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // only duplicated grams matter downstream: filtering df >= 2 BEFORE
       // the score-back join shrinks its right side from the whole
@@ -1921,8 +1912,8 @@ object LlmOps {
       val feats = docs(s, d)
         .select(col("doc_id"), col("lang"),
           array_distinct(transform(
-            graft.functions.Generators.wordNGramArray(lower(col("text")), 2),
-            g => polyHash(g) % DSIR_BUCKETS)).as("fb"))
+            graft.functions.Generators.wordNGramHashArray(lower(col("text")), 2),
+            h => h % DSIR_BUCKETS)).as("fb"))
         .filter(size(col("fb")) >= 1)
         // persisted because BOTH subtrees (model build + scoring) read it —
         // scan+hash the corpus once, not twice; spillable, and query-scoped

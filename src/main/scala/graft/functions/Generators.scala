@@ -50,6 +50,42 @@ object NGramKernels {
     }
   }
 
+  /** Poly-31-mod-P hash of every n-WORD window of `s` — bit-identical to
+    * polyHash(wordNGrams(s, n)(i)) (the fold walks each word's code
+    * points with a single space folded between words) WITHOUT
+    * materializing the joined shingle strings: the shingle family
+    * (minhash/simhash/jaccard/winnow/dup-ngrams) only ever consumes the
+    * hash, and the per-window string build + re-walk was pure allocation
+    * cost on the hot path. */
+  def wordNGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val m = words.length - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val P = HashKernels.P
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        var acc = 0L
+        var j = 0
+        while (j < n) {
+          if (j > 0) acc = (acc * 31 + ' '.toInt) % P
+          val w = words(i + j)
+          var si = 0
+          while (si < w.length) {
+            val cp = w.codePointAt(si)
+            acc = (acc * 31 + cp) % P
+            si += Character.charCount(cp)
+          }
+          j += 1
+        }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Poly-31-mod-P hash of every n-CODE-POINT window of `s` — the hashed
     * character-n-gram feature stream (hashing-trick features, the DSIR
     * precedent) as ONE long[] per document: no per-gram string
@@ -84,6 +120,24 @@ object NGramKernels {
       new GenericArrayData(out)
     }
   }
+}
+
+/** Scalar fused shingle-hash expression: ARRAY<BIGINT> of
+  * polyHash(word n-gram) for every window — see
+  * NGramKernels.wordNGramHashes. Pair with the built-in `explode`. */
+case class WordNGramHashArray(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    NGramKernels.wordNGramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernels.wordNGramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNGramHashArray =
+    copy(child = newChild)
 }
 
 /** Scalar hashed char-n-gram expression: ARRAY<BIGINT> of the poly-hashes
@@ -164,4 +218,7 @@ object Generators {
 
   def charNGramHashArray(c: Column, n: Int): Column =
     GraftSqlBridge.column(CharNGramHashArray(GraftSqlBridge.expression(c), n))
+
+  def wordNGramHashArray(c: Column, n: Int): Column =
+    GraftSqlBridge.column(WordNGramHashArray(GraftSqlBridge.expression(c), n))
 }

@@ -33,6 +33,15 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(df.filter(not(col("fast") <=> col("slow"))).count() === 0L)
   }
 
+  test("WordNGramHashArray == polyHash of every WordNGramArray shingle") {
+    val strs = samples(wordGen, 300) :+ "" :+ "a b" :+ "a b c" :+ " a  b " :+ "x y z w"
+    val df = strs.toDF("s").select(
+      Generators.wordNGramHashArray(col("s"), 3).as("fast"),
+      transform(Generators.wordNGramArray(col("s"), 3),
+        g => graft.functions.HashExprs.polyHash(g)).as("slow"))
+    assert(df.filter(not(col("fast") <=> col("slow"))).count() === 0L)
+  }
+
   test("CharNGramHashArray == polyHash of the substr windows (incl. unicode)") {
     val strs = samples(wordGen, 300) :+ "" :+ "ab" :+ "abc" :+ "ñçü日本語テスト" :+ " a b "
     val df = strs.toDF("s").select(
