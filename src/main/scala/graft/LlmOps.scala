@@ -105,6 +105,20 @@ object LlmOps {
   private val WIN_W = 4
   /** Containment floor: |A∩B| / min(|A|,|B|) — asymmetric by design. */
   private val WIN_CONTAIN = 0.5
+  /** Winnow-LSH banding (l_winnow_lsh): the SAME K=32 minhash signature
+    * as the Jaccard family, banded 16×2 instead of 8×4. Candidate catch
+    * probability is 1-(1-J^2)^16 vs 1-(1-J^4)^8 — rows of 2 move the
+    * S-curve left, because containment pairs live at LOWER Jaccard than
+    * symmetric near-dups: containment c at sizes m ≤ M has
+    * J = c·m/(m+M-c·m), e.g. c=0.5 equal sizes → J=1/3 → catch ≈ 85%
+    * (8×4 would catch 9%). The trade is more accidental band collisions
+    * (per-band prob J² not J⁴), bounded by the exact verify. Recall
+    * FALLS with size asymmetry (c=1.0 at 10× size ratio → J≈0.1 →
+    * catch ≈ 15%) — that residual is the documented gap between this
+    * production-shaped row and the quadratic l_winnow ground truth, and
+    * StressCheckSpec MEASURES it (winnow_lsh_recall) instead of
+    * asserting it away. */
+  private val WBANDS = 16
 
   /** Language-ID fixed-point weight scale: profile weights are
     * w(lang, g) = cnt·SCALE div total — INTEGER, because the per-doc score
@@ -348,8 +362,12 @@ object LlmOps {
 
   /** [[minhashBands]] over an arbitrary persisted (doc_id, hs) set frame
     * — shared by the corpus-wide row and the pipeline's near-dup stage
-    * (which indexes the quality+scrub SURVIVORS, not the raw corpus). */
-  private def minhashBandsOf(sets: DataFrame): DataFrame = {
+    * (which indexes the quality+scrub SURVIVORS, not the raw corpus).
+    * `bands` must divide K; the default 8×4 is the symmetric-Jaccard
+    * operating point, l_winnow_lsh passes WBANDS=16 (rows of 2) to move
+    * the catch curve toward the lower-Jaccard containment regime. */
+  private def minhashBandsOf(sets: DataFrame, bands: Int = BANDS): DataFrame = {
+    val r = K / bands
     val mh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy(col("doc_id")).agg(
       min((lit(A(0)) * col("h") + lit(B(0))) % P).as("mh0"),
@@ -357,11 +375,11 @@ object LlmOps {
         min((lit(A(i)) * col("h") + lit(B(i))) % P).as(s"mh$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def bucket(j: Int): Column =
-      (R * j + 1 until R * (j + 1)).foldLeft(col(s"mh${R * j}")) {
+      (r * j + 1 until r * (j + 1)).foldLeft(col(s"mh${r * j}")) {
         (acc, i) => (acc * M + col(s"mh$i")) % P
       }
     mh.select(col("doc_id"), explode(array(
-      (0 until BANDS).map(j =>
+      (0 until bands).map(j =>
         struct(lit(j).as("band"), bucket(j).as("bucket"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bucket"))
   }
@@ -560,6 +578,37 @@ object LlmOps {
         (col("n_shared").cast("double") /
           (col("n1") + col("n2") - col("n_shared")).cast("double")).as("jaccard"))
 
+  /** (doc_id, f) DISTINCT winnowed-fingerprint rows under the hot-df cap
+    * — the ONE spelling of the MOSS fingerprint frame, shared by the
+    * exact containment row (l_winnow) and its LSH-accelerated variant
+    * (l_winnow_lsh), which makes the LSH row BY CONSTRUCTION a
+    * candidates-only subset of the exact row (same kept set, same
+    * containment arithmetic; only candidate generation differs).
+    * Winnowing itself is zero-shuffle: each WIN_W-window minimum is
+    * computed inside one Project (transform/slice/array_min over the
+    * positional gram array); the only exchanges below are the hot-df
+    * aggregate and its broadcast anti-join. PERSISTED: the exact row
+    * reads it three ways (sizes + both self-join sides), the LSH row
+    * two (signature build + verify sets). */
+  private def winnowKept(s: SparkSession, d: String): DataFrame = {
+    val fp = docs(s, d)
+      .select(col("doc_id"),
+        graft.functions.Generators.wordNGramHashArray(lower(col("text")), 3).as("hs"))
+      .filter(size(col("hs")) >= WIN_W)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(col("hs")) - WIN_W),
+            i => array_min(slice(col("hs"), i + 1, lit(WIN_W)))))).as("f"))
+    // metadata-only count (parquet row-group stats); the cap literal
+    // lands in the plan, the hot set is a broadcast anti-join side
+    val nDocs = Tables.documents(s, d).count()
+    val cap = math.max(NGRAM_DF_CAP_MIN.toDouble, NGRAM_DF_CAP_FRAC * nDocs)
+    val hot = fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("f"))
+    fp.join(broadcast(hot), Seq("f"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** The C4/Gopher-style quality rule cascade as a pure Project over
     * (doc_id, lang, text, n_chars) rows — STATELESS, so the same plan
     * serves the batch row (`l_quality_filter`) and the ingest-time
@@ -638,18 +687,22 @@ object LlmOps {
 
   /** [[nearDupPairs]] over an arbitrary persisted (doc_id, hs) set frame
     * — the pipeline's near-dup stage runs this on the admitted survivors. */
-  private def nearDupPairsOf(sets: DataFrame): DataFrame = {
-    val bands = minhashBandsOf(sets)
-    val cand = bands.as("x")
+  private def nearDupPairsOf(sets: DataFrame): DataFrame =
+    jaccardOf(bandCandidates(minhashBandsOf(sets)), sets)
+      .filter(col("jaccard") >= NEAR_DUP_J)
+
+  /** Distinct (d1 < d2) candidate pairs out of a (doc_id, band, bucket)
+    * LSH index — the bucket-local self-join every banded family shares
+    * (minhash-Jaccard, winnow-containment). Work is Σ_buckets occ²/2,
+    * bounded by band width, never corpus². */
+  private def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    jaccardOf(cand, sets)
-      .filter(col("jaccard") >= NEAR_DUP_J)
-  }
 
   /** Connected components over an undirected pair frame (d1 < d2 long
     * ids) → (v, label) with label = the component's min id. Min-label
@@ -1048,23 +1101,9 @@ object LlmOps {
     // itself already subsamples the shingle set to ~2/(WIN_W+1) density,
     // so this row joins ~40% of the volume l_ngram_jaccard does.
     "l_winnow" -> ((s, d) => {
-      val fp = docs(s, d)
-        .select(col("doc_id"),
-          graft.functions.Generators.wordNGramHashArray(lower(col("text")), 3).as("hs"))
-        .filter(size(col("hs")) >= WIN_W)
-        .select(col("doc_id"),
-          explode(array_distinct(
-            transform(sequence(lit(0), size(col("hs")) - WIN_W),
-              i => array_min(slice(col("hs"), i + 1, lit(WIN_W)))))).as("f"))
-      val nDocs = Tables.documents(s, d).count()
-      val cap = math.max(NGRAM_DF_CAP_MIN.toDouble, NGRAM_DF_CAP_FRAC * nDocs)
-      val hot = fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select(col("f"))
-      // persisted: three consumers (sizes + both self-join sides) — the
-      // same ReuseExchange-can't-dedupe-alias-branches disease as the
-      // shingle frames above
-      val kept = fp.join(broadcast(hot), Seq("f"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the capped fingerprint frame is the shared spelling — see
+      // winnowKept; three consumers here (sizes + both self-join sides)
+      val kept = winnowKept(s, d)
       val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = kept.select(col("doc_id").as("d1"), col("f"))
         .join(kept.select(col("doc_id").as("d2"), col("f").as("f2")),
@@ -1079,6 +1118,47 @@ object LlmOps {
           col("d2") === col("zd2"))
         .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
           contain.as("containment"))
+        .filter(col("containment") >= WIN_CONTAIN)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // Winnowing containment, the SCALE path (r11 verdict task 1): the
+    // exact row above scores containment by a full inverted-index
+    // self-join — quadratic per fingerprint (df² pairs), bounded only by
+    // the df cap and the suite's heaviest non-exempt row at sf10
+    // (22.8 s). This row gives the production containment operator the
+    // candidates-first discipline the near-dup family already has:
+    // minhash-band the winnowed fingerprint SET (the same K=32 affine
+    // mins, banded 16×2 — see WBANDS for why rows of 2 fit the
+    // lower-Jaccard containment regime), generate candidates
+    // bucket-locally, verify containment EXACTLY on candidates via one
+    // array_intersect over the kept sets. Work: linear signature build +
+    // Σ_buckets occ² candidate join + |candidates| set intersections —
+    // no df² term anywhere (PlanAuditSpec pins the absence of the
+    // fingerprint self-join). Shares winnowKept with the exact row, so
+    // the result is BY CONSTRUCTION a subset of l_winnow with identical
+    // containment values on every surfaced pair; the recall gap is the
+    // banding catch probability, measured (not argued) by StressCheck's
+    // winnow_lsh_recall invariant.
+    "l_winnow_lsh" -> ((s, d) => {
+      val kept = winnowKept(s, d)
+      // set-shaped twin of the kept rows: signature build explodes it,
+      // the verify intersects it — persisted for the two consumers
+      val sets = kept.groupBy(col("doc_id")).agg(collect_set(col("f")).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = bandCandidates(minhashBandsOf(sets, bands = WBANDS))
+      cand
+        .join(sets.select(col("doc_id").as("sd1"), col("hs").as("hs1")),
+          col("d1") === col("sd1"))
+        .join(sets.select(col("doc_id").as("sd2"), col("hs").as("hs2")),
+          col("d2") === col("sd2"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("n_shared"),
+          size(col("hs1")).cast("long").as("n1"),
+          size(col("hs2")).cast("long").as("n2"))
+        .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
+          (col("n_shared").cast("double") /
+            least(col("n1"), col("n2")).cast("double")).as("containment"))
         .filter(col("containment") >= WIN_CONTAIN)
         .orderBy(col("d1"), col("d2"))
     }),
@@ -2045,6 +2125,69 @@ object LlmOps {
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** Winnowed-fingerprint chain (toks → positional gram hashes → window
+    * minima → hot-df cap) ending at `kept(doc_id, f)` + `sizes` — ONE SQL
+    * spelling shared by the exact containment row and the LSH variant,
+    * mirroring the shared [[winnowKept]] engine frame. */
+  private val winnowKeptCte: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |         [${sqlPoly("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+       |          for i in range(1, len(w) - 1)] AS hs
+       |  FROM toks WHERE len(w) >= 3
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, f FROM (
+       |    SELECT doc_id,
+       |           unnest([list_min(hs[i:i+${WIN_W - 1}])
+       |                   for i in range(1, len(hs) - ${WIN_W} + 2)]) AS f
+       |    FROM g WHERE len(hs) >= ${WIN_W})
+       |), hot AS (
+       |  SELECT f FROM fp GROUP BY f
+       |  HAVING count(*) > greatest($NGRAM_DF_CAP_MIN,
+       |                             $NGRAM_DF_CAP_FRAC * (SELECT count(*) FROM documents))
+       |), kept AS (
+       |  SELECT * FROM fp WHERE f NOT IN (SELECT f FROM hot)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Minhash banding over the winnowed `kept` frame: the same K=32 affine
+    * mins as [[minhashCandCte]] but over fingerprints and banded 16×2 —
+    * the oracle twin of minhashBandsOf(sets, WBANDS). */
+  private val winnowCandCte: String = {
+    val r = K / WBANDS
+    val mins = (0 until K)
+      .map(i => s"min((${A(i)} * f + ${B(i)}) % $P) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until WBANDS).map { j =>
+      val bucket = (r * j + 1 until r * (j + 1))
+        .foldLeft(s"mh${r * j}")((acc, i) => s"(($acc) * $M + mh$i) % $P")
+      s"SELECT doc_id, $j AS band, $bucket AS bucket FROM wmh"
+    }.mkString("\n  UNION ALL ")
+    s"""wmh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM kept GROUP BY doc_id),
+       |wbands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM wbands x JOIN wbands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** Containment verify + threshold over an `inter(d1, d2, n_shared)`
+    * CTE — the shared tail of both winnow oracles. */
+  private val winnowContainSelect: String =
+    s"""SELECT i.d1, i.d2, i.n_shared, s1.n AS n1, s2.n AS n2,
+       |       CAST(i.n_shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) AS containment
+       |FROM inter i
+       |JOIN sizes s1 ON s1.doc_id = i.d1
+       |JOIN sizes s2 ON s2.doc_id = i.d2
+       |WHERE CAST(i.n_shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) >= $WIN_CONTAIN
+       |ORDER BY d1, d2""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "l_exact_dedup" ->
       s"""WITH all_docs AS (
@@ -2156,38 +2299,24 @@ object LlmOps {
     // WIN_W-window's minimum, distinct per doc, then containment pairs
     // under the same hot-df cap as the Jaccard row
     "l_winnow" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-         |), g AS (
-         |  SELECT doc_id,
-         |         [${sqlPoly("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
-         |          for i in range(1, len(w) - 1)] AS hs
-         |  FROM toks WHERE len(w) >= 3
-         |), fp AS (
-         |  SELECT DISTINCT doc_id, f FROM (
-         |    SELECT doc_id,
-         |           unnest([list_min(hs[i:i+${WIN_W - 1}])
-         |                   for i in range(1, len(hs) - ${WIN_W} + 2)]) AS f
-         |    FROM g WHERE len(hs) >= ${WIN_W})
-         |), hot AS (
-         |  SELECT f FROM fp GROUP BY f
-         |  HAVING count(*) > greatest($NGRAM_DF_CAP_MIN,
-         |                             $NGRAM_DF_CAP_FRAC * (SELECT count(*) FROM documents))
-         |), kept AS (
-         |  SELECT * FROM fp WHERE f NOT IN (SELECT f FROM hot)
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
-         |), inter AS (
+      s"""$winnowKeptCte, inter AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
          |  FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
-         |SELECT i.d1, i.d2, i.n_shared, s1.n AS n1, s2.n AS n2,
-         |       CAST(i.n_shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) AS containment
-         |FROM inter i
-         |JOIN sizes s1 ON s1.doc_id = i.d1
-         |JOIN sizes s2 ON s2.doc_id = i.d2
-         |WHERE CAST(i.n_shared AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) >= $WIN_CONTAIN
-         |ORDER BY d1, d2""".stripMargin,
+         |$winnowContainSelect""".stripMargin,
+
+    // winnow-LSH: the same kept fingerprints, candidates from 16×2
+    // minhash bands, containment verified only on candidates — replays
+    // the engine's banding exactly, so the (bounded-recall) result is
+    // hash-exact and provably ⊆ l_winnow
+    "l_winnow_lsh" ->
+      s"""$winnowKeptCte, $winnowCandCte, inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS n_shared
+         |  FROM cand c
+         |  JOIN kept a ON a.doc_id = c.d1
+         |  JOIN kept b ON b.doc_id = c.d2 AND b.f = a.f
+         |  GROUP BY c.d1, c.d2)
+         |$winnowContainSelect""".stripMargin,
 
     "l_simhash" -> {
       // same integer thresholds as simBandBits: smallest bb in [MIN, MAX)

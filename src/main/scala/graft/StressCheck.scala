@@ -141,8 +141,12 @@ object StressCheck {
       val bad = sd.join(partnerCells, col("dup_of") === col("p"), "left")
         .filter(
           (col("keep") === 1L && col("dup_of") =!= -1L) ||
+          // null-safe compare: a dup_of naming a NONEXISTENT vec_id leaves
+          // pcell NULL after the left join, and plain =!= would evaluate
+          // NULL → row not counted — the dangling-reference case this
+          // check exists to catch (r11 ADVICE)
           (col("keep") === 0L && (col("dup_of") < 0L ||
-            col("dup_of") >= col("vec_id") || col("pcell") =!= col("cell"))))
+            col("dup_of") >= col("vec_id") || !(col("pcell") <=> col("cell")))))
         .count()
       val anchorBad = sd.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
         .join(sd, Seq("vec_id")).filter(col("keep") =!= 1L).count()
@@ -155,6 +159,29 @@ object StressCheck {
       sd.unpersist()
       (rows == n && bad == 0L && anchorBad == 0L && lshKept == 0L,
         s"rows=$rows n=$n bad=$bad anchor_bad=$anchorBad same_cell_lsh_kept=$lshKept")
+    }
+
+    check("winnow_lsh_recall") {
+      // l_winnow_lsh shares winnowKept with l_winnow, so it must be an
+      // exact SUBSET (same containment values on every surfaced pair) —
+      // asserted; and the subset's size IS the banding recall, which the
+      // row's docstring predicts (~85% at equal sizes near the threshold,
+      // falling with size asymmetry) — measured and reported, not
+      // asserted: recall is the documented LSH trade, drift in the
+      // subset property is a bug.
+      val exact = SparkEntry.queries("l_winnow")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = SparkEntry.queries("l_winnow_lsh")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nExact = exact.count()
+      val nLsh = lsh.count()
+      // subset + value equality: anti-join on ALL columns
+      val notSubset = lsh.join(exact,
+        Seq("d1", "d2", "n_shared", "n1", "n2", "containment"), "left_anti").count()
+      exact.unpersist(); lsh.unpersist()
+      val recall = if (nExact == 0) 1.0 else nLsh.toDouble / nExact
+      (notSubset == 0L && (nExact == 0L || nLsh > 0L),
+        f"lsh_pairs=$nLsh exact_pairs=$nExact recall=$recall%.3f not_subset=$notSubset")
     }
 
     check("pagerank_fixed_point_at_4") {

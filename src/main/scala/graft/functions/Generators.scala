@@ -91,9 +91,12 @@ object NGramKernels {
     * precedent) as ONE long[] per document: no per-gram string
     * allocation, the cost that made the substr spelling of l_langid
     * 2–4× slower at sf10. Each window hash is the polyHash fold over the
-    * window's code points, i.e. EXACTLY sqlPoly(t[i:i+n-1]) in the DuckDB
-    * oracle (DuckDB slices strings and `ascii()` returns code points, and
-    * polyHash iterates codePointAt the same way). */
+    * window's code points, i.e. sqlPoly(t[i:i+n-1]) in the DuckDB oracle
+    * for text whose graphemes are single code points (this corpus):
+    * windows here step over CODE POINTS while DuckDB's bracket slicing
+    * steps over grapheme clusters, so combining sequences (e + U+0301)
+    * would yield different gram streams — the same "ASCII or BMP,
+    * no combining marks" caveat polyHash documents (r11 ADVICE). */
   def charNGramHashes(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
     // code-point array (BMP + astral safe), usually == char array for

@@ -105,6 +105,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected exchanges in a per-row regex pipeline:\n${plan.take(1500)}")
   }
 
+  test("l_winnow_lsh: candidates come from band buckets, never a fingerprint self-join") {
+    // the exact row (l_winnow) joins kept-fingerprint rows on f — df² work
+    // per fingerprint, its documented ground-truth cost. The LSH row must
+    // NOT: its only self-join is on (band, bucket). A join keyed on the
+    // fingerprint column would silently reintroduce the quadratic term
+    // while every oracle row stayed green.
+    val plan = planOf("l_winnow_lsh")
+    val joinKeys = "(SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*\\]".r
+      .findAllIn(plan).toList
+    val onFingerprint = joinKeys.filter(k => k.contains("[f#") || k.contains("f2#"))
+    assert(onFingerprint.isEmpty,
+      s"l_winnow_lsh joins on the raw fingerprint column: $onFingerprint")
+    assert(plan.contains("band") && plan.contains("bucket"),
+      s"expected a band/bucket candidate join:\n${plan.take(1500)}")
+  }
+
   test("no oracle query plans a CartesianProduct at sf0.001") {
     // BroadcastNestedLoopJoin is NOT banned here: the suite's crossJoins
     // broadcast 1-row stats frames, which legitimately plan as BNLJ — the
