@@ -154,6 +154,29 @@ object LlmOps {
     k
   }
 
+  /** Deterministic stand-in codebook for the semdedup rows: the first K
+    * corpus vectors, sorted by id (production swaps in an l_kmeans-
+    * trained one; the plan shape is K-invariant). The collect is
+    * ≤ SEM_MAX_K rows — the broadcast-codebook pattern, fail-loud on a
+    * mis-shaped corpus; the cast pins the getters against an id-width
+    * regeneration. ZERO-NORM GUARD (r11 ADVICE): a zero-norm centroid
+    * yields NaN cosines, which DuckDB's ORDER BY cos DESC sorts FIRST
+    * while the kernels' strict `>` never selects — the engine and oracle
+    * would silently disagree on every assignment, so degenerate seeds
+    * fail loudly here instead. */
+  private def semCodebook(e: DataFrame, k: Int): Array[(Long, Array[Float], Double)] = {
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.length == k,
+      s"semdedup: expected seed vec_ids 0..${k - 1} in the corpus, found ${cents.length}")
+    require(cents.forall(_._3 > 0),
+      "semdedup: zero-norm seed centroid would make every oracle assignment NaN-first")
+    cents
+  }
+
   /** Embedding near-dup sign-LSH: L tables × `bits` hyperplanes per table.
     * `bits` ADAPTS to corpus size: the candidate-join work per table is
     * Σ_buckets occ²/2 ≈ N²/2^(bits+1), so fixed bits is quadratic in N —
@@ -1605,18 +1628,7 @@ object LlmOps {
       val e = spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-      // deterministic stand-in codebook: the first K vectors (production
-      // swaps in an l_kmeans-trained one; the plan shape is K-invariant).
-      // The collect is ≤ SEM_MAX_K rows — the broadcast-codebook pattern,
-      // fail-loud on a mis-shaped corpus; cast pins the getters against
-      // an id-width regeneration.
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-      require(cents.length == k,
-        s"l_semdedup: expected seed vec_ids 0..${k - 1} in the corpus, found ${cents.length}")
+      val cents = semCodebook(e, k)
       // persisted: both sides of the cell self-join + the verdict join
       val asn = e.withColumn("cell",
           graft.functions.HashExprs.bestCell(col("embedding"), col("nrm"),
@@ -1632,6 +1644,54 @@ object LlmOps {
         .groupBy(col("vec_id")).agg(min(col("partner")).as("earliest"))
       asn.join(dup, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"),
+          coalesce(col("earliest"), lit(-1L)).as("dup_of"),
+          when(col("earliest").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Semantic dedup with CROSS-CELL recall (r11 verdict task 2): the
+    // single-probe row above misses dups straddling a cell boundary by
+    // design. This variant probes each vector's TOP-2 cells (the
+    // l_ivf_ann nprobe discipline): assignment is ONE pass of the
+    // CodebookTopCells kernel (same N×K dots as single-probe — best and
+    // second fall out of the same loop), each vector enters the pair
+    // join under both probed cells, and a vector is dropped iff an
+    // earlier vector shares ANY probed cell within SEM_COS. Extra pair
+    // work is bounded: occupancy per cell doubles (2N memberships in K
+    // cells), so the in-cell join pays ≤ 4× the single-probe row —
+    // constant, not a new asymptotic term — and semK's occupancy dial
+    // absorbs it at scale exactly as before. Dups missed now need BOTH
+    // endpoints' top-2 cells disjoint — second-order at cell borders;
+    // StressCheck's semdedup_p2_recall measures what probe-2 recovered
+    // against the LSH pair set instead of arguing it.
+    "l_semdedup_p2" -> ((s, d) => {
+      import graft.functions.HashExprs.{topCells, vecDot}
+      val k = semK(Tables.embeddings(s, d).count())
+      val e = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      val cents = semCodebook(e, k)
+      val asn = e.withColumn("cs", topCells(col("embedding"), col("nrm"),
+          cents.map(_._2), cents.map(_._3), cents.map(_._1)))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          element_at(col("cs"), 1).as("cell"),
+          element_at(col("cs"), 2).as("cell2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both join sides re-explode from the cached assignment (narrow op)
+      val probed = asn.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(col("cell"), col("cell2"))).as("pcell"))
+      // a pair sharing BOTH probed cells surfaces twice with the same
+      // (vec_id, partner); the min aggregate absorbs the duplicate
+      val dup = probed.as("x")
+        .join(probed.as("y"),
+          col("x.pcell") === col("y.pcell") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("partner"),
+          (vecDot(col("x.embedding"), col("y.embedding")) /
+            (col("x.nrm") * col("y.nrm"))).as("cos"))
+        .filter(col("cos") >= SEM_COS)
+        .groupBy(col("vec_id")).agg(min(col("partner")).as("earliest"))
+      asn.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("cell2"),
           coalesce(col("earliest"), lit(-1L)).as("dup_of"),
           when(col("earliest").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
         .orderBy(col("vec_id"))
@@ -2627,6 +2687,54 @@ object LlmOps {
          |       CAST(coalesce(d.earliest, -1) AS BIGINT) AS dup_of,
          |       CAST(CASE WHEN d.earliest IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM asn a LEFT JOIN dup d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
+
+    // probe-2 variant: rn <= 2 keeps each vector's top-2 cells (the
+    // engine's one-pass top2Cells kernel); the pair join runs over the
+    // probed rows (2 per vector), so a dup only needs ONE shared probed
+    // cell — the same row_number tie order (cos DESC, cid ASC) pins
+    // rank 2 exactly like rank 1
+    "l_semdedup_p2" -> {
+      def sqlDot(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |      (a, b) -> a + b)""".stripMargin
+      val kExpr = Iterator.iterate(SEM_MIN_K)(_ << 1).takeWhile(_ < SEM_MAX_K)
+        .foldRight(s"$SEM_MAX_K") { (kk, els) =>
+          s"CASE WHEN cnt <= ${SEM_TARGET_OCC * kk} THEN $kk ELSE $els END"
+        }
+      s"""WITH p AS (
+         |  SELECT $kExpr AS k
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)
+         |), e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM $EMB_SRC embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM e, p WHERE vec_id < p.k
+         |), asn AS (
+         |  SELECT vec_id, embedding, nrm, cell, rn FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn <= 2
+         |), cells AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN cell END) AS cell,
+         |    max(CASE WHEN rn = 2 THEN cell END) AS cell2
+         |  FROM asn GROUP BY vec_id
+         |), dup AS (
+         |  SELECT y.vec_id, min(x.vec_id) AS earliest
+         |  FROM asn x JOIN asn y ON y.cell = x.cell AND x.vec_id < y.vec_id
+         |  WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $SEM_COS
+         |  GROUP BY y.vec_id
+         |)
+         |SELECT a.vec_id, a.cell, a.cell2,
+         |       CAST(coalesce(d.earliest, -1) AS BIGINT) AS dup_of,
+         |       CAST(CASE WHEN d.earliest IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM cells a LEFT JOIN dup d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin
     },
 

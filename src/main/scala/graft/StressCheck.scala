@@ -161,6 +161,44 @@ object StressCheck {
         s"rows=$rows n=$n bad=$bad anchor_bad=$anchorBad same_cell_lsh_kept=$lshKept")
     }
 
+    check("semdedup_p2_recall") {
+      // probe-2's pair graph is a SUPERSET of single-probe's (sharing the
+      // primary cell implies sharing a probed cell), so every p1 drop
+      // must stay dropped with a dup_of no larger — asserted. The recall
+      // question the r11 verdict posed — how many near-dups does the
+      // single-probe design miss at cell boundaries, and how many does
+      // probe-2 recover — is MEASURED against the hash-verified
+      // l_embed_neardup pair set (same 0.45 cosine bar): cross_cell
+      // counts LSH pairs whose endpoints land in different primary
+      // cells (invisible to p1 by construction), recovered counts those
+      // whose later member probe-2 drops.
+      val p1 = SparkEntry.queries("l_semdedup")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p2 = SparkEntry.queries("l_semdedup_p2")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val regress = p1.filter(col("keep") === 0L)
+        .select(col("vec_id"), col("dup_of").as("d1"))
+        .join(p2.select(col("vec_id"), col("dup_of").as("d2"),
+          col("keep").as("k2")), Seq("vec_id"))
+        .filter(col("k2") =!= 0L || col("d2") > col("d1")).count()
+      val drops1 = p1.filter(col("keep") === 0L).count()
+      val drops2 = p2.filter(col("keep") === 0L).count()
+      val lshPairs = SparkEntry.queries("l_embed_neardup")(spark, d)
+        .select(col("v1"), col("v2"))
+        .join(p1.select(col("vec_id").as("v1"), col("cell").as("c1")), Seq("v1"))
+        .join(p1.select(col("vec_id").as("v2"), col("cell").as("c2")), Seq("v2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val crossCell = lshPairs.filter(col("c1") =!= col("c2"))
+        .join(p2.select(col("vec_id").as("v2"), col("keep").as("k2")), Seq("v2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCross = crossCell.count()
+      val nRecovered = crossCell.filter(col("k2") === 0L).count()
+      p1.unpersist(); p2.unpersist(); lshPairs.unpersist(); crossCell.unpersist()
+      (regress == 0L && drops2 >= drops1,
+        s"p1_drops=$drops1 p2_drops=$drops2 regress=$regress " +
+          s"lsh_cross_cell=$nCross p2_recovered=$nRecovered")
+    }
+
     check("winnow_lsh_recall") {
       // l_winnow_lsh shares winnowKept with l_winnow, so it must be an
       // exact SUBSET (same containment values on every surfaced pair) —

@@ -90,6 +90,48 @@ object HashKernels {
     cids(bi)
   }
 
+  /** Top-2 argmax-cosine cell ids against a driver-resident codebook —
+    * the nprobe=2 twin of [[bestCell]] (l_semdedup_p2): ONE pass over the
+    * K centroids yields [best, second] (a second bestCell call would
+    * re-pay the N×K dot products). Strict `>` at BOTH ranks replicates
+    * row_number (cos DESC, cid ASC) rn = 1, 2 when centroids are iterated
+    * in ascending-cid order: the FIRST maximum takes rank 1, the next
+    * tied (or next-best) value takes rank 2. FAIL-LOUD on degenerate
+    * input (all-NaN cosines from a zero-norm embedding never satisfy
+    * either `>` and would otherwise return a fabricated cell; DuckDB
+    * sorts NaN first, so silence here would be silent divergence). */
+  def top2Cells(e: ArrayData, nrm: Double, cb: Array[Array[Float]],
+                cnorms: Array[Double], cids: Array[Long]): ArrayData = {
+    val n = e.numElements()
+    var best = Double.NegativeInfinity
+    var second = Double.NegativeInfinity
+    var bi = -1
+    var si = -1
+    var k = 0
+    while (k < cb.length) {
+      val c = cb(k)
+      if (c.length != n)
+        throw new IllegalArgumentException(
+          s"graft_top2_cells: centroid ${cids(k)} has dim ${c.length}, embedding has $n")
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += e.getFloat(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      val cos = acc / (nrm * cnorms(k))
+      if (cos > best) { second = best; si = bi; best = cos; bi = k }
+      else if (cos > second) { second = cos; si = k }
+      k += 1
+    }
+    if (bi < 0 || si < 0)
+      throw new IllegalArgumentException(
+        "graft_top2_cells: fewer than 2 comparable cosines " +
+          "(zero-norm embedding, or codebook smaller than 2)")
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(cids(bi), cids(si)))
+  }
+
   /** Σ double(v_i) * double((a*(i+1) + b) % P − (P−1)/2) — the integer-
     * coefficient LSH hyperplane dot (coefficients < 2^30 are exactly
     * representable, so the double product is well-defined). */
@@ -173,6 +215,33 @@ case class CodebookBestCell(left: Expression, right: Expression,
       (e, n) => s"graft.functions.HashKernels.bestCell($e, $n, $cb, $cn, $ci)")
   }
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CodebookBestCell =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Top-2 codebook assignment (see HashKernels.top2Cells): same shape as
+  * [[CodebookBestCell]] but returns ARRAY<LONG> [best, second] from one
+  * pass — the nprobe=2 cell probing of l_semdedup_p2. */
+case class CodebookTopCells(left: Expression, right: Expression,
+    codebook: Array[Array[Float]], cnorms: Array[Double], cids: Array[Long])
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (ARRAY<FLOAT>, DOUBLE), got $l / $r")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_top2_cells"
+  override protected def nullSafeEval(e: Any, nrm: Any): Any =
+    HashKernels.top2Cells(e.asInstanceOf[ArrayData], nrm.asInstanceOf[Double],
+      codebook, cnorms, cids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("graftCodebook", codebook, "float[][]")
+    val cn = ctx.addReferenceObj("graftCnorms", cnorms, "double[]")
+    val ci = ctx.addReferenceObj("graftCids", cids, "long[]")
+    defineCodeGen(ctx, ev,
+      (e, n) => s"graft.functions.HashKernels.top2Cells($e, $n, $cb, $cn, $ci)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CodebookTopCells =
     copy(left = newLeft, right = newRight)
 }
 
@@ -362,6 +431,9 @@ object HashExprs {
   def bestCell(emb: Column, nrm: Column, cb: Array[Array[Float]],
                cnorms: Array[Double], cids: Array[Long]): Column =
     GraftSqlBridge.column(CodebookBestCell(expr(emb), expr(nrm), cb, cnorms, cids))
+  def topCells(emb: Column, nrm: Column, cb: Array[Array[Float]],
+               cnorms: Array[Double], cids: Array[Long]): Column =
+    GraftSqlBridge.column(CodebookTopCells(expr(emb), expr(nrm), cb, cnorms, cids))
   def bloomMightContain(sketch: Column, key: Column): Column =
     GraftSqlBridge.column(BloomMightContainLong(expr(sketch), expr(key)))
   def textQuality(c: Column): Column =

@@ -162,6 +162,47 @@ class HashExprsSpec extends AnyFunSuite {
       s"CodebookBestCell fell out of codegen:\n$plan")
   }
 
+  test("CodebookTopCells rank 1 == bestCell; rank 2 == the row_number rn=2 derivation") {
+    val dim = 8
+    val cb = samples(Gen.listOfN(dim,
+      Gen.choose(-1000000, 1000000).map(_ / 1000.0f)), 16).map(_.toArray).toArray
+    val cids = cb.indices.map(_.toLong * 2 + 1).toArray
+    val cnorms = cb.map(c => math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+    val vecs = samples(Gen.listOfN(dim,
+      Gen.choose(-1000000, 1000000).map(_ / 1000.0f)), 200).map(_.toArray)
+    val base = vecs.toDF("v").select(col("v"),
+      HashExprs.vecDot(col("v"), col("v")).as("sq"))
+      .select(col("v"), sqrt(col("sq")).as("nrm"))
+    val fast = base.select(
+      HashExprs.topCells(col("v"), col("nrm"), cb, cnorms, cids).as("cs"),
+      HashExprs.bestCell(col("v"), col("nrm"), cb, cnorms, cids).as("best"))
+    // rank 1 must equal the single-probe kernel on every row
+    assert(fast.filter(element_at(col("cs"), 1) =!= col("best")).count() === 0L)
+    // rank 2 via the greatest-struct derivation EXCLUDING the rank-1 cell:
+    // among the remaining centroids, the max (cos DESC, cid ASC) is rn=2
+    val withBest = base.select(col("v"), col("nrm"),
+      HashExprs.topCells(col("v"), col("nrm"), cb, cnorms, cids).as("cs"))
+    val slow2 = withBest.select(col("cs"),
+      org.apache.spark.sql.functions.greatest(cb.indices.map { k =>
+        struct(
+          when(lit(cids(k)) === element_at(col("cs"), 1), lit(Double.NegativeInfinity))
+            .otherwise(HashExprs.vecDot(col("v"), lit(cb(k))) / (col("nrm") * lit(cnorms(k))))
+            .as("cos"),
+          lit(-cids(k)).as("ncid"))
+      }: _*).getField("ncid").as("ncell2"))
+    assert(slow2.filter(element_at(col("cs"), 2) =!= -col("ncell2")).count() === 0L)
+    // ties at the top: identical centroids must land rank 1 = smaller cid,
+    // rank 2 = the duplicate's cid (row_number order)
+    val dupCb = Array(cb(0), cb(0), cb(1))
+    val dupIds = Array(10L, 20L, 30L)
+    val dupNorms = Array(cnorms(0), cnorms(0), cnorms(1))
+    val tied = base.limit(50).select(
+      HashExprs.topCells(col("v"), col("nrm"), dupCb, dupNorms, dupIds).as("cs"))
+    assert(tied.filter(element_at(col("cs"), 1) === 10L &&
+      element_at(col("cs"), 2) =!= 20L).count() === 0L,
+      "tied top cosine must yield [smaller cid, duplicate cid]")
+  }
+
   test("expressions stay inside whole-stage codegen") {
     // codegen'd spans print with the "*(stageId)" prefix; an interpreted
     // fallback would print a bare "Project"
