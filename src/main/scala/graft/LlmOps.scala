@@ -614,14 +614,17 @@ object LlmOps {
     * reads it three ways (sizes + both self-join sides), the LSH row
     * two (signature build + verify sets). */
   private def winnowKept(s: SparkSession, d: String): DataFrame = {
+    // gram hashing + window-min selection are TWO compiled kernel calls
+    // (WordNGramHashArray → WinnowMinArray); the interpreted
+    // transform/slice/array_min/array_distinct HOF chain they replace
+    // walked an expression tree per window element and was ~3/4 of both
+    // winnow rows' sf10 cost. Docs with < WIN_W grams yield an empty
+    // array, which explode drops — the old size-guard, absorbed.
     val fp = docs(s, d)
       .select(col("doc_id"),
-        graft.functions.Generators.wordNGramHashArray(lower(col("text")), 3).as("hs"))
-      .filter(size(col("hs")) >= WIN_W)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(0), size(col("hs")) - WIN_W),
-            i => array_min(slice(col("hs"), i + 1, lit(WIN_W)))))).as("f"))
+        explode(graft.functions.Generators.winnowMinArray(
+          graft.functions.Generators.wordNGramHashArray(lower(col("text")), 3),
+          WIN_W)).as("f"))
     // metadata-only count (parquet row-group stats); the cap literal
     // lands in the plan, the hot set is a broadcast anti-join side
     val nDocs = Tables.documents(s, d).count()
@@ -630,6 +633,83 @@ object LlmOps {
       .filter(col("df") > cap).select(col("f"))
     fp.join(broadcast(hot), Seq("f"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** (doc_id, lang, g) hashed char-trigram stream of a corpus frame —
+    * recomputed per consumer (training + scoring): the kernel is
+    * scan-speed compute; persisting ~300×|docs| skinny rows would spill
+    * for no shuffle saved. */
+  private def langidGrams(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.Generators.charNGramHashArray(col("t"), 3)).as("g"))
+
+  /** Language-ID model TRAINER: per-language trigram profiles from the
+    * labeled corpus in one map-side-combined aggregate pass (the raw
+    * gram stream never shuffles — combined rows are ≤ langs × vocab per
+    * task, and the alphabet bounds vocab at |Σ|³), folded into one
+    * (g → map<lang, weight>) row per gram and WRITTEN to `modelDir` as
+    * parquet. The model is kilobyte-to-megabyte scale at ANY corpus size
+    * — the save/load seam production language-ID needs (train once,
+    * score every ingest batch; r11 verdict task 3), and the pattern the
+    * kmeans/semdedup codebooks share. Weights are integer fixed-point
+    * (LANGID_SCALE): scored sums shuffle, and float addition is not
+    * reduce-order-stable across engines. */
+  private[graft] def trainLangidModel(corpus: DataFrame, modelDir: String): Unit = {
+    val prof = langidGrams(corpus).groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = prof.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+    prof.join(broadcast(tot), Seq("lang"))
+      .selectExpr("g", "lang",
+        s"CAST(cnt * $LANGID_SCALE div tot AS BIGINT) AS wt")
+      .groupBy(col("g"))
+      .agg(map_from_entries(collect_list(struct(col("lang"), col("wt")))).as("wm"))
+      .write.mode("overwrite").parquet(modelDir)
+    prof.unpersist()
+  }
+
+  /** The model's language list — a model CONSTANT (tiny fail-loud
+    * collect), sorted so the argmax tie order is deterministic. */
+  private[graft] def langidLangs(model: DataFrame): Seq[String] = {
+    val langs = model.select(explode(map_keys(col("wm"))).as("lang"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(langs.nonEmpty && langs.length <= 64,
+      s"langid: implausible language-set size ${langs.length}")
+    langs
+  }
+
+  /** Language-ID SCORER over any (doc_id, lang, text) frame against a
+    * loaded model: one broadcast map probe per gram occurrence, every
+    * language's sum a COLUMN of a single (doc_id)-keyed aggregate —
+    * zero row fan-out, no window; STATELESS per document, so it binds
+    * to the batch scan or to each streaming micro-batch unchanged
+    * (s_langid shares l_langid's oracle through this one spelling).
+    * sum(element_at) ignores null contributions, so a language's score
+    * is NULL iff the doc shares NO gram with its profile — and the
+    * argmax ranks those below every real score (coalesce to Long.Min):
+    * the oracle's row_number only ranks sharing languages, and a
+    * coalesce-to-0 spelling could pick a lexicographically smaller
+    * zero-share language when every shared weight floors to 0 (r11
+    * ADVICE — argmax domain alignment). Ties break to the smallest
+    * language exactly like the oracle (score DESC, plang ASC). */
+  private[graft] def scoreLangid(corpus: DataFrame, model: DataFrame,
+                                 langs: Seq[String]): DataFrame = {
+    val scoreCols = langs.zipWithIndex.map { case (l, i) =>
+      sum(element_at(col("wm"), lit(l))).as(s"s_$i") }
+    val scored = langidGrams(corpus).join(broadcast(model), Seq("g"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val best =
+      if (langs.length == 1)
+        struct(col("s_0").as("score"), lit(0).as("nidx"))
+      else greatest(langs.indices.map(i =>
+        struct(coalesce(col(s"s_$i"), lit(Long.MinValue)).as("score"),
+          lit(-i).as("nidx"))): _*)
+    scored.select(col("doc_id"), col("lang"),
+      element_at(typedLit(langs), -best.getField("nidx") + 1).as("pred_lang"),
+      best.getField("score").as("score"))
   }
 
   /** The C4/Gopher-style quality rule cascade as a pure Project over
@@ -1023,41 +1103,17 @@ object LlmOps {
     // sum is reduce-order-independent — float log-prob sums are NOT
     // reproducible across engines or runs.
     "l_langid" -> ((s, d) => {
-      val base = docs(s, d)
-        .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-        .filter(length(col("t")) >= 3)
-      // recomputed per consumer (profile + scoring): the kernel is
-      // scan-speed compute; persisting ~300×|docs| skinny rows would
-      // spill for no shuffle saved
-      val grams = base.select(col("doc_id"), col("lang"),
-        explode(graft.functions.Generators.charNGramHashArray(col("t"), 3)).as("g"))
-      val prof = grams.groupBy(col("lang"), col("g"))
-        .agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the language list is a model constant: tiny fail-loud collect,
-      // sorted so the argmax tie order is deterministic
-      val langs = prof.select(col("lang")).distinct()
-        .collect().map(_.getString(0)).sorted
-      require(langs.nonEmpty && langs.length <= 64,
-        s"l_langid: implausible language-set size ${langs.length}")
-      val tot = prof.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
-      val wtsByG = prof.join(broadcast(tot), Seq("lang"))
-        .selectExpr("g", "lang",
-          s"CAST(cnt * $LANGID_SCALE div tot AS BIGINT) AS wt")
-        .groupBy(col("g"))
-        .agg(map_from_entries(collect_list(struct(col("lang"), col("wt")))).as("wm"))
-      val scoreCols = langs.zipWithIndex.map { case (l, i) =>
-        sum(coalesce(element_at(col("wm"), lit(l)), lit(0L))).as(s"s_$i") }
-      val scored = grams.join(broadcast(wtsByG), Seq("g"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(scoreCols.head, scoreCols.tail: _*)
-      val best =
-        if (langs.length == 1) struct(col("s_0").as("score"), lit(0).as("nidx"))
-        else greatest(langs.indices.map(i =>
-          struct(col(s"s_$i").as("score"), lit(-i).as("nidx"))): _*)
-      scored.select(col("doc_id"), col("lang"),
-          element_at(typedLit(langs.toSeq), -best.getField("nidx") + 1).as("pred_lang"),
-          best.getField("score").as("score"))
+      // TRAIN → persist the model → LOAD → SCORE (r11 verdict task 3):
+      // production language-ID trains once and scores every ingest
+      // batch, so the row exercises the whole seam — the kilobyte-scale
+      // (g, weight-map) parquet model round-trips through disk and the
+      // scorer binds to it exactly as the streaming twin (s_langid) does
+      // per micro-batch, sharing this row's oracle.
+      val modelDir = java.nio.file.Files
+        .createTempDirectory("graft-langid-model-").toString
+      trainLangidModel(docs(s, d), modelDir)
+      val model = s.read.parquet(modelDir)
+      scoreLangid(docs(s, d), model, langidLangs(model))
         .orderBy(col("doc_id"))
     }),
 

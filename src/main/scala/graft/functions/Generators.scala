@@ -125,6 +125,38 @@ object NGramKernels {
   }
 }
 
+object WinnowKernels {
+  /** DISTINCT w-window minima of a positional hash array — the winnowing
+    * fingerprint selection as ONE compiled pass (see [[WinnowMinArray]]).
+    * O(n·w) with w a small constant; first-occurrence order matches
+    * array_distinct over the window-min sequence. Empty output when the
+    * array holds fewer than w hashes (the HOF spelling's
+    * size >= w guard, absorbed). */
+  def winnowMins(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    val m = n - w + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new Array[Any](m)
+      var cnt = 0
+      var i = 0
+      while (i < m) {
+        var mn = hs.getLong(i)
+        var j = i + 1
+        while (j < i + w) {
+          val v = hs.getLong(j)
+          if (v < mn) mn = v
+          j += 1
+        }
+        if (seen.add(mn)) { out(cnt) = mn; cnt += 1 }
+        i += 1
+      }
+      new GenericArrayData(if (cnt == m) out else out.take(cnt))
+    }
+  }
+}
+
 /** Scalar fused shingle-hash expression: ARRAY<BIGINT> of
   * polyHash(word n-gram) for every window — see
   * NGramKernels.wordNGramHashes. Pair with the built-in `explode`. */
@@ -140,6 +172,32 @@ case class WordNGramHashArray(child: Expression, n: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernels.wordNGramHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): WordNGramHashArray =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken) over a
+  * positional hash array: ARRAY<BIGINT> of the DISTINCT w-window minima,
+  * codegen'd to one static kernel call — composes with
+  * [[WordNGramHashArray]] so the whole fingerprint build is two compiled
+  * calls per document. Replaces the interpreted
+  * transform(sequence)/slice/array_min/array_distinct HOF chain, whose
+  * per-window interpreted tree walk dominated BOTH winnow rows at sf10
+  * (the build, shared via winnowKept, was ~3/4 of l_winnow_lsh's
+  * 20 s; the kernel runs it at scan speed). First-occurrence order,
+  * exactly array_distinct's. */
+case class WinnowMinArray(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_mins"
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowKernels.winnowMins(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowKernels.winnowMins($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinArray =
     copy(child = newChild)
 }
 
@@ -224,4 +282,7 @@ object Generators {
 
   def wordNGramHashArray(c: Column, n: Int): Column =
     GraftSqlBridge.column(WordNGramHashArray(GraftSqlBridge.expression(c), n))
+
+  def winnowMinArray(c: Column, w: Int): Column =
+    GraftSqlBridge.column(WinnowMinArray(GraftSqlBridge.expression(c), w))
 }

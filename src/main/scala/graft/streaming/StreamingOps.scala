@@ -155,6 +155,29 @@ object StreamingOps {
   private def readSink(s: SparkSession, out: String): DataFrame =
     s.read.option("recursiveFileLookup", "true").parquet(out)
 
+  /** [[drainToParquet]] with a BATCH transformation applied inside
+    * foreachBatch — for admission stages whose per-document result needs
+    * a batch-local aggregate the append-mode streaming planner rejects
+    * (langid scoring groups a document's exploded grams). Correct
+    * because the transform is PER-DOCUMENT and the file source delivers
+    * each document row in exactly one micro-batch under AvailableNow:
+    * batch composition cannot change any document's answer, so the
+    * drained union equals the one-shot batch result (proven by the
+    * shared oracle). Same idempotent per-batch directory + overwrite
+    * discipline as drainToParquet. */
+  private def drainMapped(stream: DataFrame, f: DataFrame => DataFrame): String = {
+    val out = tmp("graft-sink-")
+    stream.writeStream
+      .option("checkpointLocation", tmp("graft-ckpt-"))
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        f(batch).write.mode("overwrite").parquet(s"$out/b$batchId")
+      }
+      .start().awaitTermination()
+    out
+  }
+
   /** §2.5 streaming MERGE-dedup: two sources of the same feed (the
     * window-overlap redelivery of adapter.go:93-102) → watermark +
     * `dropDuplicatesWithinWatermark` (the key-only variant keyed on
@@ -520,6 +543,21 @@ object StreamingOps {
     // plan, proven by the shared l_pii_scrub oracle.
     "s_pii" -> ((s, d) =>
       drainedDocProjection(s, d, graft.LlmOps.piiProjection)),
+    // Streaming LANGUAGE-ID admission: the model is trained ONCE
+    // batch-side and persisted to parquet (the production shape — an
+    // offline trainer, an online scorer), then every micro-batch is
+    // scored against the loaded broadcast model. Scoring is stateless
+    // per document, so micro-batched scoring provably equals the batch
+    // l_langid row — the shared oracle is the proof.
+    "s_langid" -> ((s, d) => {
+      val modelDir = tmp("graft-langid-model-")
+      graft.LlmOps.trainLangidModel(graft.Tables.documents(s, d), modelDir)
+      val model = s.read.parquet(modelDir)
+      val langs = graft.LlmOps.langidLangs(model)
+      readSink(s, drainMapped(readDocumentsStream(s, d),
+        b => graft.LlmOps.scoreLangid(b, model, langs)))
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    }),
     // The PRODUCTION ingest loop end-to-end: the pipeline's stateless
     // head (quality cascade + PII scrub, LlmOps.pipelineHead) admits
     // documents per micro-batch into a parquet store, and the
@@ -562,6 +600,9 @@ object StreamingOps {
     "s_neardup" -> graft.LlmOps.oracles("l_minhash_lsh"),
     "s_quality" -> graft.LlmOps.oracles("l_quality_filter"),
     "s_pii" -> graft.LlmOps.oracles("l_pii_scrub"),
+    // stateless per-doc scoring against a persisted model: micro-batched
+    // scoring ≡ the batch row — the oracle IS the batch oracle
+    "s_langid" -> graft.LlmOps.oracles("l_langid"),
     // micro-batched admission + batch curation ≙ the one-shot batch
     // pipeline — the oracle IS the batch pipeline's oracle
     "s_pipeline" -> graft.LlmOps.oracles("l_pipeline"),

@@ -53,6 +53,20 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(df.filter(not(col("fast") <=> col("slow"))).count() === 0L)
   }
 
+  test("WinnowMinArray == transform/slice/array_min/array_distinct HOF spelling") {
+    val w = 4
+    // random positional hash arrays, including duplicates and short inputs
+    val arrGen = Gen.listOf(Gen.choose(0L, 50L))
+    val arrs = samples(arrGen, 300) ++ Seq(Nil, List(7L), List(3L, 3L, 3L, 3L, 3L))
+    val df = arrs.map(a => Tuple1(a)).toDF("hs").select(
+      graft.functions.Generators.winnowMinArray(col("hs"), w).as("fast"),
+      when(size(col("hs")) >= w,
+        array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+          i => array_min(slice(col("hs"), i + 1, lit(w))))))
+        .otherwise(array().cast("array<bigint>")).as("slow"))
+    assert(df.filter(not(col("fast") <=> col("slow"))).count() === 0L)
+  }
+
   test("UDTF graft_shingles (LATERAL VIEW) == explode(WordNGramArray)") {
     org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
     val docs = Tables.documents(spark, TestSpark.sfDir).limit(100).cache()
