@@ -42,7 +42,7 @@ object LlmOps {
     * unchanged) and the ENR_TABLES×ENR_MAX_BITS sign-LSH planes of
     * l_embed_neardup (the formula is index-stable, so widening the array
     * never perturbs existing hashes). */
-  private val NCONST = 64 // = max(K, ENR_TABLES * ENR_MAX_BITS); asserted below
+  private val NCONST = 256 // = max(K, ENR_MAX_TABLES * ENR_MAX_BITS); asserted below
   private val A: IndexedSeq[Long] = (0 until NCONST).map(i => (2654435761L * (i + 1)) % P)
   private val B: IndexedSeq[Long] = (0 until NCONST).map(i => (40503L * 65537L * (i + 1) + 97531L) % P)
 
@@ -213,23 +213,45 @@ object LlmOps {
   private val ENR_TABLES = 4
   private val ENR_MAX_BITS = 16
   private val ENR_TARGET_OCC = 500L
-  require(NCONST >= ENR_TABLES * ENR_MAX_BITS && NCONST >= K,
+  /** Table-count ceiling for the bits→tables coupling below (r11 verdict
+    * task 4 / r9 ADVICE): as enrBits grows with the corpus, per-table
+    * recall falls as p^bits, and a FIXED L lets quality decay silently —
+    * the oracle replays the same planes, so the 94/94 gate cannot see
+    * it. enrTablesFor raises L (linear cost) to hold recall ≥ 50% at
+    * cosine 0.9 — the near-exact-duplicate operating point this row
+    * exists for; holding it at the 0.45 verify floor would take L ≈ 700
+    * at saturated bits, which is sign-LSH telling you to use l_semdedup
+    * there instead. 16 tables suffice for bits = 16 (L: 4 at bits ≤ 11,
+    * 5–8 beyond — the HIGH-bits corpora are exactly the ones that can
+    * afford linear L). */
+  private val ENR_MAX_TABLES = 16
+  require(NCONST >= ENR_MAX_TABLES * ENR_MAX_BITS && NCONST >= K,
     s"plane/hash constant table too small: $NCONST")
   /** Overall sign-LSH recall 1-(1-p^bits)^L at cosine `c`. */
-  private def enrRecall(c: Double, bits: Int): Double = {
+  private[graft] def enrRecall(c: Double, bits: Int, tables: Int): Double = {
     val p = 1.0 - math.acos(c) / math.Pi
-    1.0 - math.pow(1.0 - math.pow(p, bits), ENR_TABLES)
+    1.0 - math.pow(1.0 - math.pow(p, bits), tables)
   }
-  /** One stderr line when the adaptive dial trades recall below ~50% at
-    * the verify threshold — the quality loss is invisible to the oracle
-    * (it replays the same planes), so it must at least be LOUD. */
-  private def enrRecallWarning(bits: Int, n: Long, thr: Double): Unit = {
-    val atThr = enrRecall(thr, bits)
+  /** The bits→tables coupling: smallest L in [ENR_TABLES, MAX] holding
+    * recall ≥ 0.5 at cosine 0.9. Driver-side float math ONLY — the value
+    * lands as a literal in BOTH the plan and the generated oracle SQL
+    * (one CASE arm per bits), so the engines can never disagree. */
+  private[graft] def enrTablesFor(bits: Int): Int = {
+    var l = ENR_TABLES
+    while (l < ENR_MAX_TABLES && enrRecall(0.9, bits, l) < 0.5) l += 1
+    l
+  }
+  /** One stderr line when even the table dial leaves recall below ~50%
+    * at the verify threshold — the quality loss is invisible to the
+    * oracle (it replays the same planes), so it must at least be LOUD. */
+  private def enrRecallWarning(bits: Int, tables: Int, n: Long, thr: Double): Unit = {
+    val atThr = enrRecall(thr, bits, tables)
     if (atThr < 0.5)
       System.err.println(
-        f"[graft] l_embed_neardup: bits=$bits (N=$n) with L=$ENR_TABLES tables — " +
+        f"[graft] l_embed_neardup: bits=$bits L=$tables (N=$n) — " +
         f"expected recall ${atThr * 100}%.1f%% at cosine $thr%.2f, " +
-        f"${enrRecall(0.9, bits) * 100}%.1f%% at 0.90; raise ENR_TABLES to hold recall")
+        f"${enrRecall(0.9, bits, tables) * 100}%.1f%% at 0.90; this dial holds " +
+        "recall at the near-exact point only — use l_semdedup for threshold recall")
   }
   private def enrBits(n: Long): Int = {
     var b = 2
@@ -1614,10 +1636,15 @@ object LlmOps {
     "l_embed_neardup" -> ((s, d) => {
       import graft.functions.HashExprs.{planeDot, vecDot}
       val thr = 0.45
-      // one cheap metadata-driven count(*) job sizes the dial
+      // one cheap metadata-driven count(*) job sizes BOTH dials: bits
+      // from N (bounds per-table join work), tables from bits (holds
+      // recall at the near-exact point as per-table recall decays) —
+      // the r9/r11 coupling: cost in L is linear, recall loss in bits
+      // is exponential, so L follows bits instead of decaying silently
       val n = Tables.embeddings(s, d).count()
       val bits = enrBits(n)
-      enrRecallWarning(bits, n, thr)
+      val tables = enrTablesFor(bits)
+      enrRecallWarning(bits, tables, n, thr)
       def bucket(emb: Column, t: Int): Column =
         (0 until bits).map { j =>
           val p = ENR_MAX_BITS * t + j
@@ -1638,7 +1665,7 @@ object LlmOps {
       // planeDot projection over the corpus from its own scan (alias
       // branches are not plan-identical, so ReuseExchange can't dedupe)
       val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array((0 until ENR_TABLES).map(t =>
+        explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"), bucket(col("embedding"), t).as("bkt"))): _*)).as("c"))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("c.tbl"), col("c.bkt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2674,20 +2701,31 @@ object LlmOps {
       val bitsExpr = (2 until ENR_MAX_BITS).foldRight(s"$ENR_MAX_BITS") {
         (b, els) => s"CASE WHEN cnt <= ${ENR_TARGET_OCC << b} THEN $b ELSE $els END"
       }
+      // bits → tables coupling replayed as LITERALS (enrTablesFor runs
+      // driver-side only; one CASE arm per achievable bits value, so the
+      // oracle derives the identical L from the same count(*))
+      val tablesExpr = (2 to ENR_MAX_BITS).foldRight(s"$ENR_TABLES") {
+        (b, els) => s"CASE WHEN bits = $b THEN ${enrTablesFor(b)} ELSE $els END"
+      }
       // NESTED case (not one `a AND b` conjunction): the outer `j <
       // p.bits` gate selects rows before the planeDot branch evaluates,
       // so DuckDB's lazy CASE skips the fold for every plane above the
       // achieved bits — measured 3× on this oracle at sf0.01 (r9 ADVICE:
-      // the conjunction spelling paid all ENR_MAX_BITS projections)
-      val cellSelects = (0 until ENR_TABLES).map { t =>
+      // the conjunction spelling paid all ENR_MAX_BITS projections).
+      // All ENR_MAX_TABLES branches are emitted (SQL shape can't depend
+      // on data); branches past the achieved L are killed by the WHERE
+      // before any planeDot evaluates.
+      val cellSelects = (0 until ENR_MAX_TABLES).map { t =>
         val bkt = (0 until ENR_MAX_BITS).map { j =>
           s"(CASE WHEN $j < p.bits THEN CASE WHEN ${planeDot(ENR_MAX_BITS * t + j)} > 0 THEN ${1 << j} ELSE 0 END ELSE 0 END)"
         }.mkString("\n     + ")
-        s"SELECT vec_id, embedding, nrm, $t AS tbl,\n       $bkt AS bkt FROM n, p"
+        s"SELECT vec_id, embedding, nrm, $t AS tbl,\n       $bkt AS bkt FROM n, p WHERE $t < p.tables"
       }.mkString("\n  UNION ALL ")
-      s"""WITH p AS (
+      s"""WITH p0 AS (
          |  SELECT $bitsExpr AS bits
          |  FROM (SELECT count(*) AS cnt FROM embeddings)
+         |), p AS (
+         |  SELECT bits, $tablesExpr AS tables FROM p0
          |), n AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm

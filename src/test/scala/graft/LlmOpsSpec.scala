@@ -497,4 +497,22 @@ class LlmOpsSpec extends AnyFunSuite {
     val again = run("l_langid").collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("embed-neardup: the bits→tables dial holds recall at cosine 0.9 and stays bounded") {
+    // the coupling the r9/r11 advice asked for: as bits grows, L follows.
+    // Pin the operating points so a silent constant change (or a recall
+    // target drift) shows up as a test diff, not a quality regression at
+    // the 100 TB tier no gate can see.
+    val dial = (2 to 16).map(b => b -> LlmOps.enrTablesFor(b))
+    // floor at small bits (test/gate SFs must keep the r9 result shape)
+    assert(dial.takeWhile(_._1 <= 11).forall(_._2 == 4), s"floor broken: $dial")
+    // monotone non-decreasing, bounded by the plane-constant table
+    assert(dial.sliding(2).forall(w => w.head._2 <= w.last._2))
+    assert(dial.last._2 <= 16)
+    // every chosen L actually achieves the target (or is the cap)
+    dial.foreach { case (b, l) =>
+      assert(LlmOps.enrRecall(0.9, b, l) >= 0.5 || l == 16,
+        s"bits=$b L=$l misses the 0.9-cosine recall target")
+    }
+  }
 }
