@@ -105,6 +105,65 @@ object Multimodal {
     else None
   }
 
+  /** REAL PNG header decode by direct byte parsing — no codec, no
+    * imageio: the 8-byte signature, then the MANDATORY first chunk must
+    * be IHDR (PNG spec §5.6), whose first two fields are width/height as
+    * big-endian uint32 at offsets 16/20. The length field of the IHDR
+    * chunk must be 13 (spec-fixed), which rejects byte soup that merely
+    * starts with the signature. */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 24) return None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((payload(i) & 0xff) != sig(i)) return None; i += 1 }
+    def i32be(o: Int): Int =
+      ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+    if (i32be(8) != 13) return None // IHDR data length is spec-fixed
+    if (payload(12) != 'I' || payload(13) != 'H' ||
+        payload(14) != 'D' || payload(15) != 'R') return None
+    val w = i32be(16); val h = i32be(20)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
+  /** REAL JPEG header decode by direct byte parsing — a marker walk from
+    * SOI to the first frame header (SOF0 baseline, SOF2 progressive, and
+    * the rest of the SOFn family except the non-frame C4/C8/CC markers),
+    * where height/width sit at payload offsets +5/+7 as big-endian
+    * uint16. Standalone markers (RST, TEM) have no length field; every
+    * other segment is skipped by its declared length; fill 0xFF bytes
+    * before a marker are legal padding. Returns None on desync,
+    * truncation, or SOS/EOI before any SOF — the caller decides what a
+    * non-decodable payload means. */
+  def decodeJpeg(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < 4 ||
+        (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 1 < payload.length) {
+      if ((payload(i) & 0xff) != 0xff) return None // marker desync
+      // skip fill bytes: any run of FFs collapses to one marker prefix
+      while (i + 1 < payload.length && (payload(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 1 >= payload.length) return None
+      val m = payload(i + 1) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // TEM / RSTn: standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
+      else {
+        if (i + 3 >= payload.length) return None
+        val len = ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+        if (len < 2) return None
+        val isSof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (i + 8 >= payload.length || len < 7) return None
+          val h = ((payload(i + 5) & 0xff) << 8) | (payload(i + 6) & 0xff)
+          val w = ((payload(i + 7) & 0xff) << 8) | (payload(i + 8) & 0xff)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** Deterministic FAKE for formats with no shipped codec (video frames,
     * compressed audio art, ...): dimensions derived from the content
     * checksum. Clearly labeled — real decode for these means linking a
@@ -140,12 +199,16 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** Image decode dispatch: our own byte parser for BMP (cheapest, and
-    * the adversarial-input guards live there), the JDK's imageio readers
-    * for PNG/JPEG/GIF, stub fallback only for genuinely codec-less
-    * formats. */
+  /** Image decode dispatch: our own byte parsers first — BMP, PNG (IHDR),
+    * JPEG (SOF marker walk) — each a few dozen header bytes with the
+    * adversarial-input guards in-line; the JDK's imageio readers cover
+    * whatever remains (GIF, exotic SPI formats); stub fallback only for
+    * genuinely codec-less formats. MultimodalSpec cross-checks the byte
+    * parsers against the imageio readers on real encoder output. */
   def decodeImage(payload: Array[Byte]): (Int, Int) =
     decodeBmp(payload)
+      .orElse(decodePng(payload))
+      .orElse(decodeJpeg(payload))
       .orElse(decodeImageDims(payload))
       .getOrElse(decodeImageStub(payload))
 

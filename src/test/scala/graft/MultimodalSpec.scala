@@ -175,6 +175,42 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeImageStub("not an image".getBytes("UTF-8")))
   }
 
+  test("decodePng parses real encoder bytes without a codec, adversarial-safe") {
+    for ((w, h) <- Seq((1, 1), (640, 480), (1920, 1080), (33, 7))) {
+      val bytes = Multimodal.makeImage(w, h, "png")
+      assert(Multimodal.decodePng(bytes) === Some((w, h)), s"${w}x$h")
+      // the byte parser agrees with the JDK reader on identical bytes
+      assert(Multimodal.decodePng(bytes) === Multimodal.decodeImageDims(bytes))
+    }
+    // signature without a valid IHDR: rejected, not garbage-parsed
+    val sigOnly = Multimodal.makeImage(4, 4, "png").take(12) ++
+      "XXXXXXXXXXXX".getBytes("US-ASCII")
+    assert(Multimodal.decodePng(sigOnly) === None)
+    assert(Multimodal.decodePng(Multimodal.makeImage(4, 4, "png").take(20)) === None)
+    assert(Multimodal.decodePng("not an image".getBytes("UTF-8")) === None)
+    // JPEG bytes are not claimed by the PNG parser
+    assert(Multimodal.decodePng(Multimodal.makeImage(8, 8, "jpg")) === None)
+  }
+
+  test("decodeJpeg walks real SOF markers without a codec, adversarial-safe") {
+    for ((w, h) <- Seq((1, 1), (640, 480), (1920, 1080), (33, 7))) {
+      val bytes = Multimodal.makeImage(w, h, "jpg")
+      assert(Multimodal.decodeJpeg(bytes) === Some((w, h)), s"${w}x$h")
+      assert(Multimodal.decodeJpeg(bytes) === Multimodal.decodeImageDims(bytes))
+    }
+    // truncation mid-walk, SOI alone, desynced bytes: None, never garbage
+    val jpg = Multimodal.makeImage(64, 64, "jpg")
+    assert(Multimodal.decodeJpeg(jpg.take(4)) === None)
+    assert(Multimodal.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+    assert(Multimodal.decodeJpeg("not an image".getBytes("UTF-8")) === None)
+    // a segment whose declared length runs past the buffer terminates
+    val trunc = jpg.take(24)
+    assert(Multimodal.decodeJpeg(trunc) === None ||
+      Multimodal.decodeJpeg(trunc) === Multimodal.decodeImageDims(trunc))
+    // PNG bytes are not claimed by the JPEG parser
+    assert(Multimodal.decodeJpeg(Multimodal.makeImage(8, 8, "png")) === None)
+  }
+
   test("resizeImageIO really moves pixels: PNG gradient survives the downsample") {
     val (w, h) = (256, 64)
     val png = Multimodal.makeImage(w, h, "png")
