@@ -412,6 +412,9 @@ object LlmOps {
     * operating point, l_winnow_lsh passes WBANDS=16 (rows of 2) to move
     * the catch curve toward the lower-Jaccard containment regime. */
   private def minhashBandsOf(sets: DataFrame, bands: Int = BANDS): DataFrame = {
+    // a non-divisor would silently band only bands*(K/bands) of the K
+    // minhashes — a recall change no oracle can see (r12 ADVICE)
+    require(K % bands == 0, s"bands=$bands must divide K=$K")
     val r = K / bands
     val mh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy(col("doc_id")).agg(
