@@ -99,7 +99,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","host_cpu_sec":$hostCpuSec,"host_scan_sec":$hostScanSec,"queries":$qs,"sf":"$sfDir"}"""
+    // POST-loop calibration re-run (r13 verdict): the pre-loop host_cpu
+    // fields only bracket the window BEFORE the queries — r13's uniform
+    // 1.27× inflation at identical pre-loop calibration read as
+    // contention arriving DURING the loop, but the artifact couldn't
+    // show it. host_cpu_sec_post makes a mid-run burst land in the
+    // artifact itself: pre ≈ post ⇒ the whole run sat in one host
+    // window; post ≫ pre ⇒ the totals carry neighbor load.
+    val hostCpuSecPost = (1 to 3).map(_ => cpuKernel()).min
+    val note = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTE", "")
+    val noteField = if (note.isEmpty) "" else s""""note":"$note","""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$noteField"host_cpu_sec":$hostCpuSec,"host_cpu_sec_post":$hostCpuSecPost,"host_scan_sec":$hostScanSec,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout is the driver contract, but its capture has been observed to
     // clip mid-line (BENCH_r06 lost 3 queries) — persist the same JSON to a

@@ -218,7 +218,14 @@ object StressCheck {
         Seq("d1", "d2", "n_shared", "n1", "n2", "containment"), "left_anti").count()
       exact.unpersist(); lsh.unpersist()
       val recall = if (nExact == 0) 1.0 else nLsh.toDouble / nExact
-      (notSubset == 0L && (nExact == 0L || nLsh > 0L),
+      // the subset property is the INVARIANT; recall is the documented
+      // probabilistic banding trade and only gates when the exact pair
+      // set is large enough that catching ZERO of them is implausible
+      // rather than unlucky (r12 ADVICE: at recall 0.5 the all-missed
+      // probability at 20 pairs is 2^-20; below that, report-only —
+      // small asymmetric corpora legitimately land near 0, which the
+      // WBANDS docstring's J-vs-asymmetry curve predicts)
+      (notSubset == 0L && (nExact < 20L || nLsh > 0L),
         f"lsh_pairs=$nLsh exact_pairs=$nExact recall=$recall%.3f not_subset=$notSubset")
     }
 

@@ -319,6 +319,60 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Per-object DECODED metadata (the l_media_decode row's shape): image
+    * fields null for audio and vice versa — whatever the real parsers
+    * extracted from the payload bytes, never echoed from the metadata. */
+  case class MediaDecoded(doc_id: Long, mime: String, n_bytes: Long,
+                          width: Option[Long], height: Option[Long],
+                          sample_rate: Option[Long], channels: Option[Long],
+                          duration_ms: Option[Long])
+
+  /** Minimal spec-valid PNG *header* writer — signature + IHDR (13-byte
+    * data, correct CRC32) + IEND, 45 bytes total, fully deterministic
+    * byte math (no encoder): the dimension metadata is genuine PNG
+    * structure that [[decodePng]] AND the JDK's imageio header reader
+    * both parse, while pixel data (IDAT) stays at the codec seam. The
+    * real-encoder round-trip fixture is [[makeImage]]; this one exists
+    * for oracle rows, where payload SIZE must be an arithmetic fact an
+    * independent engine can replay (encoder output length is not). */
+  def makePngHeader(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val b = java.nio.ByteBuffer.allocate(45) // big-endian by default
+    b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13) // IHDR data length, spec-fixed
+    b.put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (truecolor)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // compression, filter, interlace
+    val crc = new java.util.zip.CRC32()
+    crc.update(b.array(), 12, 17) // chunk type + data
+    b.putInt(crc.getValue.toInt)
+    b.putInt(0)
+    b.put("IEND".getBytes("US-ASCII"))
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update("IEND".getBytes("US-ASCII"))
+    b.putInt(crc2.getValue.toInt)
+    b.array()
+  }
+
+  /** Minimal spec-valid JPEG *frame header* writer — SOI + SOF0 with the
+    * real height/width fields (big-endian at +5/+7), 15 bytes,
+    * deterministic byte math: exactly the marker walk [[decodeJpeg]]
+    * performs, entropy-coded data stays at the codec seam. Same oracle
+    * rationale as [[makePngHeader]]. */
+  def makeJpegHeader(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    val b = java.nio.ByteBuffer.allocate(15)
+    b.putShort(0xffd8.toShort) // SOI
+    b.putShort(0xffc0.toShort) // SOF0 (baseline)
+    b.putShort(11)             // segment length: len(2)+precision(1)+h(2)+w(2)+nc(1)+comp(3)
+    b.put(8.toByte)            // sample precision
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(1.toByte)            // one component
+    b.put(1.toByte).put(0x11.toByte).put(0.toByte) // id, 1x1 sampling, qtable
+    b.array()
+  }
+
   /** Frame-sample plan for video: k evenly spaced frame indices in
     * [0, nFrames) — first frame always included, never duplicated. */
   def frameOffsets(nFrames: Int, k: Int): Seq[Int] = {

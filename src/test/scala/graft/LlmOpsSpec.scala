@@ -515,4 +515,28 @@ class LlmOpsSpec extends AnyFunSuite {
         s"bits=$b L=$l misses the 0.9-cosine recall target")
     }
   }
+
+  test("winnowKept memo: running both winnow rows caches the fingerprint frame ONCE") {
+    // r12 ADVICE: each winnowKept call used to persist a FRESH copy of
+    // the identical frame — a harness step running both rows cached it
+    // twice (4 entries total). With the memo, l_winnow + l_winnow_lsh
+    // together add exactly 3 distinct frames — the SHARED fingerprint
+    // frame, the LSH row's set frame, and its minhash signature frame —
+    // and re-invoking adds none.
+    val spark = TestSpark.spark
+    spark.catalog.clearCache()
+    def nCached = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("l_winnow")(spark, TestSpark.sfDir).collect()
+    SparkEntry.queries("l_winnow_lsh")(spark, TestSpark.sfDir).collect()
+    val afterBoth = nCached
+    assert(afterBoth <= 3, s"expected <=3 cache entries, found $afterBoth")
+    SparkEntry.queries("l_winnow")(spark, TestSpark.sfDir).collect()
+    assert(nCached === afterBoth, "re-invocation must reuse the memoized frame")
+    // the memo survives a harness clearCache: the re-asserted persist
+    // re-caches the SAME frame instead of silently running uncached
+    spark.catalog.clearCache()
+    SparkEntry.queries("l_winnow")(spark, TestSpark.sfDir).collect()
+    assert(nCached >= 1, "persist must be re-asserted after clearCache")
+    spark.catalog.clearCache()
+  }
 }

@@ -266,4 +266,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(out(3L).payload, "not-a-bmp".getBytes("UTF-8")),
       "codec formats pass through untouched")
   }
+
+  test("makePngHeader: 45 deterministic bytes both our parser and the JDK reader accept") {
+    for ((w, h) <- Seq((1, 1), (300, 200), (65535, 1), (17, 4093))) {
+      val bytes = Multimodal.makePngHeader(w, h)
+      assert(bytes.length === 45, s"${w}x$h size")
+      assert(Multimodal.decodePng(bytes) === Some((w, h)), s"${w}x$h")
+      // the header-only file is genuine PNG structure: the JDK's codec
+      // reader parses the same dimensions from it (header-only read)
+      assert(Multimodal.decodeImageDims(bytes) === Some((w, h)), s"${w}x$h imageio")
+      assert(Multimodal.decodeImage(bytes) === ((w, h)))
+    }
+    // CRC is real: a flipped IHDR byte breaks the stored checksum
+    val crc = new java.util.zip.CRC32()
+    val b = Multimodal.makePngHeader(8, 8)
+    crc.update(b, 12, 17)
+    assert(java.nio.ByteBuffer.wrap(b, 29, 4).getInt === crc.getValue.toInt)
+  }
+
+  test("makeJpegHeader: 15 deterministic bytes the SOF marker walk decodes") {
+    for ((w, h) <- Seq((1, 1), (320, 240), (65535, 65535))) {
+      val bytes = Multimodal.makeJpegHeader(w, h)
+      assert(bytes.length === 15, s"${w}x$h size")
+      assert(Multimodal.decodeJpeg(bytes) === Some((w, h)), s"${w}x$h")
+      assert(Multimodal.decodeImage(bytes) === ((w, h)))
+    }
+    // no silent BMP/PNG claim of the JPEG header bytes
+    assert(Multimodal.decodeBmp(Multimodal.makeJpegHeader(5, 5)) === None)
+    assert(Multimodal.decodePng(Multimodal.makeJpegHeader(5, 5)) === None)
+  }
+
+  test("l_media_decode end-to-end: decoded columns equal the writer arithmetic") {
+    // the REAL query over the sf0.001 corpus: payloads are constructed
+    // and then re-parsed distributed; every decoded field must equal the
+    // doc_id formula the oracle replays
+    val rows = SparkEntry.queries("l_media_decode")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length > 0)
+    def opt(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+    for (r <- rows) {
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val mime = r.getString(r.fieldIndex("mime"))
+      val nb = r.getLong(r.fieldIndex("n_bytes"))
+      (id % 4) match {
+        case 0 =>
+          assert(mime === "image/png" && nb === 45L)
+          assert(opt(r, "width") === Some(id % 300 + 1) &&
+            opt(r, "height") === Some(id % 200 + 1))
+        case 1 =>
+          val (w, hh) = (id % 40 + 1, id % 30 + 1)
+          assert(mime === "image/bmp" && nb === 54L + (w * 3 + 3) / 4 * 4 * hh)
+          assert(opt(r, "width") === Some(w) && opt(r, "height") === Some(hh))
+        case 2 =>
+          val (rate, ch, fr) = (8000 + (id % 5) * 1000, 1 + id % 2, id % 500 + 1)
+          assert(mime === "audio/wav" && nb === 44L + fr * ch * 2)
+          assert(opt(r, "sample_rate") === Some(rate) && opt(r, "channels") === Some(ch))
+          assert(opt(r, "duration_ms") === Some(fr * 1000L / rate))
+          assert(opt(r, "width") === None && opt(r, "height") === None)
+        case _ =>
+          assert(mime === "image/jpeg" && nb === 15L)
+          assert(opt(r, "width") === Some(id % 320 + 1) &&
+            opt(r, "height") === Some(id % 240 + 1))
+      }
+    }
+  }
 }
