@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scratch isolated-query timer (not part of the driver contract):
+  * `tools/run.sh graft.Iso <sfDir> <passes> <query...>` — min-of-N per
+  * query through the same noop-write methodology as Bench.
+  */
+object Iso {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val passes = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      val fn = SparkEntry.queries(n)
+      val ts = (0 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"ISO $n min=${ts.tail.min}%.3f warm=${ts.head}%.3f all=${ts.tail.map(x => f"$x%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
