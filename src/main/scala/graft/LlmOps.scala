@@ -628,6 +628,68 @@ object LlmOps {
       .start().awaitTermination()
   }
 
+  /** Streaming SEMANTIC-dedup admission against a static corpus index —
+    * the consumer the persisted-codebook seam (r12 verdict task 4) was
+    * built for, closing the streaming-twin gap for the last
+    * model-carrying batch row. Shape: TRAIN once batch-side (codebook →
+    * parquet model, [[trainSemCodebook]]), build the corpus assignment
+    * index ONCE batch-side (at 100 TB this is the table the ingest job
+    * materializes, bucketed by cell), then score each ARRIVING vector
+    * statelessly: assign its cell with the LOADED codebook (the same
+    * CodebookBestCell kernel as the batch row — floats round-trip parquet
+    * bit-exactly, so stream and batch cannot disagree on a cell), join it
+    * against the static index on that cell restricted to SMALLER vec_ids,
+    * and emit the candidates clearing SEM_COS. Per-vector work is its
+    * cell's occupancy — the identical cell-bounded term the batch row
+    * pays; no N² term, no streaming state store (the index is static and
+    * candidate emission needs no watermark — same discipline as
+    * [[streamNearDup]]). The drained candidates then take the batch tail
+    * (min-partner per vec + keep flags over the corpus). Batch-composition
+    * free by construction: every pair the batch row surfaces has its
+    * smaller endpoint in the index and its larger endpoint in exactly one
+    * micro-batch, so drained ≡ batch — proven by the shared l_semdedup
+    * oracle rather than argued. */
+  def streamSemDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashExprs.vecDot
+    import graft.streaming.StreamingOps
+    val k = semK(Tables.embeddings(s, d).count())
+    val e = spread(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-sem-codebook-").toString
+    trainSemCodebook(e, k, modelDir)
+    val cents = loadSemCodebook(s, modelDir, k)
+    def assign(df: DataFrame): DataFrame =
+      df.withColumn("cell",
+        graft.functions.HashExprs.bestCell(col("embedding"), col("nrm"),
+          cents.map(_._2), cents.map(_._3), cents.map(_._1)))
+    // persisted: the candidate join reads it per micro-batch and the
+    // verdict tail joins it once more at the end
+    val idx = assign(e)
+      .select(col("vec_id").as("i_id"), col("embedding").as("i_emb"),
+        col("nrm").as("i_nrm"), col("cell").as("i_cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stream = assign(StreamingOps.readEmbeddingsStream(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(vecDot(col("embedding"), col("embedding")))))
+    val matches = stream.join(idx,
+        col("i_cell") === col("cell") && col("i_id") < col("vec_id"))
+      .select(col("vec_id"), col("i_id").as("partner"),
+        (vecDot(col("embedding"), col("i_emb")) /
+          (col("nrm") * col("i_nrm"))).as("cos"))
+      .filter(col("cos") >= SEM_COS)
+      .select(col("vec_id"), col("partner"))
+    val out = StreamingOps.drainToParquet(matches, "append")
+    val dup = s.read.option("recursiveFileLookup", "true").parquet(out)
+      .groupBy(col("vec_id")).agg(min(col("partner")).as("earliest"))
+    assign(e).join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("earliest"), lit(-1L)).as("dup_of"),
+        when(col("earliest").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact Jaccard over candidate pairs: intersect/union via codegen'd
     * array ops on the per-doc sets — two small joins and a Project,
     * replacing the former shingle-level join + count aggregation (two

@@ -117,6 +117,21 @@ object StreamingOps {
   def readDocumentsStream(s: SparkSession, dir: String): DataFrame =
     streamTable(s, dir, "documents", documentsSchema)
 
+  /** File-source stream over the embeddings table, the element width
+    * normalized to float by the SAME seam as the batch loader
+    * ([[graft.Tables.normalizeEmbedding]] over a footer-derived source
+    * schema — one footer read at plan time, like the events stream), so
+    * stream and batch can never disagree about the encoding. */
+  def readEmbeddingsStream(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.normalizeEmbedding(
+      streamTable(s, dir, "embeddings", embeddingsRawSchema(s, dir)))
+
+  private def embeddingsRawSchema(s: SparkSession, dir: String): StructType =
+    try s.read.parquet(s"$dir/embeddings.parquet").schema
+    catch { case _: Exception => StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))) }
+
   /** One-row far-future feed unioned into windowed queries so the final
     * real windows finalize (see the scale-design note above). Both file
     * sources are listed into the FIRST micro-batch (no file limit is
@@ -569,6 +584,12 @@ object StreamingOps {
     "s_pipeline" -> ((s, d) =>
       graft.LlmOps.pipelineTail(s, d, readSink(s, drainToParquet(
         graft.LlmOps.pipelineHead(readDocumentsStream(s, d)), "append")))),
+    // Streaming SEMANTIC-dedup admission: codebook trained once and
+    // persisted (the r12 model seam), arriving vectors scored statelessly
+    // against the static corpus assignment index — cell-bounded candidate
+    // work per vector, no state store. Shares l_semdedup's oracle: the
+    // proof that micro-batched admission equals the batch verdict.
+    "s_semdedup" -> ((s, d) => graft.LlmOps.streamSemDedup(s, d)),
     // Streaming CDC: incremental MERGE materialization of the changelog
     // (see cdcApplyInto) — shares the batch row's oracle, proving the
     // micro-batched upsert equals the one-shot batch apply.
@@ -603,6 +624,9 @@ object StreamingOps {
     // stateless per-doc scoring against a persisted model: micro-batched
     // scoring ≡ the batch row — the oracle IS the batch oracle
     "s_langid" -> graft.LlmOps.oracles("l_langid"),
+    // stateless per-vector scoring against the persisted codebook + the
+    // static corpus index — the oracle IS the batch semdedup oracle
+    "s_semdedup" -> graft.LlmOps.oracles("l_semdedup"),
     // micro-batched admission + batch curation ≙ the one-shot batch
     // pipeline — the oracle IS the batch pipeline's oracle
     "s_pipeline" -> graft.LlmOps.oracles("l_pipeline"),

@@ -303,6 +303,16 @@ class StreamingSpec extends AnyFunSuite {
       s"restarted batch 2 must reject doc 7 against batch-0-admitted doc 5, got $b2")
   }
 
+  test("streaming semantic dedup equals the batch l_semdedup verdict row-for-row") {
+    val spark = TestSpark.spark
+    val got = LlmOps.streamSemDedup(spark, TestSpark.sfDir).collect().toSeq
+    val want = LlmOps.queries("l_semdedup")(spark, TestSpark.sfDir).collect().toSeq
+    assert(got == want,
+      s"stream/batch semdedup diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.exists(_.getLong(3) == 0L),
+      "fixture produced no duplicate verdicts — the equality proved nothing")
+  }
+
   test("late row beyond the watermark is dropped, finalized window unchanged") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
