@@ -29,6 +29,9 @@ object LlmOps {
   /** Prime modulus for all polynomial hashes (fits products in int64:
     * acc < P ≈ 2^30, acc*31+127 < 2^35; a*h < P² ≈ 2^60). */
   private val P = 1000000007L
+  /** Window width (tokens) for repeated-substring span detection —
+    * l_dup_ngrams' gram width, so the two rows share the df universe. */
+  private val DUPSPAN_K = 5
   /** Mixing multiplier for combining hashes (band buckets). */
   private val M = 1000003L
   /** MinHash signature size and banding: 32 hashes = 8 bands × 4 rows →
@@ -2293,6 +2296,58 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Repeated-SUBSTRING span detection (the ExactSubstr dedup class of
+    // Lee et al. 2022's "Deduplicating Training Data Makes Language
+    // Models Better": dup-ngrams says HOW MUCH of a doc is duplicated,
+    // this row says WHERE — the maximal repeated spans a cut step would
+    // remove). Every K-token window keeps its START position (the same
+    // positional gram kernel, posexplode instead of array_distinct);
+    // a window is duplicated iff its gram occurs ≥ 2 times ANYWHERE in
+    // the corpus (total occurrences, not distinct docs — a phrase
+    // repeated inside one document is exactly what ExactSubstr cuts);
+    // duplicated windows expand to covered token positions, consecutive
+    // positions merge into maximal spans by the p − row_number() run
+    // trick (pure relational — no per-doc HOF, no collect). Scale shape:
+    // total work is LINEAR in corpus grams — one map-side-combined df
+    // aggregate, one semi-join back on the gram hash (the vocabulary
+    // shuffle l_dup_ngrams already pays), one per-doc window exchange;
+    // hot grams cannot blow up (semi-join keeps one row per POSITION,
+    // never gram×gram pairs). Output is per-doc span statistics; the
+    // cut step is a trivial consumer of the span set.
+    "l_dup_spans" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val grams = docs(s, d).select(col("doc_id"),
+          posexplode(graft.functions.Generators.wordNGramHashArray(
+            lower(col("text")), DUPSPAN_K)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+          col("col").as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2)
+      val covered = grams.join(dup, Seq("h"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
+        .distinct()
+      val spans = covered
+        .withColumn("grp", col("p") - row_number().over(win))
+        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(sum(col("len")).as("dup_tok"), count(lit(1)).as("spans"),
+          max(col("len")).as("longest"))
+      docs(s, d).select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= DUPSPAN_K)
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tok"), lit(0L)).as("n_dup_tokens"),
+          (coalesce(col("dup_tok"), lit(0L)).cast("double") /
+            col("n_tokens")).as("dup_frac"),
+          coalesce(col("spans"), lit(0L)).as("n_spans"),
+          coalesce(col("longest"), lit(0L)).as("longest_span"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style importance scoring — domain-targeted data selection
     // (Xie et al. 2023's hashed-n-gram importance resampling, the
     // select-what-looks-like-the-target step of corpus curation): score
@@ -3294,6 +3349,44 @@ object LlmOps {
          |  CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
          |FROM g JOIN dfreq ON dfreq.h = g.h
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // positional grams (struct comprehension keeps the start index),
+    // total-occurrence df, covered positions, p - row_number() run merge
+    "l_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, u.i AS i, ${sqlPoly("u.g")} AS h FROM (
+         |    SELECT doc_id, unnest([{'i': i, 'g': list_reduce(w[i:i+4], (a, b) -> a || ' ' || b)}
+         |                           for i in range(1, len(w) - 3)]) AS u
+         |    FROM toks WHERE len(w) >= 5)
+         |), occ AS (
+         |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+         |), ds AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
+         |    FROM g JOIN occ USING (h))
+         |), runs AS (
+         |  SELECT doc_id, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM ds
+         |), spans AS (
+         |  SELECT doc_id, count(*) AS len FROM runs GROUP BY doc_id, grp
+         |), per AS (
+         |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tok,
+         |         CAST(count(*) AS BIGINT) AS spans,
+         |         CAST(max(len) AS BIGINT) AS longest
+         |  FROM spans GROUP BY doc_id
+         |), base AS (
+         |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5
+         |)
+         |SELECT base.doc_id, n_tokens,
+         |  COALESCE(dup_tok, 0) AS n_dup_tokens,
+         |  CAST(COALESCE(dup_tok, 0) AS DOUBLE) / n_tokens AS dup_frac,
+         |  COALESCE(spans, 0) AS n_spans,
+         |  COALESCE(longest, 0) AS longest_span
+         |FROM base LEFT JOIN per ON per.doc_id = base.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
 
     // same bigram construction, bucket hash, and fixed-point ratio model
     "l_importance" ->

@@ -413,6 +413,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fracs(fracs.size / 2) < 0.5, "median unpaired doc should not look duplicated")
   }
 
+  test("dup-spans: span stats are internally consistent and flag the near-dup members") {
+    val rows = run("l_dup_spans").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    rows.values.foreach { case (n, dup, f, spans, longest) =>
+      assert(dup >= 0 && dup <= n, "covered tokens cannot exceed the doc")
+      assert(f === dup.toDouble / n)
+      assert((spans == 0) == (dup == 0), "spans and covered tokens must agree on emptiness")
+      assert(longest <= dup, "one span cannot cover more than all spans")
+      if (spans > 0) {
+        assert(longest >= 5, "a duplicated 5-gram covers at least 5 tokens")
+        assert(dup <= spans * longest, "sum over spans bounded by count * max")
+      }
+    }
+    // every member of an exact near-dup pair shares >= one 5-gram run
+    val paired = run("l_ngram_jaccard").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(paired.nonEmpty)
+    paired.foreach { id =>
+      assert(rows.get(id).exists(_._4 > 0),
+        s"doc $id is in a near-dup pair but l_dup_spans found no repeated span")
+    }
+  }
+
   test("importance: target-language docs dominate a deterministic top-50") {
     val rows = run("l_importance").collect()
     assert(rows.length === 50)
