@@ -728,6 +728,38 @@ object LlmOps {
     * because the harness clearCache()s between queries (re-persisting an
     * already-cached frame is a CacheManager no-op). The map is bounded by
     * (sessions × data dirs) — a handful of plan objects, never data. */
+  /** Positional DUPSPAN_K-gram hash rows (doc_id, i, h) — the shared
+    * frame of the repeated-substring pair (l_dup_spans detect,
+    * l_dup_spans_apply cut). PERSISTED + MEMOIZED per (session, dir) on
+    * the [[winnowKept]] discipline: the detect row reads it twice (df
+    * aggregate + semi-join) and a harness step running both rows must
+    * hold ONE CacheManager entry, not two. */
+  private val dupSpanGramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dupSpanGrams(s: SparkSession, d: String): DataFrame = {
+    val df = dupSpanGramsMemo.computeIfAbsent((s, d), _ =>
+      docs(s, d).select(col("doc_id"),
+          posexplode(graft.functions.Generators.wordNGramHashArray(
+            lower(col("text")), DUPSPAN_K)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+          col("col").as("h")))
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  /** DISTINCT duplicated token positions (doc_id, p): a position is
+    * duplicated iff covered by a K-gram window whose hash occurs ≥ 2
+    * times in the corpus (total occurrences — intra-doc repeats count). */
+  private def dupSpanCovered(s: SparkSession, d: String): DataFrame = {
+    val grams = dupSpanGrams(s, d)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
+      .distinct()
+  }
+
   private val winnowKeptMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def winnowKept(s: SparkSession, d: String): DataFrame = {
@@ -2317,19 +2349,7 @@ object LlmOps {
     "l_dup_spans" -> ((s, d) => {
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("p"))
-      val grams = docs(s, d).select(col("doc_id"),
-          posexplode(graft.functions.Generators.wordNGramHashArray(
-            lower(col("text")), DUPSPAN_K)))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
-          col("col").as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-        .filter(col("occ") >= 2)
-      val covered = grams.join(dup, Seq("h"), "left_semi")
-        .select(col("doc_id"),
-          explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
-        .distinct()
-      val spans = covered
+      val spans = dupSpanCovered(s, d)
         .withColumn("grp", col("p") - row_number().over(win))
         .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
       val perDoc = spans.groupBy(col("doc_id"))
@@ -2345,6 +2365,41 @@ object LlmOps {
             col("n_tokens")).as("dup_frac"),
           coalesce(col("spans"), lit(0L)).as("n_spans"),
           coalesce(col("longest"), lit(0L)).as("longest_span"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The CUT step over l_dup_spans' span set — the detect→apply pair the
+    // cluster-dedup rows established (l_dedup_clusters → l_dedup_apply).
+    // Policy: the AGGRESSIVE cut — every covered token goes, in every
+    // occurrence (Lee et al.'s keep-one-occurrence canonicalization is a
+    // policy layer over the same span set: exempt one occurrence per
+    // duplicate gram chain; with spans overlapping across documents there
+    // is no unique canonical choice, so the deterministic both-sides cut
+    // is the honest primitive and the exemption composes on top).
+    // Reconstruction is relational end-to-end: tokens keep their
+    // positions, covered positions anti-join away, the survivor text
+    // reassembles per doc by position-sorted array_join — no per-doc
+    // HOF over text, no collect. Docs shorter than K tokens carry no
+    // grams, so they pass through uncut — the whole corpus flows in and
+    // out, the apply contract. Scale: the anti-join shuffles (doc, pos)
+    // longs; the rebuild is one per-doc aggregate.
+    "l_dup_spans_apply" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+          col("col").as("tok"))
+      val kept = toks.join(dupSpanCovered(s, d), Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ").as("ctext"))
+      docs(s, d).select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("kept"), lit(0L)).as("n_kept"),
+          coalesce(col("ctext"), lit("")).as("clean_text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3386,6 +3441,42 @@ object LlmOps {
          |  COALESCE(spans, 0) AS n_spans,
          |  COALESCE(longest, 0) AS longest_span
          |FROM base LEFT JOIN per ON per.doc_id = base.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
+    // same positional grams / covered set; survivors rebuild by
+    // position-ordered string_agg
+    "l_dup_spans_apply" ->
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), toks AS (
+         |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest([{'p': i, 'tok': w[i]} for i in range(1, len(w) + 1)]) AS u
+         |    FROM toks0)
+         |), g AS (
+         |  SELECT doc_id, u.i AS i, ${sqlPoly("u.g")} AS h FROM (
+         |    SELECT doc_id, unnest([{'i': i, 'g': list_reduce(w[i:i+4], (a, b) -> a || ' ' || b)}
+         |                           for i in range(1, len(w) - 3)]) AS u
+         |    FROM toks0 WHERE len(w) >= 5)
+         |), occ AS (
+         |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+         |), ds AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
+         |    FROM g JOIN occ USING (h))
+         |), kept AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(t.tok, ' ' ORDER BY t.p) AS ctext
+         |  FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.p = t.p
+         |  WHERE ds.p IS NULL
+         |  GROUP BY t.doc_id
+         |), base AS (
+         |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT base.doc_id, n_tokens,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  COALESCE(ctext, '') AS clean_text
+         |FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id
          |ORDER BY base.doc_id""".stripMargin,
 
     // same bigram construction, bucket hash, and fixed-point ratio model

@@ -437,6 +437,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-spans apply: cut equals the covered set, untouched docs pass through verbatim") {
+    val stats = run("l_dup_spans").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val applied = run("l_dup_spans_apply").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val orig = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied.keySet == orig.keySet, "apply must emit the whole corpus")
+    applied.foreach { case (id, (n, kept, text)) =>
+      stats.get(id) match {
+        case Some((nt, dup)) =>
+          assert(n == nt && kept == n - dup,
+            s"doc $id: kept $kept != n_tokens $n - covered $dup")
+        case None =>
+          assert(n < 5 && kept == n, s"doc $id is gramless but was cut")
+      }
+      if (stats.get(id).forall(_._2 == 0L))
+        assert(text == orig(id).toLowerCase,
+          s"doc $id has no covered span but its text changed")
+      else
+        assert(text.length < orig(id).length, s"doc $id was covered but not cut")
+    }
+    assert(applied.values.exists(_._2 == 0L),
+      "fixture should contain at least one fully-duplicated doc cut to empty")
+  }
+
   test("importance: target-language docs dominate a deterministic top-50") {
     val rows = run("l_importance").collect()
     assert(rows.length === 50)
