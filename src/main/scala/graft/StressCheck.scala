@@ -229,6 +229,34 @@ object StressCheck {
         f"lsh_pairs=$nLsh exact_pairs=$nExact recall=$recall%.3f not_subset=$notSubset")
     }
 
+    check("dup_spans_apply_consistency") {
+      // the apply row's DuckDB oracle (position-ordered string_agg over
+      // the whole corpus) OOMs at sf10 — the detect row stays
+      // oracle-feasible there, so pin apply AGAINST detect: every doc
+      // flows through apply, kept tokens = n_tokens − covered tokens,
+      // and the two rows agree doc-for-doc. Text equality for untouched
+      // docs is asserted by LlmOpsSpec at test SF (string compare over
+      // the full corpus is exactly the cost this invariant avoids).
+      val det = SparkEntry.queries("l_dup_spans")(spark, d)
+        .select(col("doc_id"), col("n_tokens").as("dn"), col("n_dup_tokens"))
+      val app = SparkEntry.queries("l_dup_spans_apply")(spark, d)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = graft.Tables.documents(spark, d).count()
+      val nApp = app.count()
+      val bad = app.join(det, Seq("doc_id"), "left")
+        .filter(
+          // gramless docs (absent from detect) must pass through uncut;
+          // everyone else keeps exactly the uncovered tokens
+          when(col("dn").isNull, col("n_kept") =!= col("n_tokens"))
+            .otherwise(col("dn") =!= col("n_tokens") ||
+              col("n_kept") =!= col("n_tokens") - col("n_dup_tokens")))
+        .count()
+      app.unpersist()
+      (nApp == corpus && bad == 0L,
+        s"apply_rows=$nApp corpus=$corpus inconsistent=$bad")
+    }
+
     check("pagerank_fixed_point_at_4") {
       val ce = operators.CtsParity.eventsAsTraces(Tables.events(spark, d))
       val links = operators.CtsParity.linkPairs(
