@@ -70,6 +70,27 @@ class EmbeddingsEncodingSpec extends AnyFunSuite {
     assert(run(f64) === run(f32))
   }
 
+  test("the embeddings STREAM loads both encodings identically to batch") {
+    import graft.streaming.StreamingOps
+    def drainVecs(dir: String): Seq[(Long, Seq[Float])] = {
+      val out = Files.createTempDirectory("graft-emb-sink-").toString
+      StreamingOps.readEmbeddingsStream(spark, dir).writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft-emb-ck-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/b$id")
+        }
+        .start().awaitTermination()
+      collectVecs(spark.read.option("recursiveFileLookup", "true").parquet(out))
+    }
+    val f32 = writeEmbeddings(canonical)
+    val f64 = writeEmbeddings(canonical
+      .withColumn("embedding", col("embedding").cast("array<double>")))
+    assert(drainVecs(f32) === collectVecs(canonical))
+    assert(drainVecs(f64) === collectVecs(canonical))
+  }
+
   test("a double value that is not float-representable narrows like CAST AS REAL") {
     // 0.1 is inexact in both widths; the narrowed float must be
     // Float round-to-nearest of the double — i.e. 0.1f's bits exactly
