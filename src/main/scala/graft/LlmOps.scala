@@ -2368,6 +2368,52 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // KEEP-ONE canonicalization over the same positional gram universe —
+    // the Lee et al. policy the aggressive cut documents as its layer:
+    // per duplicated gram, the occurrence with the minimal (doc_id, i)
+    // is CANONICAL and stays; every other occurrence is covered. A
+    // canonical-corpus consumer cuts only the non-canonical spans, so
+    // one copy of every repeated passage survives. Skew-safe spelling:
+    // the canonical occurrence comes from ONE map-side-combined
+    // min(struct(doc_id, i)) aggregate per gram — a row_number over an
+    // h-partitioned sort would funnel a hot boilerplate gram's millions
+    // of occurrences into a single task's sort; the min-struct aggregate
+    // combines map-side and the join back is the same vocabulary shuffle
+    // the detect row pays. Output mirrors l_dup_spans (span statistics
+    // over the non-canonical covered set; the DuckDB replay uses the
+    // equivalent rn > 1 ordering, total order ⇒ identical set).
+    "l_dup_spans_keep1" -> ((s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val grams = dupSpanGrams(s, d)
+      val canon = grams.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("i"))).as("mn"),
+          count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2)
+      val covered = grams.join(canon, Seq("h"))
+        .filter(col("doc_id") =!= col("mn.doc_id") || col("i") =!= col("mn.i"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
+        .distinct()
+      val spans = covered
+        .withColumn("grp", col("p") - row_number().over(win))
+        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(sum(col("len")).as("dup_tok"), count(lit(1)).as("spans"),
+          max(col("len")).as("longest"))
+      docs(s, d).select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= DUPSPAN_K)
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tok"), lit(0L)).as("n_dup_tokens"),
+          (coalesce(col("dup_tok"), lit(0L)).cast("double") /
+            col("n_tokens")).as("dup_frac"),
+          coalesce(col("spans"), lit(0L)).as("n_spans"),
+          coalesce(col("longest"), lit(0L)).as("longest_span"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The CUT step over l_dup_spans' span set — the detect→apply pair the
     // cluster-dedup rows established (l_dedup_clusters → l_dedup_apply).
     // Policy: the AGGRESSIVE cut — every covered token goes, in every
@@ -3421,6 +3467,46 @@ object LlmOps {
          |  SELECT DISTINCT doc_id, p FROM (
          |    SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
          |    FROM g JOIN occ USING (h))
+         |), runs AS (
+         |  SELECT doc_id, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM ds
+         |), spans AS (
+         |  SELECT doc_id, count(*) AS len FROM runs GROUP BY doc_id, grp
+         |), per AS (
+         |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tok,
+         |         CAST(count(*) AS BIGINT) AS spans,
+         |         CAST(max(len) AS BIGINT) AS longest
+         |  FROM spans GROUP BY doc_id
+         |), base AS (
+         |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5
+         |)
+         |SELECT base.doc_id, n_tokens,
+         |  COALESCE(dup_tok, 0) AS n_dup_tokens,
+         |  CAST(COALESCE(dup_tok, 0) AS DOUBLE) / n_tokens AS dup_frac,
+         |  COALESCE(spans, 0) AS n_spans,
+         |  COALESCE(longest, 0) AS longest_span
+         |FROM base LEFT JOIN per ON per.doc_id = base.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
+    // same positional grams; rn > 1 over (doc_id, i) is the total-order
+    // equivalent of the engine's min-struct canonical pick
+    "l_dup_spans_keep1" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, u.i AS i, ${sqlPoly("u.g")} AS h FROM (
+         |    SELECT doc_id, unnest([{'i': i, 'g': list_reduce(w[i:i+4], (a, b) -> a || ' ' || b)}
+         |                           for i in range(1, len(w) - 3)]) AS u
+         |    FROM toks WHERE len(w) >= 5)
+         |), nc AS (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i,
+         |           row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+         |    FROM g) WHERE rn > 1
+         |), ds AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(generate_series(i, i + 4)) AS p FROM nc)
          |), runs AS (
          |  SELECT doc_id, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
          |  FROM ds

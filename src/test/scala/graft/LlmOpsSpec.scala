@@ -437,6 +437,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-spans keep1: covers a subset of the aggressive set, canonical copies survive") {
+    val agg = run("l_dup_spans").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val k1 = run("l_dup_spans_keep1").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(agg.keySet == k1.keySet)
+    k1.foreach { case (id, dk) =>
+      assert(dk <= agg(id), s"doc $id: keep1 covers more than the aggressive cut")
+    }
+    assert(k1.values.sum < agg.values.sum,
+      "keep1 must exempt at least the canonical occurrences")
+    assert(agg.exists { case (id, v) => v > 0 && k1(id) == 0 },
+      "a doc holding only canonical occurrences should be fully exempt")
+  }
+
   test("dup-spans apply: cut equals the covered set, untouched docs pass through verbatim") {
     val stats = run("l_dup_spans").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
