@@ -239,6 +239,7 @@ object StressCheck {
       // the full corpus is exactly the cost this invariant avoids).
       val det = SparkEntry.queries("l_dup_spans")(spark, d)
         .select(col("doc_id"), col("n_tokens").as("dn"), col("n_dup_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val app = SparkEntry.queries("l_dup_spans_apply")(spark, d)
         .select(col("doc_id"), col("n_tokens"), col("n_kept"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -252,9 +253,22 @@ object StressCheck {
             .otherwise(col("dn") =!= col("n_tokens") ||
               col("n_kept") =!= col("n_tokens") - col("n_dup_tokens")))
         .count()
-      app.unpersist()
-      (nApp == corpus && bad == 0L,
-        s"apply_rows=$nApp corpus=$corpus inconsistent=$bad")
+      // keep1's covered set must be a per-doc SUBSET of the aggressive
+      // set (canonical exemption only removes coverage), and the corpus
+      // total must be strictly smaller whenever duplication exists —
+      // keep1's own sf10 oracle (an h-partitioned window in DuckDB) is
+      // the expensive replay this pins instead
+      val k1 = SparkEntry.queries("l_dup_spans_keep1")(spark, d)
+        .select(col("doc_id"), col("n_dup_tokens").as("k1_dup"))
+      val j = det.join(k1, Seq("doc_id"))
+        .agg(sum(when(col("k1_dup") > col("n_dup_tokens"), 1L).otherwise(0L)).as("over"),
+          sum(col("n_dup_tokens")).as("agg_tot"), sum(col("k1_dup")).as("k1_tot"))
+        .head()
+      val (over, aggTot, k1Tot) = (j.getLong(0), j.getLong(1), j.getLong(2))
+      app.unpersist(); det.unpersist()
+      (nApp == corpus && bad == 0L && over == 0L && (aggTot == 0L || k1Tot < aggTot),
+        s"apply_rows=$nApp corpus=$corpus inconsistent=$bad " +
+          s"keep1_over_aggressive=$over covered_agg=$aggTot covered_keep1=$k1Tot")
     }
 
     check("pagerank_fixed_point_at_4") {
