@@ -107,7 +107,15 @@ object Bench {
     // artifact itself: pre ≈ post ⇒ the whole run sat in one host
     // window; post ≫ pre ⇒ the totals carry neighbor load.
     val hostCpuSecPost = (1 to 3).map(_ => cpuKernel()).min
+    // JSON-escape the free-text note (r14 ADVICE: a quote or backslash in
+    // the env var produced a malformed artifact line)
     val note = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTE", "")
+      .flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      }
     val noteField = if (note.isEmpty) "" else s""""note":"$note","""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$noteField"host_cpu_sec":$hostCpuSec,"host_cpu_sec_post":$hostCpuSecPost,"host_scan_sec":$hostScanSec,"queries":$qs,"sf":"$sfDir"}"""
     println(line)

@@ -3,11 +3,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Scratch isolated-query timer (not part of the driver contract):
   * `tools/run.sh graft.Iso <sfDir> <passes> <query...>` — min-of-N per
-  * query through the same noop-write methodology as Bench.
+  * query through the same noop-write methodology as Bench. NOTE: runs
+  * passes + 1 executions per query — the first is a WARM pass (reported
+  * separately, excluded from the min).
   */
 object Iso {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val passes = args(1).toInt
+    require(passes >= 1,
+      s"Iso needs passes >= 1 (got $passes): the first run is a discarded warm pass")
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)

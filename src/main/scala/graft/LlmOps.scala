@@ -31,7 +31,7 @@ object LlmOps {
   private val P = 1000000007L
   /** Window width (tokens) for repeated-substring span detection —
     * l_dup_ngrams' gram width, so the two rows share the df universe. */
-  private val DUPSPAN_K = 5
+  private[graft] val DUPSPAN_K = 5
   /** Mixing multiplier for combining hashes (band buckets). */
   private val M = 1000003L
   /** MinHash signature size and banding: 32 hashes = 8 bands × 4 rows →
@@ -659,8 +659,8 @@ object LlmOps {
     val e = spread(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-    val modelDir = java.nio.file.Files
-      .createTempDirectory("graft-sem-codebook-").toString
+    // registered for JVM-exit deletion like every streaming sink/ckpt dir
+    val modelDir = StreamingOps.tmp("graft-sem-codebook-")
     trainSemCodebook(e, k, modelDir)
     val cents = loadSemCodebook(s, modelDir, k)
     def assign(df: DataFrame): DataFrame =
@@ -683,7 +683,14 @@ object LlmOps {
           (col("nrm") * col("i_nrm"))).as("cos"))
       .filter(col("cos") >= SEM_COS)
       .select(col("vec_id"), col("partner"))
-    val out = StreamingOps.drainToParquet(matches, "append")
+    // idx is consumed only DURING the drain (per-micro-batch candidate
+    // join); the verdict tail below re-derives assign(e) fresh — so the
+    // persist's lifetime ends with the stream, unpersist-on-exit like
+    // every other query-scoped cache in this file (r14 ADVICE: repeated
+    // invocations used to accumulate CacheManager entries)
+    val out =
+      try StreamingOps.drainToParquet(matches, "append")
+      finally idx.unpersist()
     val dup = s.read.option("recursiveFileLookup", "true").parquet(out)
       .groupBy(col("vec_id")).agg(min(col("partner")).as("earliest"))
     assign(e).join(dup, Seq("vec_id"), "left")
@@ -737,6 +744,7 @@ object LlmOps {
   private val dupSpanGramsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def dupSpanGrams(s: SparkSession, d: String): DataFrame = {
+    evictStopped(dupSpanGramsMemo)
     val df = dupSpanGramsMemo.computeIfAbsent((s, d), _ =>
       docs(s, d).select(col("doc_id"),
           posexplode(graft.functions.Generators.wordNGramHashArray(
@@ -760,13 +768,193 @@ object LlmOps {
       .distinct()
   }
 
+  /** DISTINCT NON-CANONICAL duplicated token positions (doc_id, p) — the
+    * keep-one policy's covered set over the same gram universe: per
+    * duplicated gram the occurrence with the minimal (doc_id, i) is
+    * CANONICAL and exempt; every other occurrence covers its K positions.
+    * Skew-safe spelling: the canonical pick is ONE map-side-combined
+    * min(struct(doc_id, i)) aggregate per gram — an h-partitioned
+    * row_number sort would funnel a hot boilerplate gram's millions of
+    * occurrences into a single task. Shared by the keep1 detect row
+    * (span statistics) and the keep1 cut row (survivor rebuild), so the
+    * pair cannot disagree about what "non-canonical" means. */
+  private def dupSpanCoveredKeep1(s: SparkSession, d: String): DataFrame = {
+    val grams = dupSpanGrams(s, d)
+    val canon = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("mn"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    grams.join(canon, Seq("h"))
+      .filter(col("doc_id") =!= col("mn.doc_id") || col("i") =!= col("mn.i"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
+      .distinct()
+  }
+
+  /** Per-doc span STATISTICS over a covered-position set: consecutive
+    * positions merge into maximal spans by the p − row_number() run
+    * trick (pure relational — no per-doc HOF, no collect); gramless /
+    * uncovered docs surface with zeroed counters. The ONE spelling of
+    * the detect output, shared by the aggressive (l_dup_spans) and
+    * keep-one (l_dup_spans_keep1) policies — only the covered set
+    * differs. */
+  private def dupSpanStats(s: SparkSession, d: String,
+                           covered: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = covered
+      .withColumn("grp", col("p") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("dup_tok"), count(lit(1)).as("spans"),
+        max(col("len")).as("longest"))
+    docs(s, d).select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= DUPSPAN_K)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tok"), lit(0L)).as("n_dup_tokens"),
+        (coalesce(col("dup_tok"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_frac"),
+        coalesce(col("spans"), lit(0L)).as("n_spans"),
+        coalesce(col("longest"), lit(0L)).as("longest_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The CUT consumer over a covered-position set: tokens keep their
+    * positions, covered positions anti-join away, survivor text
+    * reassembles per doc by position-sorted array_join — no per-doc HOF
+    * over text, no collect. Docs shorter than K tokens carry no grams,
+    * so they pass through uncut — the whole corpus flows in and out, the
+    * apply contract. The ONE spelling of the apply output, shared by the
+    * aggressive (l_dup_spans_apply) and keep-one (l_dup_spans_keep1_apply)
+    * policies. Scale: the anti-join shuffles (doc, pos) longs; the
+    * rebuild is one per-doc aggregate. */
+  private def dupSpanCut(s: SparkSession, d: String,
+                         covered: DataFrame): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("ctext"))
+    docs(s, d).select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept"), lit(0L)).as("n_kept"),
+        coalesce(col("ctext"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Covered positions at an ARBITRARY gram length k under a
+    * collision-free 64-bit text hash — the K-sensitivity probe's frame
+    * (StressCheck `dup_spans_k_sensitivity`, LlmOpsSpec property). Same
+    * covered-set spelling as [[dupSpanCovered]]; the hash differs
+    * deliberately: the production rows use the oracle-replayable
+    * poly-mod-1e9+7 hash, whose birthday collisions at stress-SF gram
+    * counts would inject false "duplicates" at k+2 with no k-level
+    * counterpart and break the containment THEOREM (equal (k+2)-grams
+    * imply equal k-sub-grams, so covered@k+2 ⊆ covered@k — true for
+    * text equality, not for a 30-bit hash). xxhash64 over the gram text
+    * makes a violating collision ~n²/2⁶⁵ — the invariant tests the
+    * SPELLING's K-monotonicity, which is what a K retune would break. */
+  private[graft] def dupSpanCoveredAt(s: SparkSession, d: String,
+                                      k: Int): DataFrame = {
+    val grams = docs(s, d).select(col("doc_id"),
+        posexplode(graft.functions.Generators.wordNGramArray(
+          lower(col("text")), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        xxhash64(col("col")).as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+  }
+
+  /** Canonical-survival MEASUREMENT for the keep1 cut: (n_dup_grams,
+    * n_survived) where a duplicated gram SURVIVES iff its canonical
+    * occurrence keeps all K token positions after the keep1 cut. Only
+    * the canonical occurrence can survive (every non-canonical occurrence
+    * contributes its whole window to the covered set), and it is clipped
+    * only when a DIFFERENT gram's non-canonical occurrence overlaps it —
+    * the boundary case Lee et al. accept, so full survival is a
+    * measurement, not a theorem; StressCheck asserts survived > 0
+    * whenever duplication exists and reports the fraction. */
+  private[graft] def dupSpanKeep1Survival(s: SparkSession,
+                                          d: String): (Long, Long) = {
+    val canon = dupSpanGrams(s, d).groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("mn"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"), col("mn.doc_id").as("doc_id"), col("mn.i").as("i"))
+    val nDup = canon.count()
+    val clipped = canon
+      .select(col("h"), col("doc_id"),
+        explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
+      .join(dupSpanCoveredKeep1(s, d), Seq("doc_id", "p"), "left_semi")
+      .select(col("h")).distinct().count()
+    (nDup, nDup - clipped)
+  }
+
+  private def gram8(df: DataFrame): Column =
+    graft.functions.Generators.wordNGramHashArray(lower(df("text")), 8)
+
+  /** The DISTINCT benchmark 8-gram set (h) — the decontamination fixture:
+    * eval snippets drawn from the corpus (first five 8-grams of every
+    * doc_id % 100 == 0 doc), so source docs are genuinely contaminated by
+    * construction. In production this is the STATIC eval-set side — MBs
+    * against a 100 TB corpus — built once offline; shared by the batch
+    * row (l_decontaminate) and the streaming admission twin
+    * (s_decontaminate), which is what makes the twins provably score
+    * against the same benchmark. */
+  private[graft] def benchGrams(s: SparkSession, d: String): DataFrame = {
+    val corpus = docs(s, d)
+    corpus
+      .filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(explode(slice(gram8(corpus), 1, 5)).as("h"))
+      .distinct()
+  }
+
+  /** Per-document benchmark-overlap count for an arbitrary (doc_id, text)
+    * frame: explode the doc's 8-grams, broadcast-join the tiny benchmark
+    * set (corpus grams filter AT SCAN SPEED — only matching rows ever
+    * shuffle), count distinct per doc. Stateless PER DOCUMENT, so it
+    * binds to the batch scan or to one micro-batch inside foreachBatch
+    * unchanged — the l_decontaminate / s_decontaminate pair proves the
+    * two plans answer-identical via the shared oracle. Only contaminated
+    * docs surface (inner join — the admission gate's hit list). */
+  private[graft] def decontaminateScore(corpus: DataFrame,
+                                        bench: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), explode(gram8(corpus)).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_overlap"))
+
   private val winnowKeptMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def winnowKept(s: SparkSession, d: String): DataFrame = {
+    evictStopped(winnowKeptMemo)
     val df = winnowKeptMemo.computeIfAbsent((s, d), _ => buildWinnowKept(s, d))
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
+
+  /** Drop memo entries whose session has stopped — without this the maps
+    * pin a stopped session's plan objects for the process lifetime in
+    * multi-session use (r14 ADVICE). Runs on every memo access: the maps
+    * hold a handful of entries, so the liveness sweep is a few flag
+    * reads, never data work. */
+  private def evictStopped(
+      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit =
+    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
   private def buildWinnowKept(s: SparkSession, d: String): DataFrame = {
     // gram hashing + window-min selection are TWO compiled kernel calls
     // (WordNGramHashArray → WinnowMinArray); the interpreted
@@ -2195,21 +2383,9 @@ object LlmOps {
     // (eval sets are MBs against a 100 TB corpus) → broadcast hash join
     // filters corpus grams AT SCAN SPEED; only matching (doc, gram) rows
     // ever shuffle, into the per-doc overlap count.
-    "l_decontaminate" -> ((s, d) => {
-      def gram8(df: DataFrame): Column =
-        graft.functions.Generators.wordNGramHashArray(lower(df("text")), 8)
-      val corpus = docs(s, d)
-      val benchGrams = corpus
-        .filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(explode(slice(gram8(corpus), 1, 5)).as("h"))
-        .distinct()
-      corpus
-        .select(col("doc_id"), explode(gram8(corpus)).as("h"))
-        .join(broadcast(benchGrams), "h")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("h")).as("n_overlap"))
-        .orderBy(col("doc_id"))
-    }),
+    "l_decontaminate" -> ((s, d) =>
+      decontaminateScore(docs(s, d), benchGrams(s, d))
+        .orderBy(col("doc_id"))),
 
     // Sequence PACKING — assign documents to fixed-capacity training bins
     // (the pretraining step that turns a doc soup into ~equal-token
@@ -2346,27 +2522,8 @@ object LlmOps {
     // hot grams cannot blow up (semi-join keeps one row per POSITION,
     // never gram×gram pairs). Output is per-doc span statistics; the
     // cut step is a trivial consumer of the span set.
-    "l_dup_spans" -> ((s, d) => {
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("p"))
-      val spans = dupSpanCovered(s, d)
-        .withColumn("grp", col("p") - row_number().over(win))
-        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
-      val perDoc = spans.groupBy(col("doc_id"))
-        .agg(sum(col("len")).as("dup_tok"), count(lit(1)).as("spans"),
-          max(col("len")).as("longest"))
-      docs(s, d).select(col("doc_id"),
-          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") >= DUPSPAN_K)
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("dup_tok"), lit(0L)).as("n_dup_tokens"),
-          (coalesce(col("dup_tok"), lit(0L)).cast("double") /
-            col("n_tokens")).as("dup_frac"),
-          coalesce(col("spans"), lit(0L)).as("n_spans"),
-          coalesce(col("longest"), lit(0L)).as("longest_span"))
-        .orderBy(col("doc_id"))
-    }),
+    "l_dup_spans" -> ((s, d) =>
+      dupSpanStats(s, d, dupSpanCovered(s, d))),
 
     // KEEP-ONE canonicalization over the same positional gram universe —
     // the Lee et al. policy the aggressive cut documents as its layer:
@@ -2382,37 +2539,8 @@ object LlmOps {
     // the detect row pays. Output mirrors l_dup_spans (span statistics
     // over the non-canonical covered set; the DuckDB replay uses the
     // equivalent rn > 1 ordering, total order ⇒ identical set).
-    "l_dup_spans_keep1" -> ((s, d) => {
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("p"))
-      val grams = dupSpanGrams(s, d)
-      val canon = grams.groupBy(col("h"))
-        .agg(min(struct(col("doc_id"), col("i"))).as("mn"),
-          count(lit(1)).as("occ"))
-        .filter(col("occ") >= 2)
-      val covered = grams.join(canon, Seq("h"))
-        .filter(col("doc_id") =!= col("mn.doc_id") || col("i") =!= col("mn.i"))
-        .select(col("doc_id"),
-          explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
-        .distinct()
-      val spans = covered
-        .withColumn("grp", col("p") - row_number().over(win))
-        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
-      val perDoc = spans.groupBy(col("doc_id"))
-        .agg(sum(col("len")).as("dup_tok"), count(lit(1)).as("spans"),
-          max(col("len")).as("longest"))
-      docs(s, d).select(col("doc_id"),
-          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") >= DUPSPAN_K)
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("dup_tok"), lit(0L)).as("n_dup_tokens"),
-          (coalesce(col("dup_tok"), lit(0L)).cast("double") /
-            col("n_tokens")).as("dup_frac"),
-          coalesce(col("spans"), lit(0L)).as("n_spans"),
-          coalesce(col("longest"), lit(0L)).as("longest_span"))
-        .orderBy(col("doc_id"))
-    }),
+    "l_dup_spans_keep1" -> ((s, d) =>
+      dupSpanStats(s, d, dupSpanCoveredKeep1(s, d))),
 
     // The CUT step over l_dup_spans' span set — the detect→apply pair the
     // cluster-dedup rows established (l_dedup_clusters → l_dedup_apply).
@@ -2429,25 +2557,23 @@ object LlmOps {
     // grams, so they pass through uncut — the whole corpus flows in and
     // out, the apply contract. Scale: the anti-join shuffles (doc, pos)
     // longs; the rebuild is one per-doc aggregate.
-    "l_dup_spans_apply" -> ((s, d) => {
-      val toks = docs(s, d).select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-          col("col").as("tok"))
-      val kept = toks.join(dupSpanCovered(s, d), Seq("doc_id", "p"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("kept"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("p"), col("tok")))),
-            x => x.getField("tok")), " ").as("ctext"))
-      docs(s, d).select(col("doc_id"),
-          size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("kept"), lit(0L)).as("n_kept"),
-          coalesce(col("ctext"), lit("")).as("clean_text"))
-        .orderBy(col("doc_id"))
-    }),
+    "l_dup_spans_apply" -> ((s, d) =>
+      dupSpanCut(s, d, dupSpanCovered(s, d))),
+
+    // The keep-one CUT — the Lee-et-al cleaning job a real corpus
+    // actually runs: the detect→apply pair under the CANONICAL-EXEMPT
+    // policy. Same token anti-join / survivor rebuild as the aggressive
+    // cut ([[dupSpanCut]] is the one spelling), but against the keep1
+    // covered set: per duplicated gram, the minimal-(doc_id, i)
+    // occurrence is exempt, so one copy of a repeated passage survives
+    // the cut unless a DIFFERENT gram's non-canonical occurrence overlaps
+    // it (the overlap clip Lee et al. accept; StressCheck measures the
+    // survival count corpus-wide). By construction keep1's covered set
+    // is a per-doc subset of the aggressive set, so n_kept here ≥ the
+    // aggressive row's n_kept doc-for-doc — pinned at stress SF by
+    // `dup_spans_apply_consistency`.
+    "l_dup_spans_keep1_apply" -> ((s, d) =>
+      dupSpanCut(s, d, dupSpanCoveredKeep1(s, d))),
 
     // DSIR-style importance scoring — domain-targeted data selection
     // (Xie et al. 2023's hashed-n-gram importance resampling, the
@@ -3549,6 +3675,44 @@ object LlmOps {
          |  SELECT DISTINCT doc_id, p FROM (
          |    SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
          |    FROM g JOIN occ USING (h))
+         |), kept AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(t.tok, ' ' ORDER BY t.p) AS ctext
+         |  FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.p = t.p
+         |  WHERE ds.p IS NULL
+         |  GROUP BY t.doc_id
+         |), base AS (
+         |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT base.doc_id, n_tokens,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  COALESCE(ctext, '') AS clean_text
+         |FROM base LEFT JOIN kept ON kept.doc_id = base.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
+    // keep1's nc CTE (rn > 1 over the h-total-order ≙ the engine's
+    // min-struct canonical pick) feeding the apply row's rebuild
+    "l_dup_spans_keep1_apply" ->
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), toks AS (
+         |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest([{'p': i, 'tok': w[i]} for i in range(1, len(w) + 1)]) AS u
+         |    FROM toks0)
+         |), g AS (
+         |  SELECT doc_id, u.i AS i, ${sqlPoly("u.g")} AS h FROM (
+         |    SELECT doc_id, unnest([{'i': i, 'g': list_reduce(w[i:i+4], (a, b) -> a || ' ' || b)}
+         |                           for i in range(1, len(w) - 3)]) AS u
+         |    FROM toks0 WHERE len(w) >= 5)
+         |), nc AS (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i,
+         |           row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+         |    FROM g) WHERE rn > 1
+         |), ds AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(generate_series(i, i + 4)) AS p FROM nc)
          |), kept AS (
          |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
          |         string_agg(t.tok, ' ' ORDER BY t.p) AS ctext

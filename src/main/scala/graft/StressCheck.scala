@@ -260,15 +260,63 @@ object StressCheck {
       // the expensive replay this pins instead
       val k1 = SparkEntry.queries("l_dup_spans_keep1")(spark, d)
         .select(col("doc_id"), col("n_dup_tokens").as("k1_dup"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val j = det.join(k1, Seq("doc_id"))
         .agg(sum(when(col("k1_dup") > col("n_dup_tokens"), 1L).otherwise(0L)).as("over"),
           sum(col("n_dup_tokens")).as("agg_tot"), sum(col("k1_dup")).as("k1_tot"))
         .head()
       val (over, aggTot, k1Tot) = (j.getLong(0), j.getLong(1), j.getLong(2))
-      app.unpersist(); det.unpersist()
-      (nApp == corpus && bad == 0L && over == 0L && (aggTot == 0L || k1Tot < aggTot),
+      // the keep1 CUT: every doc flows through, kept = n_tokens − keep1's
+      // covered count doc-for-doc, and (since keep1 covers a subset)
+      // kept_keep1 >= kept_aggressive doc-for-doc — the sf10/sf30 stand-in
+      // for the keep1_apply row's own OOM-class DuckDB replay
+      val k1app = SparkEntry.queries("l_dup_spans_keep1_apply")(spark, d)
+        .select(col("doc_id"), col("n_tokens").as("ka_n"), col("n_kept").as("ka_kept"))
+      val k1appRows = k1app.count()
+      val k1Bad = k1app
+        .join(k1, Seq("doc_id"), "left")
+        .join(app.withColumnRenamed("n_kept", "agg_kept"), Seq("doc_id"), "left")
+        .filter(col("ka_n") =!= col("n_tokens") ||
+          when(col("k1_dup").isNull, col("ka_kept") =!= col("ka_n"))
+            .otherwise(col("ka_kept") =!= col("ka_n") - col("k1_dup")) ||
+          col("ka_kept") < col("agg_kept"))
+        .count()
+      // canonical survival, MEASURED corpus-wide: one copy of a repeated
+      // gram survives the keep1 cut unless a foreign non-canonical
+      // occurrence overlaps its canonical copy (the Lee-et-al boundary
+      // clip) — with any real duplication, some copies must survive
+      val (nDupGrams, survived) = graft.LlmOps.dupSpanKeep1Survival(spark, d)
+      app.unpersist(); det.unpersist(); k1.unpersist()
+      (nApp == corpus && bad == 0L && over == 0L &&
+        (aggTot == 0L || k1Tot < aggTot) &&
+        k1appRows == corpus && k1Bad == 0L &&
+        (nDupGrams == 0L || survived > 0L),
         s"apply_rows=$nApp corpus=$corpus inconsistent=$bad " +
-          s"keep1_over_aggressive=$over covered_agg=$aggTot covered_keep1=$k1Tot")
+          s"keep1_over_aggressive=$over covered_agg=$aggTot covered_keep1=$k1Tot " +
+          s"keep1_apply_rows=$k1appRows keep1_apply_bad=$k1Bad " +
+          s"dup_grams=$nDupGrams canonical_survived=$survived")
+    }
+
+    check("dup_spans_k_sensitivity") {
+      // Lee et al.'s result is K-sensitive; a future DUPSPAN_K retune
+      // must not silently flip the spelling's semantics. The containment
+      // THEOREM: equal (K+2)-grams imply equal K-sub-grams, so every
+      // position covered at K+2 is covered at K. Checked under the
+      // collision-free 64-bit probe hash (LlmOps.dupSpanCoveredAt) — the
+      // production poly-mod hash's birthday collisions at stress-SF gram
+      // counts would fabricate K+2 coverage with no K counterpart and
+      // turn the theorem probabilistic.
+      val k = graft.LlmOps.DUPSPAN_K
+      val atK = graft.LlmOps.dupSpanCoveredAt(spark, d, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val atK2 = graft.LlmOps.dupSpanCoveredAt(spark, d, k + 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nK = atK.count()
+      val nK2 = atK2.count()
+      val escaped = atK2.join(atK, Seq("doc_id", "p"), "left_anti").count()
+      atK.unpersist(); atK2.unpersist()
+      (escaped == 0L && nK2 <= nK,
+        s"covered@$k=$nK covered@${k + 2}=$nK2 escaped_containment=$escaped")
     }
 
     check("pagerank_fixed_point_at_4") {

@@ -66,8 +66,20 @@ object StreamingOps {
     */
   private def eventsRawSchema(s: SparkSession, dir: String): StructType = {
     graft.Tables.eventsReadConfs(s)
-    try s.read.parquet(s"$dir/events.parquet").schema
-    catch { case _: Exception => eventsNormalizedSchema }
+    if (tableOnDisk(s, dir, "events"))
+      s.read.parquet(s"$dir/events.parquet").schema
+    else eventsNormalizedSchema
+  }
+
+  /** Whether `<dir>/<table>.parquet` exists (file or part-directory).
+    * The footer-derived schema fallbacks key on THIS, not on a blanket
+    * catch — a corrupt footer or transient IO failure must propagate,
+    * not be silently read as "table absent, use the default encoding"
+    * (r14 ADVICE: a double-encoded embeddings table whose footer read
+    * transiently failed would have been planned as float). */
+  private def tableOnDisk(s: SparkSession, dir: String, table: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
   }
 
   /** documents.parquet schema (TESTDATA.md) for the streamed-ingest rows. */
@@ -127,10 +139,11 @@ object StreamingOps {
       streamTable(s, dir, "embeddings", embeddingsRawSchema(s, dir)))
 
   private def embeddingsRawSchema(s: SparkSession, dir: String): StructType =
-    try s.read.parquet(s"$dir/embeddings.parquet").schema
-    catch { case _: Exception => StructType(Seq(
+    if (tableOnDisk(s, dir, "embeddings"))
+      s.read.parquet(s"$dir/embeddings.parquet").schema
+    else StructType(Seq(
       StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)))) }
+      StructField("embedding", ArrayType(FloatType))))
 
   /** One-row far-future feed unioned into windowed queries so the final
     * real windows finalize (see the scale-design note above). Both file
@@ -147,8 +160,28 @@ object StreamingOps {
   private def eventsWithFlush(s: SparkSession, dir: String): DataFrame =
     readEventsStream(s, dir).unionAll(sentinelStream(s))
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Scratch dirs (sinks, checkpoints, sentinels, temp models) REGISTERED
+    * for recursive deletion at JVM exit — a long-lived session invoking
+    * the streaming rows repeatedly must not accumulate disk (r14 ADVICE).
+    * Exit-time, not eager: a drained sink is lazily re-read by the
+    * returned verdict frame, so its lifetime is the session's. */
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tmpDirs.forEach { root =>
+        try
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => () } })
+        catch { case _: Exception => () }
+      }
+    }, "graft-tmp-cleanup"))
+  }
+  private[graft] def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    tmpDirs.add(p)
+    p.toString
+  }
 
   /** Drain `df` to completion under AvailableNow into an idempotent
     * per-batch parquet sink (deterministic `b<batchId>` directory +
@@ -584,6 +617,20 @@ object StreamingOps {
     "s_pipeline" -> ((s, d) =>
       graft.LlmOps.pipelineTail(s, d, readSink(s, drainToParquet(
         graft.LlmOps.pipelineHead(readDocumentsStream(s, d)), "append")))),
+    // Streaming DECONTAMINATION at ingest: the benchmark 8-gram set is
+    // STATIC (eval sets are MBs, built once offline — here LlmOps
+    // .benchGrams on the at-rest corpus, the same frame the batch row
+    // broadcasts), and the overlap count is per-document, so scoring
+    // binds to each micro-batch inside foreachBatch unchanged — the last
+    // stateless LLM admission gate to get its streaming twin (quality,
+    // PII, langid, neardup, semdedup already have one). Shares
+    // l_decontaminate's oracle: micro-batched admission ≡ the batch scan.
+    "s_decontaminate" -> ((s, d) => {
+      val bench = graft.LlmOps.benchGrams(s, d)
+      readSink(s, drainMapped(readDocumentsStream(s, d),
+        b => graft.LlmOps.decontaminateScore(b, bench)))
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    }),
     // Streaming SEMANTIC-dedup admission: codebook trained once and
     // persisted (the r12 model seam), arriving vectors scored statelessly
     // against the static corpus assignment index — cell-bounded candidate
@@ -624,6 +671,9 @@ object StreamingOps {
     // stateless per-doc scoring against a persisted model: micro-batched
     // scoring ≡ the batch row — the oracle IS the batch oracle
     "s_langid" -> graft.LlmOps.oracles("l_langid"),
+    // stateless per-doc scoring against the static benchmark gram set —
+    // the oracle IS the batch decontamination oracle
+    "s_decontaminate" -> graft.LlmOps.oracles("l_decontaminate"),
     // stateless per-vector scoring against the persisted codebook + the
     // static corpus index — the oracle IS the batch semdedup oracle
     "s_semdedup" -> graft.LlmOps.oracles("l_semdedup"),

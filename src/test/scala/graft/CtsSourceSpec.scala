@@ -112,6 +112,58 @@ class CtsSourceSpec extends AnyFunSuite {
     assert(delivered.toArray.map(_.toString).toSeq === Seq("t8"))
   }
 
+  test("cts stream feeding the CE transform + curation head equals the batch path") {
+    // r14 verdict task 5: the one end-to-end shape not yet pinned —
+    // format("cts") micro-batches (the marker-chain protocol) feeding the
+    // CloudEvent transform and the pipeline's stateless admission head
+    // (quality cascade + PII scrub) in ONE streaming query. The head is a
+    // codegen Project + filter with no state store, so it binds to the
+    // micro-batch stream unchanged; equality with the batch path over the
+    // same fixture chain is the proof.
+    val dir = writeFixtures()
+    // trace → CE (toCloudEvents needs ts/region/domain/tenant, which the
+    // live CTS payload carries but the minimal fixture omits) → a
+    // document-shaped frame: id digits become doc_id (exercising the
+    // planted-PII branches at doc_id % 7 ∈ {0, 3, 5}), the CE fields
+    // compose a text long enough to clear the quality cascade.
+    def ceDocs(traces: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val ce = graft.operators.CtsParity.toCloudEvents(traces
+        .withColumn("ts", timestamp_millis(col("time")))
+        .withColumn("region", lit("eu-de"))
+        .withColumn("domain", lit("dom"))
+        .withColumn("tenant", lit("ten")))
+      ce.select(
+          expr("cast(substring(id, 2) as long)").as("doc_id"),
+          lit("en").as("lang"),
+          concat(
+            lit("the event of type "), col("type"),
+            lit(" from subject "), col("subject"),
+            lit(" was a normal api call and the trace is fine "),
+            lit("so the record was kept for review and the audit "),
+            lit("found that it was in order for all the checks")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    val batchAdmitted = LlmOps.pipelineHead(
+      ceDocs(spark.read.format("cts").option("pages", dir.toString).load()))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batchAdmitted.nonEmpty, "the fixture corpus must clear the quality head")
+    val name = "cts_pipeline_out"
+    val q = LlmOps.pipelineHead(
+      ceDocs(spark.readStream.format("cts").option("pages", dir.toString).load()))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("cts-ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect().map(_.toString).sorted.toSeq
+    assert(streamed === batchAdmitted,
+      "cts-stream → CE → admission head diverged from the batch path")
+    // the head actually redacted: doc 0 (doc_id % 7 == 0) carries the
+    // planted email rewritten to the [EMAIL] tag
+    assert(streamed.exists(_.contains("[EMAIL]")),
+      "planted PII must be redacted on the streamed path")
+  }
+
   test("offset deserialization parses the envelope field and rejects garbage") {
     assert(CtsSource.parseOffsetJson("""{"pages":7}""") === 7)
     assert(intercept[IllegalArgumentException] {

@@ -476,6 +476,54 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixture should contain at least one fully-duplicated doc cut to empty")
   }
 
+  test("dup-spans keep1 apply: one copy survives, cut agrees with keep1 detect") {
+    val k1stats = run("l_dup_spans_keep1").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val k1app = run("l_dup_spans_keep1_apply").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val aggApp = run("l_dup_spans_apply").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val orig = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k1app.keySet == orig.keySet, "keep1 apply must emit the whole corpus")
+    k1app.foreach { case (id, (n, kept, text)) =>
+      k1stats.get(id) match {
+        case Some((nt, dup)) =>
+          assert(n == nt && kept == n - dup,
+            s"doc $id: keep1 kept $kept != n_tokens $n - keep1 covered $dup")
+        case None =>
+          assert(n < LlmOps.DUPSPAN_K && kept == n, s"doc $id is gramless but was cut")
+      }
+      assert(kept >= aggApp(id),
+        s"doc $id: keep1 apply kept fewer tokens than the aggressive cut")
+      if (k1stats.get(id).forall(_._2 == 0L))
+        assert(text == orig(id).toLowerCase,
+          s"doc $id has no non-canonical span but its text changed")
+    }
+    // the exemption is real: some doc cut by the aggressive policy keeps
+    // MORE under keep1 (its canonical copy survives)
+    assert(k1app.exists { case (id, (_, kept, _)) => kept > aggApp(id) },
+      "keep1 must exempt at least one canonical occurrence from the cut")
+    // canonical survival, measured: with planted duplication, surviving
+    // copies must exist
+    val (nDup, survived) = LlmOps.dupSpanKeep1Survival(spark, d)
+    assert(nDup > 0L, "fixture should contain duplicated grams")
+    assert(survived > 0L, "no canonical copy survived the keep1 cut")
+  }
+
+  test("dup-spans K-sensitivity: covered@K+2 is contained in covered@K") {
+    val k = LlmOps.DUPSPAN_K
+    def coveredSet(kk: Int) = LlmOps.dupSpanCoveredAt(spark, d, kk).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atK = coveredSet(k)
+    val atK2 = coveredSet(k + 2)
+    assert(atK.nonEmpty, "fixture should contain duplicated grams at K")
+    assert(atK2.subsetOf(atK),
+      s"${(atK2 -- atK).size} positions covered at K+2 escape the K cover")
+    assert(atK2.size < atK.size,
+      "longer grams must strictly shrink coverage on this fixture")
+  }
+
   test("importance: target-language docs dominate a deterministic top-50") {
     val rows = run("l_importance").collect()
     assert(rows.length === 50)
@@ -600,6 +648,25 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     SparkEntry.queries("l_winnow")(spark, TestSpark.sfDir).collect()
     assert(nCached >= 1, "persist must be re-asserted after clearCache")
+    spark.catalog.clearCache()
+  }
+
+  test("memoized frames: a sweep over every memoized row holds a bounded cache") {
+    // r14 verdict task: pin a GLOBAL CacheManager entry bound after a
+    // harness sweep over all memoized rows — the winnow pair shares ONE
+    // fingerprint frame (+2 row-local persists), the dup-spans family
+    // shares ONE positional-gram frame; re-sweeping adds nothing.
+    val spark = TestSpark.spark
+    spark.catalog.clearCache()
+    def nCached = spark.sparkContext.getPersistentRDDs.size
+    val memoRows = Seq("l_winnow", "l_winnow_lsh", "l_dup_spans",
+      "l_dup_spans_apply", "l_dup_spans_keep1", "l_dup_spans_keep1_apply")
+    memoRows.foreach(q => SparkEntry.queries(q)(spark, TestSpark.sfDir).collect())
+    val afterSweep = nCached
+    assert(afterSweep <= 4,
+      s"expected <=4 cache entries after the memo sweep, found $afterSweep")
+    memoRows.foreach(q => SparkEntry.queries(q)(spark, TestSpark.sfDir).collect())
+    assert(nCached === afterSweep, "re-sweeping must not add cache entries")
     spark.catalog.clearCache()
   }
 }

@@ -313,6 +313,17 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no duplicate verdicts — the equality proved nothing")
   }
 
+  test("streaming decontamination equals the batch l_decontaminate row-for-row") {
+    val spark = TestSpark.spark
+    val got = graft.streaming.StreamingOps.queries("s_decontaminate")(
+      spark, TestSpark.sfDir).collect().toSeq
+    val want = LlmOps.queries("l_decontaminate")(spark, TestSpark.sfDir).collect().toSeq
+    assert(got == want,
+      s"stream/batch decontaminate diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.nonEmpty,
+      "fixture produced no contaminated docs — the equality proved nothing")
+  }
+
   test("late row beyond the watermark is dropped, finalized window unchanged") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
