@@ -758,7 +758,7 @@ object LlmOps {
   /** DISTINCT duplicated token positions (doc_id, p): a position is
     * duplicated iff covered by a K-gram window whose hash occurs ≥ 2
     * times in the corpus (total occurrences — intra-doc repeats count). */
-  private def dupSpanCovered(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dupSpanCovered(s: SparkSession, d: String): DataFrame = {
     val grams = dupSpanGrams(s, d)
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
@@ -876,6 +876,87 @@ object LlmOps {
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
       .distinct()
+  }
+
+  /** One micro-batch of streaming repeated-substring detection
+    * ([[streamDupSpans]]): positional K-grams of the arriving docs are
+    * checked against the gram index-so-far, covered positions are
+    * emitted SYMMETRICALLY, and the batch's grams are folded into the
+    * index for the next batch — the [[admitBatch]] maintained-index
+    * discipline applied to the ExactSubstr family.
+    *
+    * Symmetric emission is what makes the drained union EXACTLY the
+    * batch covered set: an occurrence is covered iff its gram occurs ≥ 2
+    * times corpus-wide, and wherever the two occurrences land —
+    * same batch (the within-batch occ ≥ 2 rule), earlier-then-now (the
+    * arriving side hits the index), now-then-later (the LATER batch
+    * re-emits the index side's positions) — both end up in some batch's
+    * emission; the terminal distinct collapses re-emissions. Idempotence
+    * under at-least-once redelivery: deterministic b<batchId> dirs with
+    * overwrite, index-so-far = strictly-smaller batch ids only.
+    *
+    * Scale: the index is (doc_id, i, h) rows — at 100 TB a bucketed-by-h
+    * table, so the two semi-joins and the index probe shuffle nothing
+    * but the arriving batch (hash-join against the bucketed side);
+    * within-batch duplication is one map-side-combined aggregate over
+    * the batch's own grams. */
+  private[graft] def dupSpanBatch(batch: DataFrame, batchId: Long,
+                                  idxDir: String, covDir: String): Unit = {
+    val s = batch.sparkSession
+    val g = batch.select(col("doc_id"),
+        posexplode(graft.functions.Generators.wordNGramHashArray(
+          lower(col("text")), DUPSPAN_K)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val priorDirs = Option(new java.io.File(idxDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        f.getName.matches("b\\d{1,17}") && f.getName.drop(1).toLong < batchId)
+      .map(_.getAbsolutePath)
+    val idx: DataFrame =
+      if (priorDirs.isEmpty) g.limit(0) else s.read.parquet(priorDirs: _*)
+    val gH = g.select(col("h")).distinct()
+    // arriving-side coverage: gram already in the index, or duplicated
+    // within this batch (total occurrences — intra-doc repeats count)
+    val inBatchDup = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val dupH = idx.select(col("h")).join(gH, Seq("h"), "left_semi")
+      .unionByName(inBatchDup).distinct()
+    val bCovered = g.join(dupH, Seq("h"), "left_semi")
+    // index-side coverage: every EARLIER occurrence of a gram arriving
+    // now becomes duplicated the moment the second copy lands
+    val iCovered = idx.join(gH, Seq("h"), "left_semi")
+    bCovered.unionByName(iCovered)
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
+      .write.mode("overwrite").parquet(s"$covDir/b$batchId")
+    g.write.mode("overwrite").parquet(s"$idxDir/b$batchId")
+    g.unpersist()
+  }
+
+  /** Streaming repeated-substring span detection WITH index maintenance —
+    * the ingest-time shape of the ExactSubstr family: each micro-batch of
+    * arriving documents is scored against (and folded into) the
+    * positional gram index ([[dupSpanBatch]]); the drained covered
+    * positions, distinct-collapsed, feed the SAME span-statistics
+    * consumer as the batch detect row — so s_dup_spans shares
+    * l_dup_spans' oracle, proving micro-batched ingest with a maintained
+    * index equals the one-shot corpus scan. */
+  def streamDupSpans(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val idxDir = StreamingOps.tmp("graft-dupspan-idx-")
+    val covDir = StreamingOps.tmp("graft-dupspan-cov-")
+    StreamingOps.readDocumentsStream(s, d).writeStream
+      .option("checkpointLocation", StreamingOps.tmp("graft-dupspan-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dupSpanBatch(batch, batchId, idxDir, covDir)
+      }
+      .start().awaitTermination()
+    val covered = s.read.option("recursiveFileLookup", "true").parquet(covDir)
+      .distinct()
+    dupSpanStats(s, d, covered)
   }
 
   /** Canonical-survival MEASUREMENT for the keep1 cut: (n_dup_grams,

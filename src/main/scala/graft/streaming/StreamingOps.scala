@@ -617,6 +617,14 @@ object StreamingOps {
     "s_pipeline" -> ((s, d) =>
       graft.LlmOps.pipelineTail(s, d, readSink(s, drainToParquet(
         graft.LlmOps.pipelineHead(readDocumentsStream(s, d)), "append")))),
+    // Streaming repeated-substring detection WITH index maintenance: the
+    // ExactSubstr family's ingest-time shape — per micro-batch, arriving
+    // docs' positional grams probe (and then join) the gram index-so-far,
+    // covered positions emitted symmetrically so the drained union is
+    // EXACTLY the batch covered set (LlmOps.dupSpanBatch). Shares
+    // l_dup_spans' oracle: micro-batched ingest with a maintained index
+    // provably equals the one-shot corpus scan.
+    "s_dup_spans" -> ((s, d) => graft.LlmOps.streamDupSpans(s, d)),
     // Streaming DECONTAMINATION at ingest: the benchmark 8-gram set is
     // STATIC (eval sets are MBs, built once offline — here LlmOps
     // .benchGrams on the at-rest corpus, the same frame the batch row
@@ -671,6 +679,10 @@ object StreamingOps {
     // stateless per-doc scoring against a persisted model: micro-batched
     // scoring ≡ the batch row — the oracle IS the batch oracle
     "s_langid" -> graft.LlmOps.oracles("l_langid"),
+    // maintained-gram-index ingest provably equals the one-shot corpus
+    // scan (symmetric coverage emission + terminal distinct) — the
+    // oracle IS the batch detect oracle
+    "s_dup_spans" -> graft.LlmOps.oracles("l_dup_spans"),
     // stateless per-doc scoring against the static benchmark gram set —
     // the oracle IS the batch decontamination oracle
     "s_decontaminate" -> graft.LlmOps.oracles("l_decontaminate"),

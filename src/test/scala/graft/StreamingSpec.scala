@@ -313,6 +313,50 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no duplicate verdicts — the equality proved nothing")
   }
 
+  test("streaming dup-spans: maintained gram index over 3 batches equals the corpus scan") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sfDir
+    val docs = Tables.documents(spark, d)
+    val idxDir = java.nio.file.Files.createTempDirectory("dupspan-idx-").toString
+    val covDir = java.nio.file.Files.createTempDirectory("dupspan-cov-").toString
+    // three deterministic slices ingested as separate micro-batches; the
+    // planted mirror docs (id + 100000, and 100000 % 3 == 1) land in a
+    // DIFFERENT slice than their originals, so cross-batch duplication is
+    // guaranteed and the maintained index must do real work
+    val slices = (0 to 2).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      LlmOps.dupSpanBatch(b, i.toLong, idxDir, covDir)
+    }
+    def covered = spark.read.option("recursiveFileLookup", "true").parquet(covDir)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = covered
+    val want = LlmOps.dupSpanCovered(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want,
+      s"streamed covered set diverged: ${(got -- want).size} extra, ${(want -- got).size} missing")
+    // the index side of the symmetric rule actually fired: a batch-0 doc's
+    // positions were re-emitted by a LATER batch's arrival
+    val later = (1 to 2).flatMap(i => spark.read.parquet(s"$covDir/b$i").collect())
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b0docs = slices(0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(later.exists { case (doc, _) => b0docs(doc) },
+      "no batch-0 position was covered by a later arrival — the maintained index went unexercised")
+    // at-least-once redelivery: replaying a batch rewrites its own dirs
+    // identically, the drained union is unchanged
+    LlmOps.dupSpanBatch(slices(1), 1L, idxDir, covDir)
+    assert(covered === want, "redelivering batch 1 changed the covered set")
+  }
+
+  test("streaming dup-spans stats equal the batch l_dup_spans row-for-row") {
+    val spark = TestSpark.spark
+    val got = LlmOps.streamDupSpans(spark, TestSpark.sfDir).collect().toSeq
+    val want = LlmOps.queries("l_dup_spans")(spark, TestSpark.sfDir).collect().toSeq
+    assert(got == want,
+      s"stream/batch dup-spans diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.exists(_.getLong(2) > 0L),
+      "fixture produced no covered spans — the equality proved nothing")
+  }
+
   test("streaming decontamination equals the batch l_decontaminate row-for-row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_decontaminate")(
