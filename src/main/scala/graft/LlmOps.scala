@@ -821,33 +821,38 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
-  /** The CUT consumer over a covered-position set: tokens keep their
-    * positions, covered positions anti-join away, survivor text
-    * reassembles per doc by position-sorted array_join — no per-doc HOF
-    * over text, no collect. Docs shorter than K tokens carry no grams,
+  /** The CUT consumer over a covered-position set: the covered (doc, p)
+    * LONGS aggregate to one sorted per-doc position array, join back to
+    * the corpus scan, and the survivor text rebuilds INSIDE one codegen
+    * Project per row — kept positions = array_except(sequence(1, n),
+    * cov) (both sorted, order-preserving), tokens looked up by position,
+    * array_join reassembles. Docs shorter than K tokens carry no grams,
     * so they pass through uncut — the whole corpus flows in and out, the
     * apply contract. The ONE spelling of the apply output, shared by the
     * aggressive (l_dup_spans_apply) and keep-one (l_dup_spans_keep1_apply)
-    * policies. Scale: the anti-join shuffles (doc, pos) longs; the
-    * rebuild is one per-doc aggregate. */
+    * policies.
+    *
+    * Scale (the r15 rewrite): the former spelling posexploded every
+    * token and shuffled ~|corpus tokens| STRING rows into a per-doc
+    * collect_list(struct) — at sf30 that 450M-row string shuffle
+    * outgrew the box's memory fractions and went ~5× for 3× data. Now
+    * the only full-corpus exchanges move (doc, p) longs (the covered
+    * set, ~10× fewer rows and no strings) and the one-row-per-doc join;
+    * token text never leaves its scan Project. */
   private def dupSpanCut(s: SparkSession, d: String,
                          covered: DataFrame): DataFrame = {
-    val toks = docs(s, d).select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-        col("col").as("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("p"), col("tok")))),
-          x => x.getField("tok")), " ").as("ctext"))
-    docs(s, d).select(col("doc_id"),
-        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("kept"), lit(0L)).as("n_kept"),
-        coalesce(col("ctext"), lit("")).as("clean_text"))
+    val covArr = covered.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("cov"))
+    docs(s, d).select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .join(covArr, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<long>")))
+      .withColumn("keep_p",
+        array_except(sequence(lit(1L), size(col("w")).cast("long")), col("cov")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("keep_p")).cast("long").as("n_kept"),
+        array_join(transform(col("keep_p"),
+          p => element_at(col("w"), p.cast("int"))), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
