@@ -883,6 +883,38 @@ object LlmOps {
       .distinct()
   }
 
+  /** (vec_id, embedding, nrm) corpus frame — norms computed ONCE per
+    * vector in the scan projection (not per candidate pair); the dot is
+    * a native codegen expression. The brute-force similarity INDEX side,
+    * shared by the batch top-k row and the streaming retrieval twin. */
+  private[graft] def embedNorms(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashExprs.vecDot
+    spread(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+  }
+
+  /** Exact cosine top-3 of each query against an index frame (both
+    * (vec_id|q-aliased, embedding, nrm) shaped; self excluded by id).
+    * Queries broadcast (they are the small side — a query batch against
+    * a corpus-sized index), one index scan per call, per-query top-k via
+    * rank-window. Per-QUERY work is one index scan row — stateless, so
+    * the streaming twin binds it per micro-batch unchanged. */
+  private[graft] def cosineTopk(index: DataFrame, queries: DataFrame): DataFrame = {
+    import graft.functions.HashExprs.vecDot
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val joined = index.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (vecDot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** One micro-batch of streaming repeated-substring detection
     * ([[streamDupSpans]]): positional K-grams of the arriving docs are
     * checked against the gram index-so-far, covered positions are
@@ -1721,22 +1753,8 @@ object LlmOps {
     // final per-query top-k window; at 100 TB the query set stays broadcast
     // and the candidate scan is embarrassingly parallel.
     "l_cosine_topk" -> ((s, d) => {
-      import graft.functions.HashExprs.vecDot
-      // norms are computed ONCE per vector in the scan projection (not per
-      // candidate pair); the dot is a native codegen expression
-      val e = spread(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"),
-          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          (vecDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      joined.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      val e = embedNorms(s, d)
+      cosineTopk(e, e.filter(col("vec_id") < 5))
         .orderBy(col("q_id"), col("rank"))
     }),
 

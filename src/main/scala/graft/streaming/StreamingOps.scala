@@ -617,6 +617,26 @@ object StreamingOps {
     "s_pipeline" -> ((s, d) =>
       graft.LlmOps.pipelineTail(s, d, readSink(s, drainToParquet(
         graft.LlmOps.pipelineHead(readDocumentsStream(s, d)), "append")))),
+    // Streaming similarity RETRIEVAL: query vectors arrive as a stream,
+    // the corpus index is static — the online-serving shape of the
+    // similarity-search family. Per-query scoring is stateless (one
+    // index scan per micro-batch of queries, exact cosine + top-k inside
+    // foreachBatch), so the twin binds the batch row's scorer
+    // (LlmOps.cosineTopk) per micro-batch unchanged and shares
+    // l_cosine_topk's oracle. At 100 TB the index side is the bucketed/
+    // IVF-partitioned table (l_ann_lsh/l_ivf are the scale paths); the
+    // brute scorer is the recall ceiling a serving deployment A/Bs
+    // against.
+    "s_cosine_topk" -> ((s, d) => {
+      val index = graft.LlmOps.embedNorms(s, d)
+      val queries = readEmbeddingsStream(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", sqrt(graft.functions.HashExprs.vecDot(
+          col("embedding"), col("embedding"))))
+        .filter(col("vec_id") < 5)
+      readSink(s, drainMapped(queries, b => graft.LlmOps.cosineTopk(index, b)))
+        .orderBy(col("q_id"), col("rank"))
+    }),
     // Streaming repeated-substring detection WITH index maintenance: the
     // ExactSubstr family's ingest-time shape — per micro-batch, arriving
     // docs' positional grams probe (and then join) the gram index-so-far,
@@ -679,6 +699,9 @@ object StreamingOps {
     // stateless per-doc scoring against a persisted model: micro-batched
     // scoring ≡ the batch row — the oracle IS the batch oracle
     "s_langid" -> graft.LlmOps.oracles("l_langid"),
+    // stateless per-query scoring against the static corpus index — the
+    // oracle IS the batch top-k oracle
+    "s_cosine_topk" -> graft.LlmOps.oracles("l_cosine_topk"),
     // maintained-gram-index ingest provably equals the one-shot corpus
     // scan (symmetric coverage emission + terminal distinct) — the
     // oracle IS the batch detect oracle

@@ -357,6 +357,16 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no covered spans — the equality proved nothing")
   }
 
+  test("streaming similarity retrieval equals the batch l_cosine_topk row-for-row") {
+    val spark = TestSpark.spark
+    val got = graft.streaming.StreamingOps.queries("s_cosine_topk")(
+      spark, TestSpark.sfDir).collect().toSeq
+    val want = LlmOps.queries("l_cosine_topk")(spark, TestSpark.sfDir).collect().toSeq
+    assert(got == want,
+      s"stream/batch cosine top-k diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.size == 15, "5 queries x top-3 expected from the fixture")
+  }
+
   test("streaming decontamination equals the batch l_decontaminate row-for-row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_decontaminate")(
