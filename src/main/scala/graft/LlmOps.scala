@@ -883,6 +883,71 @@ object LlmOps {
       .distinct()
   }
 
+  /** (doc_id, dl) document lengths — the BM25 length-normalization
+    * frame; one spelling for the batch row, the model trainer, and the
+    * streaming scorer. */
+  private def bm25Dl(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("dl"))
+
+  /** (doc_id, tok, tf) query-term frequencies — terms filtered BEFORE
+    * the aggregate shuffles (only matching tokens leave the scan). */
+  private def bm25Tf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(BM25_TERMS: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+
+  /** The Okapi BM25 per-(doc, term) contribution (k1 = 1.2, b = 0.75)
+    * over columns (tf, df, n_docs, dl, avgdl) — ONE spelling of the
+    * arithmetic shared by the batch row and the streaming scorer, so
+    * the twins cannot drift; all inputs are exact longs except avgdl
+    * (an exact-long sum / exact count ⇒ deterministic double), so the
+    * score is bit-reproducible. */
+  private def bm25Contrib: Column =
+    (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .as("c")
+
+  /** Per-doc BM25 rollup: fixed-order term sum (reduce over BM25_TERMS —
+    * deterministic double addition order) + matched-term count. */
+  private def bm25PerDoc(contrib: DataFrame): DataFrame =
+    contrib.groupBy(col("doc_id"))
+      .agg(
+        BM25_TERMS.map(t =>
+            coalesce(max(when(col("tok") === t, col("c"))), lit(0.0)))
+          .reduce(_ + _).as("score"),
+        count(lit(1)).as("n_terms"))
+
+  /** Train the BM25 corpus-statistics MODEL once and persist it: one row
+    * per query term (tok, df) carrying (n_docs, avgdl) — kilobytes at
+    * any corpus size, the save/load seam production retrieval needs
+    * (an offline indexer, an online scorer; the l_langid pattern). */
+  private[graft] def trainBm25Model(s: SparkSession, d: String,
+                                    dir: String): Unit = {
+    val corpus = docs(s, d)
+    val dl = bm25Dl(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    bm25Tf(corpus).groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(stats)
+      .write.mode("overwrite").parquet(dir)
+    dl.unpersist()
+  }
+
+  /** Score an arbitrary (doc_id, text) frame against a loaded BM25
+    * model — per-document stateless (tf and dl are row-local facts, the
+    * model broadcasts), so the streaming twin binds it per micro-batch
+    * and micro-batched scoring provably equals the batch row. */
+  private[graft] def scoreBm25(corpus: DataFrame, model: DataFrame): DataFrame = {
+    val contrib = bm25Tf(corpus)
+      .join(broadcast(model), "tok")
+      .join(bm25Dl(corpus), "doc_id")
+      .select(col("doc_id"), col("tok"), bm25Contrib)
+    bm25PerDoc(contrib)
+  }
+
   /** (vec_id, embedding, nrm) corpus frame — norms computed ONCE per
     * vector in the scan projection (not per candidate pair); the dot is
     * a native codegen expression. The brute-force similarity INDEX side,
@@ -2444,34 +2509,20 @@ object LlmOps {
     // different profiles could, and an all-integer surrogate score would
     // be the fix then.
     "l_bm25" -> ((s, d) => {
-      val toks = docs(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      val dl = toks
-        .select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      val dl = bm25Dl(docs(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       // persisted: df derives from tf — without the persist the whole
       // tokenize+explode pipeline (a corpus scan) would run twice
-      val tf = toks.select(col("doc_id"), explode(col("w")).as("tok"))
-        .filter(col("tok").isin(BM25_TERMS: _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val tf = bm25Tf(docs(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val contrib = tf
         .join(broadcast(dfreq), "tok")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("tok"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-            .as("c"))
-      contrib.groupBy(col("doc_id"))
-        .agg(
-          BM25_TERMS.map(t =>
-              coalesce(max(when(col("tok") === t, col("c"))), lit(0.0)))
-            .reduce(_ + _).as("score"),
-          count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("tok"), bm25Contrib)
+      bm25PerDoc(contrib)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("n_terms"), col("score"))

@@ -617,6 +617,24 @@ object StreamingOps {
     "s_pipeline" -> ((s, d) =>
       graft.LlmOps.pipelineTail(s, d, readSink(s, drainToParquet(
         graft.LlmOps.pipelineHead(readDocumentsStream(s, d)), "append")))),
+    // Streaming BM25 scoring at ingest: corpus statistics (per-term df,
+    // n_docs, avgdl) TRAINED once batch-side and persisted to a
+    // kilobyte parquet model (the offline-indexer/online-scorer seam,
+    // the l_langid pattern), then every arriving document scored
+    // statelessly against the loaded model — tf and dl are row-local
+    // facts, so micro-batched scoring provably equals the batch row;
+    // the corpus-global top-10 is the drain tail. Shares l_bm25's
+    // oracle.
+    "s_bm25" -> ((s, d) => {
+      val modelDir = tmp("graft-bm25-model-")
+      graft.LlmOps.trainBm25Model(s, d, modelDir)
+      val model = s.read.parquet(modelDir)
+      readSink(s, drainMapped(readDocumentsStream(s, d),
+        b => graft.LlmOps.scoreBm25(b, model)))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_terms"), col("score"))
+    }),
     // Streaming similarity RETRIEVAL: query vectors arrive as a stream,
     // the corpus index is static — the online-serving shape of the
     // similarity-search family. Per-query scoring is stateless (one
@@ -699,6 +717,9 @@ object StreamingOps {
     // stateless per-doc scoring against a persisted model: micro-batched
     // scoring ≡ the batch row — the oracle IS the batch oracle
     "s_langid" -> graft.LlmOps.oracles("l_langid"),
+    // stateless per-doc scoring against the persisted corpus-statistics
+    // model — the oracle IS the batch BM25 oracle
+    "s_bm25" -> graft.LlmOps.oracles("l_bm25"),
     // stateless per-query scoring against the static corpus index — the
     // oracle IS the batch top-k oracle
     "s_cosine_topk" -> graft.LlmOps.oracles("l_cosine_topk"),

@@ -357,6 +357,16 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no covered spans — the equality proved nothing")
   }
 
+  test("streaming BM25 scoring against the persisted model equals the batch row") {
+    val spark = TestSpark.spark
+    val got = graft.streaming.StreamingOps.queries("s_bm25")(
+      spark, TestSpark.sfDir).collect().toSeq
+    val want = LlmOps.queries("l_bm25")(spark, TestSpark.sfDir).collect().toSeq
+    assert(got == want,
+      s"stream/batch BM25 diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.size == 10, "the fixture must fill the top-10")
+  }
+
   test("streaming similarity retrieval equals the batch l_cosine_topk row-for-row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_cosine_topk")(
