@@ -883,6 +883,25 @@ object LlmOps {
       .distinct()
   }
 
+  /** Heavy-hitters frequency threshold — one spelling for the batch row,
+    * its oracle, and the streaming twin's compaction tail. */
+  private[graft] val HH_T = 200L
+
+  /** Map-side-combined token-count PARTIALS of one document frame — the
+    * per-micro-batch unit of the streaming heavy-hitters twin. Counting
+    * is DISTRIBUTIVE, so per-batch partials drained append-only plus one
+    * compaction aggregate at read time equal the corpus count exactly —
+    * the state-store-free spelling of update-mode streaming aggregation
+    * (no unbounded keyed state inside the query; the partial store IS
+    * the state, vocabulary-bounded per batch). The batch row's count-min
+    * candidate pass is a SCAN optimization over one huge corpus read and
+    * is unnecessary here: each micro-batch's partial is already an
+    * aggregate, never raw occurrences. */
+  private[graft] def tokenCountPartials(batch: DataFrame): DataFrame =
+    batch.select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("pc"))
+
   /** (doc_id, dl) document lengths — the BM25 length-normalization
     * frame; one spelling for the batch row, the model trainer, and the
     * streaming scorer. */
@@ -2055,7 +2074,7 @@ object LlmOps {
     // oracle is a plain HAVING — sketch collisions cannot leak into the
     // result, only into how much work pass 2 does).
     "l_heavy_hitters" -> ((s, d) => {
-      val T = 200L
+      val T = HH_T
       val R = 4
       val W = 1024
       val toks = docs(s, d)

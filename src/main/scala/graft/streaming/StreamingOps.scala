@@ -617,6 +617,22 @@ object StreamingOps {
     "s_pipeline" -> ((s, d) =>
       graft.LlmOps.pipelineTail(s, d, readSink(s, drainToParquet(
         graft.LlmOps.pipelineHead(readDocumentsStream(s, d)), "append")))),
+    // Streaming HEAVY HITTERS — the additive-partial-aggregate pattern:
+    // counting is distributive, so each micro-batch drains its map-side-
+    // combined token-count partial append-only (LlmOps.tokenCountPartials,
+    // vocabulary-bounded per batch) and ONE compaction aggregate at the
+    // tail sums partials into exact corpus counts — no state store, no
+    // unbounded keyed state, the at-scale spelling for any distributive
+    // aggregate over an unbounded ingest. Shares l_heavy_hitters' oracle
+    // (the batch row's count-min pass is a scan optimization, invisible
+    // to correctness there and unnecessary here).
+    "s_heavy_hitters" -> ((s, d) => {
+      readSink(s, drainMapped(readDocumentsStream(s, d),
+        graft.LlmOps.tokenCountPartials))
+        .groupBy(col("tok")).agg(sum(col("pc")).as("n"))
+        .filter(col("n") >= graft.LlmOps.HH_T)
+        .orderBy(col("n").desc, col("tok"))
+    }),
     // Streaming BM25 scoring at ingest: corpus statistics (per-term df,
     // n_docs, avgdl) TRAINED once batch-side and persisted to a
     // kilobyte parquet model (the offline-indexer/online-scorer seam,
@@ -717,6 +733,9 @@ object StreamingOps {
     // stateless per-doc scoring against a persisted model: micro-batched
     // scoring ≡ the batch row — the oracle IS the batch oracle
     "s_langid" -> graft.LlmOps.oracles("l_langid"),
+    // additive partials + compaction tail ≙ the one-shot corpus count —
+    // the oracle IS the batch heavy-hitters oracle
+    "s_heavy_hitters" -> graft.LlmOps.oracles("l_heavy_hitters"),
     // stateless per-doc scoring against the persisted corpus-statistics
     // model — the oracle IS the batch BM25 oracle
     "s_bm25" -> graft.LlmOps.oracles("l_bm25"),

@@ -357,6 +357,16 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no covered spans — the equality proved nothing")
   }
 
+  test("streaming heavy hitters from additive partials equal the batch row") {
+    val spark = TestSpark.spark
+    val got = graft.streaming.StreamingOps.queries("s_heavy_hitters")(
+      spark, TestSpark.sfDir).collect().toSeq
+    val want = LlmOps.queries("l_heavy_hitters")(spark, TestSpark.sfDir).collect().toSeq
+    assert(got == want,
+      s"stream/batch heavy hitters diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.nonEmpty, "the fixture must contain frequent tokens")
+  }
+
   test("streaming BM25 scoring against the persisted model equals the batch row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_bm25")(
