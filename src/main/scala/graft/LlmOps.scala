@@ -778,18 +778,24 @@ object LlmOps {
     * occurrences into a single task. Shared by the keep1 detect row
     * (span statistics) and the keep1 cut row (survivor rebuild), so the
     * pair cannot disagree about what "non-canonical" means. */
-  private def dupSpanCoveredKeep1(s: SparkSession, d: String): DataFrame = {
-    val grams = dupSpanGrams(s, d)
-    val canon = grams.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("i"))).as("mn"),
-        count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-    grams.join(canon, Seq("h"))
+  private def dupSpanCoveredKeep1(s: SparkSession, d: String): DataFrame =
+    dupSpanGrams(s, d).join(dupSpanCanon(s, d), Seq("h"))
       .filter(col("doc_id") =!= col("mn.doc_id") || col("i") =!= col("mn.i"))
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
       .distinct()
-  }
+
+  /** (h, mn:(doc_id, i)) — each duplicated gram's CANONICAL occurrence:
+    * the minimal (doc_id, i), from one map-side-combined min(struct)
+    * aggregate. The ONE spelling of the canonical pick, shared by the
+    * keep1 covered set and the survival probe — so the measurement
+    * cannot drift from what the cut actually exempts. */
+  private def dupSpanCanon(s: SparkSession, d: String): DataFrame =
+    dupSpanGrams(s, d).groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("mn"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"), col("mn"))
 
   /** Per-doc span STATISTICS over a covered-position set: consecutive
     * positions merge into maximal spans by the p − row_number() run
@@ -1075,7 +1081,12 @@ object LlmOps {
         dupSpanBatch(batch, batchId, idxDir, covDir)
       }
       .start().awaitTermination()
-    val covered = s.read.option("recursiveFileLookup", "true").parquet(covDir)
+    // explicit schema: a zero-batch drain (empty source dir) leaves
+    // covDir without files, and schema INFERENCE would throw where the
+    // batch detect row returns its empty frame
+    val covered = s.read
+      .schema("doc_id long, p long")
+      .option("recursiveFileLookup", "true").parquet(covDir)
       .distinct()
     dupSpanStats(s, d, covered)
   }
@@ -1085,16 +1096,15 @@ object LlmOps {
     * occurrence keeps all K token positions after the keep1 cut. Only
     * the canonical occurrence can survive (every non-canonical occurrence
     * contributes its whole window to the covered set), and it is clipped
-    * only when a DIFFERENT gram's non-canonical occurrence overlaps it —
-    * the boundary case Lee et al. accept, so full survival is a
-    * measurement, not a theorem; StressCheck asserts survived > 0
-    * whenever duplication exists and reports the fraction. */
+    * only when another non-canonical occurrence overlaps it — the
+    * boundary case Lee et al. accept, so survival is a MEASUREMENT, not
+    * a theorem (even survived = 0 is reachable: period-1 self-repetition
+    * like "a a a a …" clips every canonical window with the SAME gram's
+    * next occurrence); StressCheck reports the count, it does not gate
+    * on it. */
   private[graft] def dupSpanKeep1Survival(s: SparkSession,
                                           d: String): (Long, Long) = {
-    val canon = dupSpanGrams(s, d).groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("i"))).as("mn"),
-        count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
+    val canon = dupSpanCanon(s, d)
       .select(col("h"), col("mn.doc_id").as("doc_id"), col("mn.i").as("i"))
     val nDup = canon.count()
     val clipped = canon

@@ -270,8 +270,12 @@ object StressCheck {
       // covered count doc-for-doc, and (since keep1 covers a subset)
       // kept_keep1 >= kept_aggressive doc-for-doc — the sf10/sf30 stand-in
       // for the keep1_apply row's own OOM-class DuckDB replay
+      // persisted: consumed by the row count AND the consistency join —
+      // the keep1 apply plan (gram explode + canon aggregate + covered
+      // distinct + survivor rebuild) must not run twice at stress SF
       val k1app = SparkEntry.queries("l_dup_spans_keep1_apply")(spark, d)
         .select(col("doc_id"), col("n_tokens").as("ka_n"), col("n_kept").as("ka_kept"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k1appRows = k1app.count()
       val k1Bad = k1app
         .join(k1, Seq("doc_id"), "left")
@@ -281,16 +285,17 @@ object StressCheck {
             .otherwise(col("ka_kept") =!= col("ka_n") - col("k1_dup")) ||
           col("ka_kept") < col("agg_kept"))
         .count()
-      // canonical survival, MEASURED corpus-wide: one copy of a repeated
-      // gram survives the keep1 cut unless a foreign non-canonical
-      // occurrence overlaps its canonical copy (the Lee-et-al boundary
-      // clip) — with any real duplication, some copies must survive
+      // canonical survival, MEASURED corpus-wide and REPORTED, not gated:
+      // a canonical copy survives unless another non-canonical occurrence
+      // overlaps it (the Lee-et-al boundary clip), and even survived = 0
+      // is reachable on a legal corpus (period-1 self-repetition clips
+      // every canonical window with the SAME gram's next occurrence) —
+      // gating would fail a correct implementation on a corpus property
       val (nDupGrams, survived) = graft.LlmOps.dupSpanKeep1Survival(spark, d)
-      app.unpersist(); det.unpersist(); k1.unpersist()
+      app.unpersist(); det.unpersist(); k1.unpersist(); k1app.unpersist()
       (nApp == corpus && bad == 0L && over == 0L &&
         (aggTot == 0L || k1Tot < aggTot) &&
-        k1appRows == corpus && k1Bad == 0L &&
-        (nDupGrams == 0L || survived > 0L),
+        k1appRows == corpus && k1Bad == 0L,
         s"apply_rows=$nApp corpus=$corpus inconsistent=$bad " +
           s"keep1_over_aggressive=$over covered_agg=$aggTot covered_keep1=$k1Tot " +
           s"keep1_apply_rows=$k1appRows keep1_apply_bad=$k1Bad " +

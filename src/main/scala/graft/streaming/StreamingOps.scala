@@ -71,15 +71,25 @@ object StreamingOps {
     else eventsNormalizedSchema
   }
 
-  /** Whether `<dir>/<table>.parquet` exists (file or part-directory).
+  /** Whether `<dir>/<table>.parquet` holds COMMITTED data — a plain
+    * file, or a part-directory with at least one non-hidden data file.
     * The footer-derived schema fallbacks key on THIS, not on a blanket
-    * catch — a corrupt footer or transient IO failure must propagate,
-    * not be silently read as "table absent, use the default encoding"
-    * (r14 ADVICE: a double-encoded embeddings table whose footer read
-    * transiently failed would have been planned as float). */
+    * catch — a corrupt footer or transient IO failure on real data must
+    * propagate, not be silently read as "table absent, use the default
+    * encoding" (r14 ADVICE: a double-encoded embeddings table whose
+    * footer read transiently failed would have been planned as float).
+    * A directory holding only `_temporary`/hidden entries is a producer
+    * MID-WRITE — the consumer-first receive→ingest state streamTable
+    * documents — and counts as not-yet-written, so the consumer starts
+    * on the default schema instead of crashing on an unreadable footer. */
   private def tableOnDisk(s: SparkSession, dir: String, table: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(path) && (fs.getFileStatus(path).isFile ||
+      fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      })
   }
 
   /** documents.parquet schema (TESTDATA.md) for the streamed-ingest rows. */
@@ -688,10 +698,17 @@ object StreamingOps {
     // PII, langid, neardup, semdedup already have one). Shares
     // l_decontaminate's oracle: micro-batched admission ≡ the batch scan.
     "s_decontaminate" -> ((s, d) => {
+      // persisted for the drain: every micro-batch's score plan embeds
+      // this frame's broadcast — without the persist each batch would
+      // re-run the at-rest corpus scan + gram explode + distinct that
+      // the "built once offline" eval-set contract forbids
       val bench = graft.LlmOps.benchGrams(s, d)
-      readSink(s, drainMapped(readDocumentsStream(s, d),
-        b => graft.LlmOps.decontaminateScore(b, bench)))
-        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out =
+        try drainMapped(readDocumentsStream(s, d),
+          b => graft.LlmOps.decontaminateScore(b, bench))
+        finally bench.unpersist()
+      readSink(s, out).orderBy(col("doc_id"))
     }),
     // Streaming SEMANTIC-dedup admission: codebook trained once and
     // persisted (the r12 model seam), arriving vectors scored statelessly
