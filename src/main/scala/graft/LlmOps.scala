@@ -562,12 +562,12 @@ object LlmOps {
       val shared = size(array_intersect(a, b)).cast("double")
       shared / (size(a).cast("double") + size(b).cast("double") - shared)
     }
-    // strict b<digits> match (bounded well under Long range): a foreign
-    // directory named "b" or "b<overflow>" is ignored, not a crash
-    val priorDirs = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && (f.getName == "seed" ||
-        (f.getName.matches("b\\d{1,17}") && f.getName.drop(1).toLong < batchId)))
-      .map(_.getAbsolutePath)
+    // index-so-far = optional seed + strictly-smaller batch ids, listed
+    // through the Hadoop FS API (StreamingOps.numberedDirs) so the index
+    // root works on any scheme — and foreign names stay ignored
+    import graft.streaming.StreamingOps.{namedDir, numberedDirs}
+    val priorDirs = namedDir(s, indexDir, "seed").toSeq ++
+      numberedDirs(s, indexDir, "b").filter(_._1 < batchId).map(_._2)
     val vsIndex: DataFrame =
       if (priorDirs.isEmpty)
         sig.select(col("doc_id"), col("doc_id").as("dup_of")).limit(0)
@@ -667,8 +667,9 @@ object LlmOps {
       df.withColumn("cell",
         graft.functions.HashExprs.bestCell(col("embedding"), col("nrm"),
           cents.map(_._2), cents.map(_._3), cents.map(_._1)))
-    // persisted: the candidate join reads it per micro-batch and the
-    // verdict tail joins it once more at the end
+    // persisted: the candidate join reads it per micro-batch DURING the
+    // drain, after which it is unpersisted (the verdict tail re-derives
+    // assign(e) fresh — see the unpersist note below)
     val idx = assign(e)
       .select(col("vec_id").as("i_id"), col("embedding").as("i_emb"),
         col("nrm").as("i_nrm"), col("cell").as("i_cell"))
@@ -1036,10 +1037,8 @@ object LlmOps {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
         col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val priorDirs = Option(new java.io.File(idxDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory &&
-        f.getName.matches("b\\d{1,17}") && f.getName.drop(1).toLong < batchId)
-      .map(_.getAbsolutePath)
+    val priorDirs = graft.streaming.StreamingOps.numberedDirs(s, idxDir, "b")
+      .filter(_._1 < batchId).map(_._2)
     val idx: DataFrame =
       if (priorDirs.isEmpty) g.limit(0) else s.read.parquet(priorDirs: _*)
     val gH = g.select(col("h")).distinct()

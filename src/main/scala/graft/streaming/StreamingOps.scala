@@ -72,24 +72,30 @@ object StreamingOps {
   }
 
   /** Whether `<dir>/<table>.parquet` holds COMMITTED data — a plain
-    * file, or a part-directory with at least one non-hidden data file.
-    * The footer-derived schema fallbacks key on THIS, not on a blanket
-    * catch — a corrupt footer or transient IO failure on real data must
-    * propagate, not be silently read as "table absent, use the default
-    * encoding" (r14 ADVICE: a double-encoded embeddings table whose
-    * footer read transiently failed would have been planned as float).
-    * A directory holding only `_temporary`/hidden entries is a producer
-    * MID-WRITE — the consumer-first receive→ingest state streamTable
-    * documents — and counts as not-yet-written, so the consumer starts
-    * on the default schema instead of crashing on an unreadable footer. */
+    * file, or a part-directory with at least one non-hidden data file at
+    * ANY depth (a PARTITIONED table keeps its files inside key=value
+    * subdirectories, which a top-level-files-only check misclassified as
+    * absent — the same silent-misplan the check exists to prevent, r15
+    * ADVICE). The footer-derived schema fallbacks key on THIS, not on a
+    * blanket catch — a corrupt footer or transient IO failure on real
+    * data must propagate, not be silently read as "table absent, use the
+    * default encoding" (r14 ADVICE: a double-encoded embeddings table
+    * whose footer read transiently failed would have been planned as
+    * float). A directory holding only `_temporary`/hidden entries is a
+    * producer MID-WRITE — the consumer-first receive→ingest state
+    * streamTable documents — and counts as not-yet-written, so the
+    * consumer starts on the default schema instead of crashing on an
+    * unreadable footer. */
   private def tableOnDisk(s: SparkSession, dir: String, table: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.exists(path) && (fs.getFileStatus(path).isFile ||
-      fs.listStatus(path).exists { st =>
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
         val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      })
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (st.isFile || hasData(st.getPath))
+      }
+    fs.exists(path) && (fs.getFileStatus(path).isFile || hasData(path))
   }
 
   /** documents.parquet schema (TESTDATA.md) for the streamed-ingest rows. */
@@ -180,10 +186,14 @@ object StreamingOps {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       tmpDirs.forEach { root =>
-        try
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        // Files.walk returns a Stream holding an open directory handle —
+        // close it per root, or the hook leaks one handle per tmp dir
+        try {
+          val walk = Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => () } })
-        catch { case _: Exception => () }
+          finally walk.close()
+        } catch { case _: Exception => () }
       }
     }, "graft-tmp-cleanup"))
   }
@@ -213,6 +223,39 @@ object StreamingOps {
   private def readSink(s: SparkSession, out: String): DataFrame =
     s.read.option("recursiveFileLookup", "true").parquet(out)
 
+  /** Numbered state directories `<prefix><id>` under `dir`, through the
+    * Hadoop FileSystem API so maintained-index / versioned-state roots
+    * work on ANY scheme (hdfs://, s3a://, file:) — `java.io.File
+    * .listFiles` returns null on a non-local path, which would silently
+    * disable the index side of every maintained-index op in the 100 TB
+    * deployment its docstring describes (r15 verdict task 4). Strict
+    * `<prefix><digits>` match, id bounded well under Long range: a
+    * foreign directory (`b`, `b<overflow>`, `_tmp`) is ignored, not a
+    * crash. A missing root (nothing written yet) is an empty listing. */
+  private[graft] def numberedDirs(s: SparkSession, dir: String,
+                                  prefix: String): Seq[(Long, String)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches(prefix + "\\d{1,17}"))
+      .map(st => (st.getPath.getName.drop(prefix.length).toLong,
+        st.getPath.toString))
+  }
+
+  /** `<dir>/<name>` iff it exists as a directory — the optional `seed`
+    * index root of the maintained-index ops, same FS-portability rule as
+    * [[numberedDirs]]. */
+  private[graft] def namedDir(s: SparkSession, dir: String,
+                              name: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.getFileStatus(path).isDirectory)
+      Some(path.toString)
+    else None
+  }
+
   /** [[drainToParquet]] with a BATCH transformation applied inside
     * foreachBatch — for admission stages whose per-document result needs
     * a batch-local aggregate the append-mode streaming planner rejects
@@ -222,8 +265,16 @@ object StreamingOps {
     * batch composition cannot change any document's answer, so the
     * drained union equals the one-shot batch result (proven by the
     * shared oracle). Same idempotent per-batch directory + overwrite
-    * discipline as drainToParquet. */
-  private def drainMapped(stream: DataFrame, f: DataFrame => DataFrame): String = {
+    * discipline as drainToParquet.
+    *
+    * Returns the drained sink as a batch DataFrame read under the
+    * transform's OWN analyzed schema (derived once, by binding `f` to an
+    * empty batch — pure analysis, nothing executes): a zero-batch drain
+    * (empty source dir) then yields the empty frame the batch rows
+    * return, where schema INFERENCE over a file-less sink would throw
+    * (streamDupSpans' zero-batch rule, applied uniformly — r15 ADVICE). */
+  private def drainMapped(stream: DataFrame, f: DataFrame => DataFrame): DataFrame = {
+    val s = stream.sparkSession
     val out = tmp("graft-sink-")
     stream.writeStream
       .option("checkpointLocation", tmp("graft-ckpt-"))
@@ -233,7 +284,9 @@ object StreamingOps {
         f(batch).write.mode("overwrite").parquet(s"$out/b$batchId")
       }
       .start().awaitTermination()
-    out
+    val schema = f(s.createDataFrame(
+      java.util.Collections.emptyList[Row](), stream.schema)).schema
+    s.read.schema(schema).option("recursiveFileLookup", "true").parquet(out)
   }
 
   /** §2.5 streaming MERGE-dedup: two sources of the same feed (the
@@ -556,10 +609,9 @@ object StreamingOps {
         cdcMergeBatch(batch, batchId, stateDir)
       }
       .start().awaitTermination()
-    // current state = highest version written
-    val vs = new java.io.File(stateDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .map(_.getName.drop(1).toInt)
+    // current state = highest version written (FS-API listing: the state
+    // root is hdfs/s3a-portable like every maintained-index dir)
+    val vs = numberedDirs(s, stateDir, "v").map(_._1)
     require(vs.nonEmpty, "cdcApplyInto: stream produced no batches")
     s"$stateDir/v${vs.max}"
   }
@@ -612,8 +664,8 @@ object StreamingOps {
       graft.LlmOps.trainLangidModel(graft.Tables.documents(s, d), modelDir)
       val model = s.read.parquet(modelDir)
       val langs = graft.LlmOps.langidLangs(model)
-      readSink(s, drainMapped(readDocumentsStream(s, d),
-        b => graft.LlmOps.scoreLangid(b, model, langs)))
+      drainMapped(readDocumentsStream(s, d),
+        b => graft.LlmOps.scoreLangid(b, model, langs))
         .orderBy(org.apache.spark.sql.functions.col("doc_id"))
     }),
     // The PRODUCTION ingest loop end-to-end: the pipeline's stateless
@@ -637,8 +689,7 @@ object StreamingOps {
     // (the batch row's count-min pass is a scan optimization, invisible
     // to correctness there and unnecessary here).
     "s_heavy_hitters" -> ((s, d) => {
-      readSink(s, drainMapped(readDocumentsStream(s, d),
-        graft.LlmOps.tokenCountPartials))
+      drainMapped(readDocumentsStream(s, d), graft.LlmOps.tokenCountPartials)
         .groupBy(col("tok")).agg(sum(col("pc")).as("n"))
         .filter(col("n") >= graft.LlmOps.HH_T)
         .orderBy(col("n").desc, col("tok"))
@@ -655,8 +706,8 @@ object StreamingOps {
       val modelDir = tmp("graft-bm25-model-")
       graft.LlmOps.trainBm25Model(s, d, modelDir)
       val model = s.read.parquet(modelDir)
-      readSink(s, drainMapped(readDocumentsStream(s, d),
-        b => graft.LlmOps.scoreBm25(b, model)))
+      drainMapped(readDocumentsStream(s, d),
+        b => graft.LlmOps.scoreBm25(b, model))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("n_terms"), col("score"))
@@ -678,7 +729,7 @@ object StreamingOps {
         .withColumn("nrm", sqrt(graft.functions.HashExprs.vecDot(
           col("embedding"), col("embedding"))))
         .filter(col("vec_id") < 5)
-      readSink(s, drainMapped(queries, b => graft.LlmOps.cosineTopk(index, b)))
+      drainMapped(queries, b => graft.LlmOps.cosineTopk(index, b))
         .orderBy(col("q_id"), col("rank"))
     }),
     // Streaming repeated-substring detection WITH index maintenance: the
@@ -708,7 +759,7 @@ object StreamingOps {
         try drainMapped(readDocumentsStream(s, d),
           b => graft.LlmOps.decontaminateScore(b, bench))
         finally bench.unpersist()
-      readSink(s, out).orderBy(col("doc_id"))
+      out.orderBy(col("doc_id"))
     }),
     // Streaming SEMANTIC-dedup admission: codebook trained once and
     // persisted (the r12 model seam), arriving vectors scored statelessly
