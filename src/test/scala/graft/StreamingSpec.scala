@@ -303,6 +303,58 @@ class StreamingSpec extends AnyFunSuite {
       s"restarted batch 2 must reject doc 7 against batch-0-admitted doc 5, got $b2")
   }
 
+  test("streaming graph MERGE: 3-batch deltas materialize the batch node table") {
+    import graft.operators.CtsParity
+    val e = Tables.events(spark, TestSpark.sfDir)
+    def nodesOf(b: org.apache.spark.sql.DataFrame) =
+      CtsParity.nodes(CtsParity.toCloudEvents(CtsParity.eventsAsTraces(b)))
+    val stateDir = java.nio.file.Files.createTempDirectory("graph-state-").toString
+    // deterministic micro-batches: later slices re-fan-out dim identities
+    // (REGION/STATUS appear from every event) already upserted by batch 0,
+    // so the anti-join must do real work
+    val slices = (0 to 2).map(i => e.filter(pmod(col("event_id"), lit(3)) === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StreamingOps.graphUpsertBatch(b, i.toLong, stateDir,
+        nodesOf, Seq("kind", "key"))
+    }
+    def materialized = spark.read.option("recursiveFileLookup", "true")
+      .parquet(stateDir)
+    def keyRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val want = keyRows(Parity.queries("k3_graph_nodes")(spark, TestSpark.sfDir))
+    assert(keyRows(materialized) === want,
+      "union of per-batch deltas must equal the batch graph node table")
+    // deltas are DISJOINT on identity: no key appears in two batches
+    val dupKeys = materialized.groupBy(col("kind"), col("key"))
+      .count().filter(col("count") > 1).count()
+    assert(dupKeys === 0L, "a node identity landed in two delta dirs")
+    // the anti-join actually fired: every REGION identity fans out of
+    // batch 0 (sf0.001 slice 0 covers user_id % 3 ∈ {0,1,2}), so batch
+    // 1's delta must add none
+    assert(spark.read.parquet(s"$stateDir/b1")
+      .filter(col("kind") === "REGION").count() === 0L,
+      "batch 1 re-added a REGION identity the anti-join should have dropped")
+    // at-least-once redelivery: replaying batch 1 rewrites its delta
+    // identically and the materialized table is unchanged
+    StreamingOps.graphUpsertBatch(slices(1), 1L, stateDir,
+      nodesOf, Seq("kind", "key"))
+    assert(keyRows(materialized) === want,
+      "replaying a batch must not change the materialized graph")
+  }
+
+  test("streaming graph tables equal the batch k3 rows end-to-end") {
+    for ((sName, bName) <- Seq("s_graph_nodes" -> "k3_graph_nodes",
+                               "s_graph_edges" -> "k3_graph_edges")) {
+      val got = StreamingOps.queries(sName)(spark, TestSpark.sfDir)
+        .collect().map(_.toSeq).toSeq
+      val want = Parity.queries(bName)(spark, TestSpark.sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(got === want,
+        s"$sName diverged from $bName: stream ${got.size}, batch ${want.size}")
+      assert(want.nonEmpty, s"$bName fixture empty — the equality proved nothing")
+    }
+  }
+
   test("streaming semantic dedup equals the batch l_semdedup verdict row-for-row") {
     val spark = TestSpark.spark
     val got = LlmOps.streamSemDedup(spark, TestSpark.sfDir).collect().toSeq
