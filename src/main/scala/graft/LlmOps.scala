@@ -974,6 +974,58 @@ object LlmOps {
     bm25PerDoc(contrib)
   }
 
+  /** (doc_id, bg, w1) bigram OCCURRENCES of a corpus frame — the ONE
+    * spelling of the bigram derivation shared by the batch l_lm_score
+    * row, the model trainer, and the streaming scorer, so they cannot
+    * drift: the bigram stream comes off the token ARRAY with
+    * transform(sequence) (no self-join on (doc, pos+1), no window), and
+    * docs with < 2 tokens carry no bigrams (the batch row's filter). */
+  private def lmBigrams(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat(element_at(col("w"), i + 1), lit(" "),
+            element_at(col("w"), i + 2)))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+
+  /** Train the bigram-MLE language MODEL once and persist it: one row
+    * per distinct bigram (bg, c2, c1) where c2 is the bigram's corpus
+    * count and c1 its prefix's bigram-prefix count — log(c2/c1) is the
+    * MLE log P(w2|w1) the scorer averages. The KenLM-shaped
+    * train-once/score-many seam (the l_langid/l_bm25 pattern): an
+    * offline trainer over the at-rest corpus, an online scorer. The
+    * model is vocabulary²-bounded — it GROWS with the corpus, so the
+    * scorer joins it shuffled, never broadcast (the batch row's
+    * documented rule). */
+  private[graft] def trainLmModel(s: SparkSession, d: String,
+                                  dir: String): Unit = {
+    val bg = lmBigrams(docs(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("w1", "w1c")
+    bg.groupBy(col("bg"), col("w1")).agg(count(lit(1)).as("c2"))
+      .join(c1, col("w1") === col("w1c"))
+      .select(col("bg"), col("c2"), col("c1"))
+      .write.mode("overwrite").parquet(dir)
+    bg.unpersist()
+  }
+
+  /** Score an arbitrary (doc_id, text) frame against a loaded bigram
+    * model — per-document stateless (each bigram occurrence joins its
+    * one model row; counts are corpus facts carried BY the model), so
+    * the streaming twin binds it per micro-batch and micro-batched
+    * scoring provably equals the batch l_lm_score row (shared oracle).
+    * In-model coverage is total when scoring the training corpus; an
+    * UNSEEN bigram (true online serving) drops out of the inner join —
+    * the n_bigrams column makes that visible rather than silent. */
+  private[graft] def scoreLm(corpus: DataFrame, model: DataFrame): DataFrame =
+    lmBigrams(corpus)
+      .join(model, "bg") // shuffled join: the model grows with the corpus
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("c2").cast("double") / col("c1").cast("double"))).as("avg_logprob"))
+
   /** (vec_id, embedding, nrm) corpus frame — norms computed ONCE per
     * vector in the scan projection (not per candidate pair); the dot is
     * a native codegen expression. The brute-force similarity INDEX side,
@@ -2047,14 +2099,7 @@ object LlmOps {
     // averages per doc. Gibberish scores low, templated boilerplate
     // scores suspiciously high — both ends are what the filter flags.
     "l_lm_score" -> ((s, d) => {
-      val toksA = docs(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-      val bg = toksA.select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("w")) - 2),
-            i => concat(element_at(col("w"), i + 1), lit(" "),
-              element_at(col("w"), i + 2)))).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val bg = lmBigrams(docs(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
         .withColumnRenamed("bg", "bg2")

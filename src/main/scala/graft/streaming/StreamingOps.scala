@@ -780,6 +780,25 @@ object StreamingOps {
         .limit(10)
         .select(col("doc_id"), col("n_terms"), col("score"))
     }),
+    // Streaming LM-perplexity scoring at ingest: the bigram-MLE model is
+    // TRAINED once batch-side and persisted (LlmOps.trainLmModel — the
+    // last model-carrying op to get the offline-trainer/online-scorer
+    // seam; langid, BM25, semdedup and kmeans already have it), then
+    // every arriving document is scored statelessly against the loaded
+    // model: a bigram occurrence is a row-local fact, its counts are
+    // corpus facts carried BY the model, so micro-batched scoring
+    // provably equals the batch l_lm_score row — the shared oracle is
+    // the proof. The model join stays SHUFFLED per micro-batch (the
+    // model is vocabulary²-bounded and grows with the corpus — never a
+    // broadcast).
+    "s_lm_score" -> ((s, d) => {
+      val modelDir = tmp("graft-lm-model-")
+      graft.LlmOps.trainLmModel(s, d, modelDir)
+      val model = s.read.parquet(modelDir)
+      drainMapped(readDocumentsStream(s, d),
+        b => graft.LlmOps.scoreLm(b, model))
+        .orderBy(col("doc_id"))
+    }),
     // Streaming similarity RETRIEVAL: query vectors arrive as a stream,
     // the corpus index is static — the online-serving shape of the
     // similarity-search family. Per-query scoring is stateless (one
@@ -893,6 +912,9 @@ object StreamingOps {
     // stateless per-doc scoring against the persisted corpus-statistics
     // model — the oracle IS the batch BM25 oracle
     "s_bm25" -> graft.LlmOps.oracles("l_bm25"),
+    // stateless per-doc scoring against the persisted bigram-MLE model —
+    // the oracle IS the batch LM-score oracle
+    "s_lm_score" -> graft.LlmOps.oracles("l_lm_score"),
     // stateless per-query scoring against the static corpus index — the
     // oracle IS the batch top-k oracle
     "s_cosine_topk" -> graft.LlmOps.oracles("l_cosine_topk"),

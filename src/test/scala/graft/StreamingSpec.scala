@@ -429,6 +429,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == 10, "the fixture must fill the top-10")
   }
 
+  test("streaming LM scoring against the persisted model equals the batch row") {
+    val spark = TestSpark.spark
+    def byDoc(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = byDoc(graft.streaming.StreamingOps.queries("s_lm_score")(
+      spark, TestSpark.sfDir).collect().toSeq)
+    val want = byDoc(LlmOps.queries("l_lm_score")(spark, TestSpark.sfDir)
+      .collect().toSeq)
+    assert(got.keySet === want.keySet,
+      s"stream/batch LM score doc sets diverged: ${got.size} vs ${want.size}")
+    // n_bigrams exact; avg_logprob to float tolerance — the model join
+    // scatters a doc's bigrams, so the per-doc avg's partial-sum ORDER
+    // may differ between the one-shot and micro-batched plans (the
+    // oracle compare carries the same 1e-9 rel tolerance)
+    got.foreach { case (id, (n, lp)) =>
+      val (wn, wlp) = want(id)
+      assert(n == wn, s"doc $id n_bigrams $n vs $wn")
+      assert(math.abs(lp - wlp) <= 1e-9 * math.max(math.abs(wlp), 1e-300),
+        s"doc $id avg_logprob $lp vs $wlp")
+    }
+    assert(want.nonEmpty, "fixture produced no scored docs")
+  }
+
   test("streaming similarity retrieval equals the batch l_cosine_topk row-for-row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_cosine_topk")(
