@@ -974,6 +974,56 @@ object LlmOps {
     bm25PerDoc(contrib)
   }
 
+  /** The media construct + REAL decode pass of l_media_decode, factored
+    * over an arbitrary (doc_id, ...) frame — the ONE spelling shared by
+    * the batch row and the streaming ingest twin (s_media_decode), so
+    * the pair cannot drift. Payloads are genuine container bytes built
+    * DETERMINISTICALLY from doc_id alone (PNG signature+IHDR+IEND with
+    * correct CRCs, 24bpp BITMAPINFOHEADER BMPs, RIFF/WAVE PCM, JPEG
+    * SOI+SOF0 — the l_pii_scrub plant-inside-the-query discipline),
+    * decoded by the REAL byte parsers in operators/Multimodal; every
+    * output column is an arithmetic fact of doc_id that DuckDB replays
+    * independently. Per-row stateless (construct and decode touch one
+    * row), one mapPartitions pass each with the decoder context
+    * initialized once per partition, zero shuffle — payloads never
+    * leave the scan, only the skinny decoded rows travel; streaming
+    * plans it unchanged per micro-batch. */
+  private[graft] def mediaDecodeProjection(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = df.select(col("doc_id")).as[Long].map { id =>
+      (id % 4) match {
+        case 0 => Multimodal.MediaRow(id, "image/png",
+          Multimodal.makePngHeader((id % 300 + 1).toInt, (id % 200 + 1).toInt))
+        case 1 => Multimodal.MediaRow(id, "image/bmp",
+          Multimodal.makeBmp((id % 40 + 1).toInt, (id % 30 + 1).toInt))
+        case 2 => Multimodal.MediaRow(id, "audio/wav",
+          Multimodal.makeWav(8000 + (id % 5).toInt * 1000,
+            1 + (id % 2).toInt, 16, (id % 500 + 1).toInt))
+        case _ => Multimodal.MediaRow(id, "image/jpeg",
+          Multimodal.makeJpegHeader((id % 320 + 1).toInt, (id % 240 + 1).toInt))
+      }
+    }
+    media.mapPartitions { rows =>
+      // one decoder context per partition (the Multimodal seam); a
+      // parser failure surfaces as null/stub dims → the row goes red
+      // at the oracle, never silently green
+      rows.map { r =>
+        if (r.mime.startsWith("image/")) {
+          val (w, h) = Multimodal.decodeImage(r.payload)
+          Multimodal.MediaDecoded(r.doc_id, r.mime, r.payload.length.toLong,
+            Some(w.toLong), Some(h.toLong), None, None, None)
+        } else {
+          val wi = Multimodal.decodeWav(r.payload)
+          Multimodal.MediaDecoded(r.doc_id, r.mime, r.payload.length.toLong,
+            None, None, wi.map(_.sampleRate.toLong),
+            wi.map(_.channels.toLong), wi.map(_.durationMs))
+        }
+      }
+    }.toDF()
+  }
+
   /** (doc_id, bg, w1) bigram OCCURRENCES of a corpus frame — the ONE
     * spelling of the bigram derivation shared by the batch l_lm_score
     * row, the model trainer, and the streaming scorer, so they cannot
@@ -2484,40 +2534,8 @@ object LlmOps {
     // decode are one mapPartitions pass each, zero shuffle before the
     // oracle sort; payloads are bounded (≤ ~4 KB) and never leave the
     // scan — only the skinny decoded rows travel.
-    "l_media_decode" -> ((s, d) => {
-      import s.implicits._
-      import graft.operators.Multimodal
-      val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
-        (id % 4) match {
-          case 0 => Multimodal.MediaRow(id, "image/png",
-            Multimodal.makePngHeader((id % 300 + 1).toInt, (id % 200 + 1).toInt))
-          case 1 => Multimodal.MediaRow(id, "image/bmp",
-            Multimodal.makeBmp((id % 40 + 1).toInt, (id % 30 + 1).toInt))
-          case 2 => Multimodal.MediaRow(id, "audio/wav",
-            Multimodal.makeWav(8000 + (id % 5).toInt * 1000,
-              1 + (id % 2).toInt, 16, (id % 500 + 1).toInt))
-          case _ => Multimodal.MediaRow(id, "image/jpeg",
-            Multimodal.makeJpegHeader((id % 320 + 1).toInt, (id % 240 + 1).toInt))
-        }
-      }
-      media.mapPartitions { rows =>
-        // one decoder context per partition (the Multimodal seam); a
-        // parser failure surfaces as null/stub dims → the row goes red
-        // at the oracle, never silently green
-        rows.map { r =>
-          if (r.mime.startsWith("image/")) {
-            val (w, h) = Multimodal.decodeImage(r.payload)
-            Multimodal.MediaDecoded(r.doc_id, r.mime, r.payload.length.toLong,
-              Some(w.toLong), Some(h.toLong), None, None, None)
-          } else {
-            val wi = Multimodal.decodeWav(r.payload)
-            Multimodal.MediaDecoded(r.doc_id, r.mime, r.payload.length.toLong,
-              None, None, wi.map(_.sampleRate.toLong),
-              wi.map(_.channels.toLong), wi.map(_.durationMs))
-          }
-        }
-      }.toDF().orderBy(col("doc_id"))
-    }),
+    "l_media_decode" -> ((s, d) =>
+      mediaDecodeProjection(docs(s, d)).orderBy(col("doc_id"))),
 
     // Near-dup CLUSTER formation — the step between pair detection and
     // actually deduplicating a corpus: connected components over the

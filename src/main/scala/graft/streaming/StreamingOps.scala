@@ -697,13 +697,21 @@ object StreamingOps {
 
   import graft.SparkEntry.Q
 
-  /** Stateless ingest-admission shape shared by s_quality / s_pii: bind a
-    * batch-identical per-row projection to the document stream, drain
-    * append-mode to parquet, re-read sorted for the oracle compare. */
+  /** Stateless ingest-admission shape shared by s_quality / s_pii /
+    * s_media_decode: bind a batch-identical per-row projection to the
+    * document stream itself (no foreachBatch — the projection IS the
+    * streaming plan), drain append-mode to parquet, re-read sorted for
+    * the oracle compare — under the projection's own analyzed schema
+    * (the drainMapped zero-batch rule). */
   private def drainedDocProjection(s: SparkSession, d: String,
-      proj: DataFrame => DataFrame): DataFrame =
-    readSink(s, drainToParquet(proj(readDocumentsStream(s, d)), "append"))
+      proj: DataFrame => DataFrame): DataFrame = {
+    val stream = readDocumentsStream(s, d)
+    val schema = proj(s.createDataFrame(
+      java.util.Collections.emptyList[Row](), stream.schema)).schema
+    s.read.schema(schema).option("recursiveFileLookup", "true")
+      .parquet(drainToParquet(proj(stream), "append"))
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+  }
 
   def queries: Map[String, Q] = Map(
     "s_dedup" -> ((s, d) => dedup(s, d)),
@@ -721,6 +729,14 @@ object StreamingOps {
     // plan, proven by the shared l_pii_scrub oracle.
     "s_pii" -> ((s, d) =>
       drainedDocProjection(s, d, graft.LlmOps.piiProjection)),
+    // Streaming MEDIA DECODE at ingest: the construct + real-parser
+    // decode pass (LlmOps.mediaDecodeProjection — per-row stateless
+    // mapPartitions, decoder context per partition) bound to the
+    // document stream AS the streaming plan, no state store and no
+    // foreachBatch. Shares l_media_decode's oracle: micro-batched
+    // ingest-time decode provably equals the batch scan.
+    "s_media_decode" -> ((s, d) =>
+      drainedDocProjection(s, d, graft.LlmOps.mediaDecodeProjection)),
     // Streaming LANGUAGE-ID admission: the model is trained ONCE
     // batch-side and persisted to parquet (the production shape — an
     // offline trainer, an online scorer), then every micro-batch is
@@ -903,6 +919,9 @@ object StreamingOps {
     "s_neardup" -> graft.LlmOps.oracles("l_minhash_lsh"),
     "s_quality" -> graft.LlmOps.oracles("l_quality_filter"),
     "s_pii" -> graft.LlmOps.oracles("l_pii_scrub"),
+    // stateless per-row construct+decode at ingest — the oracle IS the
+    // batch media-decode oracle
+    "s_media_decode" -> graft.LlmOps.oracles("l_media_decode"),
     // stateless per-doc scoring against a persisted model: micro-batched
     // scoring ≡ the batch row — the oracle IS the batch oracle
     "s_langid" -> graft.LlmOps.oracles("l_langid"),

@@ -462,6 +462,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == 15, "5 queries x top-3 expected from the fixture")
   }
 
+  test("streaming media decode equals the batch l_media_decode row-for-row") {
+    val spark = TestSpark.spark
+    val got = StreamingOps.queries("s_media_decode")(
+      spark, TestSpark.sfDir).collect().toSeq
+    val want = LlmOps.queries("l_media_decode")(spark, TestSpark.sfDir)
+      .collect().toSeq
+    assert(got == want,
+      s"stream/batch media decode diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.exists(r => !r.isNullAt(3)) && want.exists(r => !r.isNullAt(5)),
+      "fixture must decode both image dims and audio metadata")
+  }
+
   test("streaming decontamination equals the batch l_decontaminate row-for-row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_decontaminate")(
