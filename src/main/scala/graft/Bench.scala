@@ -18,8 +18,14 @@ import org.apache.spark.sql.SparkSession
   * so the min reflects the machine, not the neighbor (observed: identical
   * binaries, 0.4 s → 34 s swings on back-to-back medians).
   *
-  * Streaming (`s_*`) queries are excluded — they time trigger machinery,
-  * not operator cost, and have their own correctness rows.
+  * Streaming (`s_*`) queries are excluded from the min-of-passes loop
+  * and from "value"/"total" (they time trigger machinery + sink I/O on
+  * top of operator cost, and the batch series must stay comparable
+  * round-over-round) — but each is timed ONCE and reported in the
+  * `streaming` / `streaming_rows_per_sec` fields, so a streaming
+  * regression is measurable too (rates are source-table rows per drain
+  * second; rows that read the feed twice — the redelivery unions — are
+  * normalized to single-feed rows, a consistent relative metric).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,6 +105,49 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // Streaming throughput (r15 verdict task 5): the s_* rows had
+    // correctness coverage but ZERO perf coverage — a streaming
+    // regression was invisible round-over-round. Each row is timed ONCE
+    // (drain wall through the same noop methodology; one pass, because a
+    // drain re-runs trigger machinery + sink I/O and is seconds-long —
+    // variance amortizes over row length) and normalized to rows/sec of
+    // its SOURCE table. Reported in separate fields; "value"/"total"
+    // stay batch-only so the round-over-round batch series remains
+    // comparable. Disable with SPARK_GRAFT_STREAM_BENCH=0.
+    val streamOn = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "1"
+    val sourceTable = Map(
+      "s_quality" -> "documents", "s_pii" -> "documents",
+      "s_langid" -> "documents", "s_media_decode" -> "documents",
+      "s_heavy_hitters" -> "documents", "s_bm25" -> "documents",
+      "s_lm_score" -> "documents", "s_decontaminate" -> "documents",
+      "s_dup_spans" -> "documents", "s_neardup" -> "documents",
+      "s_pipeline" -> "documents", "s_doc_dedup" -> "documents",
+      "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings"
+    ).withDefaultValue("events")
+    val streamResults: Seq[(String, Double, Double)] =
+      if (!streamOn) Seq.empty
+      else {
+        val srcRows = Seq("documents", "embeddings", "events").map { t =>
+          t -> (try spark.read.parquet(s"$sfDir/$t.parquet").count().toDouble
+                catch { case _: Throwable => -1.0 })
+        }.toMap
+        SparkEntry.queries.keys.filter(_.startsWith("s_")).toSeq.sorted
+          .map { name =>
+            val t = try runOnce(SparkEntry.queries(name))
+                    catch { case _: Throwable => -1.0 }
+            val n = srcRows(sourceTable(name))
+            (name, t, if (t > 0 && n > 0) n / t else -1.0)
+          }
+      }
+    val sq = streamResults.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sr = streamResults.map { case (k, _, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val streamTotal = streamResults.map(_._2).filter(_ >= 0).sum
+    val streamFields =
+      if (!streamOn) ""
+      else s""""streaming_total_sec":$streamTotal,"streaming":$sq,"streaming_rows_per_sec":$sr,"""
     // POST-loop calibration re-run (r13 verdict): the pre-loop host_cpu
     // fields only bracket the window BEFORE the queries — r13's uniform
     // 1.27× inflation at identical pre-loop calibration read as
@@ -117,7 +166,7 @@ object Bench {
         case c             => c.toString
       }
     val noteField = if (note.isEmpty) "" else s""""note":"$note","""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$noteField"host_cpu_sec":$hostCpuSec,"host_cpu_sec_post":$hostCpuSecPost,"host_scan_sec":$hostScanSec,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$noteField$streamFields"host_cpu_sec":$hostCpuSec,"host_cpu_sec_post":$hostCpuSecPost,"host_scan_sec":$hostScanSec,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout is the driver contract, but its capture has been observed to
     // clip mid-line (BENCH_r06 lost 3 queries) — persist the same JSON to a

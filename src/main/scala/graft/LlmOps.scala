@@ -779,7 +779,7 @@ object LlmOps {
     * occurrences into a single task. Shared by the keep1 detect row
     * (span statistics) and the keep1 cut row (survivor rebuild), so the
     * pair cannot disagree about what "non-canonical" means. */
-  private def dupSpanCoveredKeep1(s: SparkSession, d: String): DataFrame =
+  private[graft] def dupSpanCoveredKeep1(s: SparkSession, d: String): DataFrame =
     dupSpanGrams(s, d).join(dupSpanCanon(s, d), Seq("h"))
       .filter(col("doc_id") =!= col("mn.doc_id") || col("i") =!= col("mn.i"))
       .select(col("doc_id"),
@@ -846,8 +846,8 @@ object LlmOps {
     * the only full-corpus exchanges move (doc, p) longs (the covered
     * set, ~10× fewer rows and no strings) and the one-row-per-doc join;
     * token text never leaves its scan Project. */
-  private def dupSpanCut(s: SparkSession, d: String,
-                         covered: DataFrame): DataFrame = {
+  private[graft] def dupSpanCut(s: SparkSession, d: String,
+                                covered: DataFrame): DataFrame = {
     val covArr = covered.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("p"))).as("cov"))
     docs(s, d).select(col("doc_id"), split(lower(col("text")), " ").as("w"))

@@ -324,6 +324,44 @@ object StressCheck {
         s"covered@$k=$nK covered@${k + 2}=$nK2 escaped_containment=$escaped")
     }
 
+    check("streaming_twins_equal_batch") {
+      // The index-carrying streaming twins at stress SF (r15 verdict
+      // task 3): the sf1 oracle gate covers all streaming rows, but the
+      // per-batch index I/O of the maintained/static-index twins has
+      // constants that GROW with corpus size — validate drained ≡ batch
+      // where the index is real-corpus-sized. Full-frame symmetric diff,
+      // not just counts: every column is either a long or a double from
+      // identical integer arithmetic, so bit-equality is the contract.
+      def frameDiff(a: DataFrame, b: DataFrame): Long =
+        a.exceptAll(b).count() + b.exceptAll(a).count()
+      // maintained gram index, driven as THREE deterministic
+      // micro-batches so cross-batch index probes do real work at scale
+      // (the one-file AvailableNow drain of the s_dup_spans row would
+      // fold the whole corpus into a single batch here)
+      val idxDir = graft.streaming.StreamingOps.tmp("stress-dupspan-idx-")
+      val covDir = graft.streaming.StreamingOps.tmp("stress-dupspan-cov-")
+      val docsT = Tables.documents(spark, d)
+      (0 to 2).foreach { i =>
+        LlmOps.dupSpanBatch(docsT.filter(pmod(col("doc_id"), lit(3)) === i),
+          i.toLong, idxDir, covDir)
+      }
+      val covered = spark.read.schema("doc_id long, p long")
+        .option("recursiveFileLookup", "true").parquet(covDir).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCov = covered.count()
+      val dupDiff = frameDiff(covered, LlmOps.dupSpanCovered(spark, d))
+      covered.unpersist()
+      // static-index twins end-to-end (one-batch drains at this scale —
+      // what they stress is the index-sized broadcast/persist + scoring)
+      val ndDiff = frameDiff(SparkEntry.queries("s_neardup")(spark, d),
+        SparkEntry.queries("l_minhash_lsh")(spark, d))
+      val sdDiff = frameDiff(SparkEntry.queries("s_semdedup")(spark, d),
+        SparkEntry.queries("l_semdedup")(spark, d))
+      (dupDiff == 0L && ndDiff == 0L && sdDiff == 0L,
+        s"covered=$nCov dup_spans_diff=$dupDiff neardup_diff=$ndDiff " +
+          s"semdedup_diff=$sdDiff")
+    }
+
     check("pagerank_fixed_point_at_4") {
       val ce = operators.CtsParity.eventsAsTraces(Tables.events(spark, d))
       val links = operators.CtsParity.linkPairs(
