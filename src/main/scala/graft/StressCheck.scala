@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object StressCheck {
 
-  def run(spark: SparkSession, d: String): Seq[(String, Boolean, String)] = {
+  def run(spark: SparkSession, d: String,
+          only: Set[String] = Set.empty): Seq[(String, Boolean, String)] = {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, String)]
     def check(name: String)(body: => (Boolean, String)): Unit = {
+      if (only.nonEmpty && !only(name)) return
       val (ok, detail) =
         try body
         catch { case e: Exception => (false, s"exception: ${e.getMessage}") }
@@ -362,6 +364,16 @@ object StressCheck {
           s"semdedup_diff=$sdDiff")
     }
 
+    // The sweep accumulates cached frames across 11 invariants (the
+    // memoized positional-gram frame alone is corpus-gram-sized at
+    // stress SF, plus the streaming twins' index residue). PageRank's
+    // per-pass shuffle_hash builds then could not acquire execution
+    // memory at sf10 (hash-relation OOM in the full sweep; green in
+    // isolation) — drop the caches here: everything before this point
+    // has unpersisted or finished with its frames, and pageRank
+    // re-materializes its own.
+    spark.catalog.clearCache()
+
     check("pagerank_fixed_point_at_4") {
       val ce = operators.CtsParity.eventsAsTraces(Tables.events(spark, d))
       val links = operators.CtsParity.linkPairs(
@@ -379,6 +391,8 @@ object StressCheck {
     results.toSeq
   }
 
+  /** Usage: StressCheck <sfDir> [invariantName...] — extra args restrict
+    * to named invariants (dev iteration; the full run is the gate). */
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -388,7 +402,7 @@ object StressCheck {
       .withExtensions(new functions.GraftExtensions)
       .appName("graft-stress-check").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rs = run(spark, d)
+    val rs = run(spark, d, args.drop(1).toSet)
     rs.foreach { case (n, ok, detail) =>
       println(s"${if (ok) "PASS" else "FAIL"} $n ($detail)")
     }
