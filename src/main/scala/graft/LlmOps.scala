@@ -779,12 +779,27 @@ object LlmOps {
     * occurrences into a single task. Shared by the keep1 detect row
     * (span statistics) and the keep1 cut row (survivor rebuild), so the
     * pair cannot disagree about what "non-canonical" means. */
-  private[graft] def dupSpanCoveredKeep1(s: SparkSession, d: String): DataFrame =
-    dupSpanGrams(s, d).join(dupSpanCanon(s, d), Seq("h"))
-      .filter(col("doc_id") =!= col("mn.doc_id") || col("i") =!= col("mn.i"))
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
-      .distinct()
+  private[graft] def dupSpanCoveredKeep1(s: SparkSession, d: String): DataFrame = {
+    // PERSISTED + MEMOIZED on the winnowKept discipline (r15 verdict
+    // task 2): Iso per-term measurement showed this build DOMINATES the
+    // keep1 pair (sf30: 14.9 s vs the cut's 5.8 s — the canon aggregate
+    // + covered distinct over corpus grams), and BOTH keep1 rows (detect
+    // stats, apply cut) consume exactly this frame — a session running
+    // the Lee-et-al detect→inspect→apply workflow pays the build once.
+    // Harness artifacts are unchanged (Bench/Verify clear caches between
+    // queries, so each row still pays its own materialization there).
+    evictStopped(dupSpanKeep1Memo)
+    val df = dupSpanKeep1Memo.computeIfAbsent((s, d), _ =>
+      dupSpanGrams(s, d).join(dupSpanCanon(s, d), Seq("h"))
+        .filter(col("doc_id") =!= col("mn.doc_id") || col("i") =!= col("mn.i"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
+        .distinct())
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+  private val dupSpanKeep1Memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** (h, mn:(doc_id, i)) — each duplicated gram's CANONICAL occurrence:
     * the minimal (doc_id, i), from one map-side-combined min(struct)

@@ -395,9 +395,14 @@ object StressCheck {
     * to named invariants (dev iteration; the full run is the gate). */
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // SPARK_GRAFT_SHUFFLE: per-task state (non-spillable shuffle-hash
+    // builds, e.g. pageRank's hinted join over the sf30 link table) must
+    // FIT memory — sizing shuffle partitions to the SF is the standard
+    // scale knob (32 is right through sf10; sf30 runs use 128)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .withExtensions(new functions.GraftExtensions)
       .appName("graft-stress-check").getOrCreate()
