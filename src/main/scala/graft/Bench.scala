@@ -116,15 +116,10 @@ object Bench {
     // stay batch-only so the round-over-round batch series remains
     // comparable. Disable with SPARK_GRAFT_STREAM_BENCH=0.
     val streamOn = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "1"
-    val sourceTable = Map(
-      "s_quality" -> "documents", "s_pii" -> "documents",
-      "s_langid" -> "documents", "s_media_decode" -> "documents",
-      "s_heavy_hitters" -> "documents", "s_bm25" -> "documents",
-      "s_lm_score" -> "documents", "s_decontaminate" -> "documents",
-      "s_dup_spans" -> "documents", "s_neardup" -> "documents",
-      "s_pipeline" -> "documents", "s_doc_dedup" -> "documents",
-      "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings"
-    ).withDefaultValue("events")
+    // row → source table lives NEXT TO the query definitions
+    // (StreamingOps.sourceTables); a row missing there surfaces as a
+    // visible -1 rate, never a wrong-table denominator
+    val sourceTable = graft.streaming.StreamingOps.sourceTables
     val streamResults: Seq[(String, Double, Double)] =
       if (!streamOn) Seq.empty
       else {
@@ -136,7 +131,7 @@ object Bench {
           .map { name =>
             val t = try runOnce(SparkEntry.queries(name))
                     catch { case _: Throwable => -1.0 }
-            val n = srcRows(sourceTable(name))
+            val n = sourceTable.get(name).map(srcRows).getOrElse(-1.0)
             (name, t, if (t > 0 && n > 0) n / t else -1.0)
           }
       }

@@ -22,8 +22,10 @@ object Iso {
     "d_keep1_covered" -> ((s, d) => LlmOps.dupSpanCoveredKeep1(s, d)),
     "d_keep1_cut" -> ((s, d) => {
       val p = covCache.getOrElseUpdate((s, d), {
-        val dir = java.nio.file.Files
-          .createTempDirectory("iso-keep1-cov-").toString
+        // StreamingOps.tmp registers the dir for JVM-exit deletion — the
+        // covered set is 16.6M rows at sf30 and repeated measurement
+        // runs must not accumulate it in /tmp
+        val dir = graft.streaming.StreamingOps.tmp("iso-keep1-cov-")
         LlmOps.dupSpanCoveredKeep1(s, d).write.mode("overwrite").parquet(dir)
         dir
       })

@@ -408,6 +408,10 @@ object StressCheck {
       .appName("graft-stress-check").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rs = run(spark, d, args.drop(1).toSet)
+    // a misspelled filter name must not read as a green gate ("0/0 pass",
+    // exit 0, zero invariants executed)
+    require(rs.nonEmpty,
+      s"no invariant matched filter ${args.drop(1).mkString(",")}")
     rs.foreach { case (n, ok, detail) =>
       println(s"${if (ok) "PASS" else "FAIL"} $n ($detail)")
     }

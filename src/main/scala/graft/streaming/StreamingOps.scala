@@ -256,6 +256,21 @@ object StreamingOps {
     else None
   }
 
+  /** Read a drained sink under the transform's OWN analyzed schema —
+    * the ONE zero-batch rule shared by every drain variant below: the
+    * schema is derived once by binding `f` to an empty batch (pure
+    * analysis, nothing executes), so a zero-batch drain (empty source
+    * dir) yields the empty frame the batch rows return, where schema
+    * INFERENCE over a file-less sink would throw (r15 ADVICE applied
+    * uniformly). */
+  private def readDrained(stream: DataFrame, f: DataFrame => DataFrame,
+                          dir: String): DataFrame = {
+    val s = stream.sparkSession
+    val schema = f(s.createDataFrame(
+      java.util.Collections.emptyList[Row](), stream.schema)).schema
+    s.read.schema(schema).option("recursiveFileLookup", "true").parquet(dir)
+  }
+
   /** [[drainToParquet]] with a BATCH transformation applied inside
     * foreachBatch — for admission stages whose per-document result needs
     * a batch-local aggregate the append-mode streaming planner rejects
@@ -265,16 +280,9 @@ object StreamingOps {
     * batch composition cannot change any document's answer, so the
     * drained union equals the one-shot batch result (proven by the
     * shared oracle). Same idempotent per-batch directory + overwrite
-    * discipline as drainToParquet.
-    *
-    * Returns the drained sink as a batch DataFrame read under the
-    * transform's OWN analyzed schema (derived once, by binding `f` to an
-    * empty batch — pure analysis, nothing executes): a zero-batch drain
-    * (empty source dir) then yields the empty frame the batch rows
-    * return, where schema INFERENCE over a file-less sink would throw
-    * (streamDupSpans' zero-batch rule, applied uniformly — r15 ADVICE). */
+    * discipline as drainToParquet. Returns the drained sink via
+    * [[readDrained]]. */
   private def drainMapped(stream: DataFrame, f: DataFrame => DataFrame): DataFrame = {
-    val s = stream.sparkSession
     val out = tmp("graft-sink-")
     stream.writeStream
       .option("checkpointLocation", tmp("graft-ckpt-"))
@@ -284,9 +292,7 @@ object StreamingOps {
         f(batch).write.mode("overwrite").parquet(s"$out/b$batchId")
       }
       .start().awaitTermination()
-    val schema = f(s.createDataFrame(
-      java.util.Collections.emptyList[Row](), stream.schema)).schema
-    s.read.schema(schema).option("recursiveFileLookup", "true").parquet(out)
+    readDrained(stream, f, out)
   }
 
   /** One micro-batch of the streaming graph materialization
@@ -331,11 +337,9 @@ object StreamingOps {
   }
 
   /** Drain `stream` through [[graphUpsertBatch]] and return the
-    * materialized (union-of-deltas) table, read under the fan-out's own
-    * analyzed schema (the drainMapped zero-batch rule). */
+    * materialized (union-of-deltas) table via [[readDrained]]. */
   private def drainUpsert(stream: DataFrame, rows: DataFrame => DataFrame,
                           keys: Seq[String]): DataFrame = {
-    val s = stream.sparkSession
     val stateDir = tmp("graft-graph-")
     stream.writeStream
       .option("checkpointLocation", tmp("graft-ckpt-"))
@@ -345,9 +349,7 @@ object StreamingOps {
         graphUpsertBatch(batch, batchId, stateDir, rows, keys)
       }
       .start().awaitTermination()
-    val schema = rows(s.createDataFrame(
-      java.util.Collections.emptyList[Row](), stream.schema)).schema
-    s.read.schema(schema).option("recursiveFileLookup", "true").parquet(stateDir)
+    readDrained(stream, rows, stateDir)
   }
 
   /** The events→CloudEvent projection bound to one micro-batch — the
@@ -706,10 +708,7 @@ object StreamingOps {
   private def drainedDocProjection(s: SparkSession, d: String,
       proj: DataFrame => DataFrame): DataFrame = {
     val stream = readDocumentsStream(s, d)
-    val schema = proj(s.createDataFrame(
-      java.util.Collections.emptyList[Row](), stream.schema)).schema
-    s.read.schema(schema).option("recursiveFileLookup", "true")
-      .parquet(drainToParquet(proj(stream), "append"))
+    readDrained(stream, proj, drainToParquet(proj(stream), "append"))
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))
   }
 
@@ -900,6 +899,26 @@ object StreamingOps {
     "s_stream_join" -> ((s, d) => streamJoin(s, d)),
     "s_stream_outer" -> ((s, d) => streamOuterJoin(s, d))
   )
+
+  /** Which testdata table each streaming row CONSUMES — the denominator
+    * of Bench's `streaming_rows_per_sec` figure. Declared here, next to
+    * [[queries]], so a new row cannot silently pick up a wrong default
+    * in Bench; `StreamingSpec` asserts the two maps stay key-identical.
+    * Rows that read the feed twice (the redelivery unions) count
+    * single-feed rows — a consistent RELATIVE metric. */
+  def sourceTables: Map[String, String] = Map(
+    "s_dedup" -> "events", "s_cdc" -> "events", "s_tumbling" -> "events",
+    "s_sliding" -> "events", "s_session" -> "events",
+    "s_stateful" -> "events", "s_static_join" -> "events",
+    "s_stream_join" -> "events", "s_stream_outer" -> "events",
+    "s_graph_nodes" -> "events", "s_graph_edges" -> "events",
+    "s_doc_dedup" -> "documents", "s_quality" -> "documents",
+    "s_pii" -> "documents", "s_langid" -> "documents",
+    "s_media_decode" -> "documents", "s_heavy_hitters" -> "documents",
+    "s_bm25" -> "documents", "s_lm_score" -> "documents",
+    "s_decontaminate" -> "documents", "s_dup_spans" -> "documents",
+    "s_neardup" -> "documents", "s_pipeline" -> "documents",
+    "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings")
 
   /** Batch-SQL twins: the streaming answers must equal what DuckDB computes
     * over the at-rest table (exactly-once + event-time semantics). */

@@ -485,6 +485,14 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no contaminated docs — the equality proved nothing")
   }
 
+  test("every streaming row declares its bench source table (and nothing extra)") {
+    assert(StreamingOps.sourceTables.keySet === StreamingOps.queries.keySet,
+      "StreamingOps.sourceTables must stay key-identical with queries — " +
+        "a missing entry shows up as a -1 rate in the bench artifact")
+    assert(StreamingOps.sourceTables.values.toSet
+      .subsetOf(Set("events", "documents", "embeddings")))
+  }
+
   test("late row beyond the watermark is dropped, finalized window unchanged") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
