@@ -118,7 +118,10 @@ object Bench {
     val streamOn = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "1"
     // row → source table lives NEXT TO the query definitions
     // (StreamingOps.sourceTables); a row missing there surfaces as a
-    // visible -1 rate, never a wrong-table denominator
+    // visible -1 rate, never a wrong-table denominator. Rates are a
+    // PER-ROW round-over-round series only — rows that stream a filtered
+    // subset (s_cosine_topk) or re-read the feed (redelivery unions)
+    // keep the full-table denominator by contract (see sourceTables)
     val sourceTable = graft.streaming.StreamingOps.sourceTables
     val streamResults: Seq[(String, Double, Double)] =
       if (!streamOn) Seq.empty

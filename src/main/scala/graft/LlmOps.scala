@@ -780,26 +780,37 @@ object LlmOps {
     * (span statistics) and the keep1 cut row (survivor rebuild), so the
     * pair cannot disagree about what "non-canonical" means. */
   private[graft] def dupSpanCoveredKeep1(s: SparkSession, d: String): DataFrame = {
-    // PERSISTED + MEMOIZED on the winnowKept discipline (r15 verdict
-    // task 2): Iso per-term measurement showed this build DOMINATES the
-    // keep1 pair (sf30: 14.9 s vs the cut's 5.8 s — the canon aggregate
-    // + covered distinct over corpus grams), and BOTH keep1 rows (detect
-    // stats, apply cut) consume exactly this frame — a session running
-    // the Lee-et-al detect→inspect→apply workflow pays the build once.
-    // Harness artifacts are unchanged (Bench/Verify clear caches between
-    // queries, so each row still pays its own materialization there).
+    // MEMOIZED on the winnowKept discipline (r15 verdict task 2): Iso
+    // per-term measurement showed this build DOMINATES the keep1 pair
+    // (sf30: 14.9 s vs the cut's 5.8 s — the canon aggregate + covered
+    // distinct over corpus grams), and BOTH keep1 rows (detect stats,
+    // apply cut) consume exactly this frame. PERSISTED exactly on the
+    // SECOND access (r16 verdict task 3): a single consumer (the Bench
+    // clear-cache-between-queries protocol measures each row alone)
+    // streams the frame through with no MEMORY_AND_DISK write — the
+    // unconditional persist inflated the detect row 1.36× in-suite —
+    // while the detect→inspect→apply session workflow still caches from
+    // the moment a second consumer appears, and every later access hits
+    // the cache. Persist is asserted exactly once: after a harness
+    // clearCache the frame intentionally streams again (each Bench
+    // sample pays its own materialization, nothing else's).
     evictStopped(dupSpanKeep1Memo)
-    val df = dupSpanKeep1Memo.computeIfAbsent((s, d), _ =>
-      dupSpanGrams(s, d).join(dupSpanCanon(s, d), Seq("h"))
+    val (df, hits) = dupSpanKeep1Memo.computeIfAbsent((s, d), _ =>
+      (dupSpanGrams(s, d).join(dupSpanCanon(s, d), Seq("h"))
         .filter(col("doc_id") =!= col("mn.doc_id") || col("i") =!= col("mn.i"))
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + (DUPSPAN_K - 1))).as("p"))
-        .distinct())
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        new java.util.concurrent.atomic.AtomicInteger(0)))
+    if (hits.incrementAndGet() == 2)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
-  private val dupSpanKeep1Memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val dupSpanKeep1Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, java.util.concurrent.atomic.AtomicInteger)]()
+  /** Test seam: reset the keep1 memo so a spec can observe the
+    * first-vs-second-access persist behavior from a clean counter. */
+  private[graft] def dupSpanKeep1MemoReset(): Unit = dupSpanKeep1Memo.clear()
 
   /** (h, mn:(doc_id, i)) — each duplicated gram's CANONICAL occurrence:
     * the minimal (doc_id, i), from one map-side-combined min(struct)
@@ -972,7 +983,11 @@ object LlmOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     bm25Tf(corpus).groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .crossJoin(stats)
+      // explicit broadcast, same spelling as every other 1-row-stats
+      // crossJoin in the repo: correct by size estimation today, but the
+      // uniform spelling keeps a copied variant safe if its stats frame
+      // ever grows past the auto-broadcast threshold (r16 verdict)
+      .crossJoin(broadcast(stats))
       .write.mode("overwrite").parquet(dir)
     dl.unpersist()
   }
@@ -1280,8 +1295,8 @@ object LlmOps {
     * multi-session use (r14 ADVICE). Runs on every memo access: the maps
     * hold a handful of entries, so the liveness sweep is a few flag
     * reads, never data work. */
-  private def evictStopped(
-      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]): Unit =
+  private def evictStopped[V](
+      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]): Unit =
     m.keySet.removeIf(k => k._1.sparkContext.isStopped)
   private def buildWinnowKept(s: SparkSession, d: String): DataFrame = {
     // gram hashing + window-min selection are TWO compiled kernel calls

@@ -239,7 +239,11 @@ object StreamingOps {
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(st => st.isDirectory &&
-        st.getPath.getName.matches(prefix + "\\d{1,17}"))
+        // quote the prefix: current callers pass 'b'/'v', but a prefix
+        // carrying regex metacharacters must match literally, not as a
+        // pattern (r16 ADVICE)
+        st.getPath.getName.matches(
+          java.util.regex.Pattern.quote(prefix) + "\\d{1,17}"))
       .map(st => (st.getPath.getName.drop(prefix.length).toLong,
         st.getPath.toString))
   }
@@ -331,8 +335,12 @@ object StreamingOps {
     val prior = numberedDirs(s, stateDir, "b").filter(_._1 < batchId).map(_._2)
     val fresh =
       if (prior.isEmpty) b
-      else b.join(s.read.parquet(prior: _*).select(keys.map(col): _*),
-        keys, "left_anti")
+      // prior deltas read under the batch fan-out's OWN analyzed schema
+      // (the readDrained rule): an all-duplicate or empty micro-batch
+      // legitimately writes a ZERO-ROW delta dir, and schema inference
+      // over schema-less parquet dirs would abort the stream (r16 ADVICE)
+      else b.join(s.read.schema(b.schema).parquet(prior: _*)
+        .select(keys.map(col): _*), keys, "left_anti")
     fresh.write.mode("overwrite").parquet(s"$stateDir/b$batchId")
   }
 
@@ -905,7 +913,13 @@ object StreamingOps {
     * [[queries]], so a new row cannot silently pick up a wrong default
     * in Bench; `StreamingSpec` asserts the two maps stay key-identical.
     * Rows that read the feed twice (the redelivery unions) count
-    * single-feed rows — a consistent RELATIVE metric. */
+    * single-feed rows — a consistent RELATIVE metric. Rows that stream a
+    * FILTERED subset of their table (s_cosine_topk streams only the
+    * vec_id < 5 query rows against a static index) still use the full
+    * table count: the rate is meaningful ROUND-OVER-ROUND per row, never
+    * comparable across rows (r16 ADVICE — the cross-row caveat applies
+    * to every row here, filtered or not, because per-row drain overhead
+    * differs; the denominator just has to stay fixed per row). */
   def sourceTables: Map[String, String] = Map(
     "s_dedup" -> "events", "s_cdc" -> "events", "s_tumbling" -> "events",
     "s_sliding" -> "events", "s_session" -> "events",

@@ -670,4 +670,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nCached === afterSweep, "re-sweeping must not add cache entries")
     spark.catalog.clearCache()
   }
+
+  test("keep1 covered memo: streams on the first access, persists on the second") {
+    // r16 verdict task 3: the unconditional persist made the detect row
+    // pay a MEMORY_AND_DISK cache write under Bench's clear-cache
+    // protocol (+0.5 s in-suite). Contract now: ONE consumer streams the
+    // frame through (no cache entry beyond the grams memo), a SECOND
+    // consumer asserts the persist — the detect→inspect→apply session
+    // caches from that moment on, and a lone benched row pays nothing.
+    val spark = TestSpark.spark
+    spark.catalog.clearCache()
+    LlmOps.dupSpanKeep1MemoReset()
+    def nCached = spark.sparkContext.getPersistentRDDs.size
+    SparkEntry.queries("l_dup_spans_keep1")(spark, TestSpark.sfDir).collect()
+    val afterFirst = nCached // the shared grams frame only
+    assert(afterFirst <= 1,
+      s"first keep1 access must not persist the covered frame (found $afterFirst entries)")
+    SparkEntry.queries("l_dup_spans_keep1_apply")(spark, TestSpark.sfDir).collect()
+    val afterSecond = nCached
+    assert(afterSecond === afterFirst + 1,
+      "second keep1 access must persist the covered frame exactly once")
+    SparkEntry.queries("l_dup_spans_keep1")(spark, TestSpark.sfDir).collect()
+    assert(nCached === afterSecond, "third access must reuse the cached frame")
+    spark.catalog.clearCache()
+    LlmOps.dupSpanKeep1MemoReset()
+  }
 }
