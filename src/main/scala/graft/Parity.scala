@@ -133,6 +133,22 @@ object Parity {
         .orderBy(col("rel"))
     }),
 
+    // K3 fidelity — the EXACT parametrized Cypher MERGE the reference
+    // sink executes per event (neo4j/client.go:10-21) with its parameter
+    // bindings (client.go:57-68) rendered to JSON: the one reference
+    // artifact no graph table replicates is the statement TEXT itself
+    // (no Bolt driver jar in the sandbox), so it ships as a deliverable
+    // column — these rows are executable verbatim by any Bolt session.
+    // One codegen Project over the CE frame, zero shuffle at any scale;
+    // the oracle assembles the identical strings, so the wire text is
+    // hash-pinned, not eyeballed.
+    "k3_cypher" -> ((s, d) =>
+      ce(s, d).select(
+        col("id"),
+        lit(CtsParity.cypherMerge).as("statement"),
+        CtsParity.cypherParamsJson.as("params_json"))
+        .orderBy(col("id").cast("long"))),
+
     // Graph centrality over the provenance graph — fixed-point integer
     // PageRank (see CtsParity.pageRank for the determinism + scale story).
     // The kind graph is a DAG (ACTION→RESOURCE→TENANT→REGION is the
@@ -302,6 +318,20 @@ object Parity {
         |JOIN ed c3 ON c3.rel = 'LOCATED_AT' AND c3.src_key = c2.dst_key
         |WHERE c1.rel = 'APPLIED_ON'
         |GROUP BY 1, 2 ORDER BY region, tenant""".stripMargin),
+
+    // statement literal injected verbatim (it contains `$param` markers
+    // and newlines — plain SQL string, no interpolation); params JSON is
+    // the same fixed-shape concat as the Spark column
+    "k3_cypher" -> (traceCte +
+      "\nSELECT id,\n  '" + CtsParity.cypherMerge + "' AS statement,\n" +
+      """  '{"region":"' || region || '","tenantId":"' || tenant ||
+        |  '","domainId":"' || "domain" || '","resourceId":"' || resourceid ||
+        |  '","actionId":"' || id || '","timestamp":"' ||
+        |  strftime(time, '%Y-%m-%dT%H:%M:%S.%fZ') ||
+        |  '","source":"' || source || '","type":"' || type ||
+        |  '","status":"' || status || '","subject":"' || subject ||
+        |  '"}' AS params_json
+        |FROM ce ORDER BY CAST(id AS BIGINT)""".stripMargin),
 
     "k3_graph_delta" -> (traceCte + s"""
         |, cea AS (SELECT * FROM ce WHERE time <  TIMESTAMP '2024-01-15 00:00:00'),

@@ -55,6 +55,50 @@ object CtsParity {
       col("resource_id").as("resourceid"),
       col("region"), col("domain"), col("tenant"))
 
+  /** The parametrized Cypher MERGE statement the reference's sink
+    * executes once per event (neo4j/client.go:10-21, verbatim including
+    * the stray trailing space on the TENANT line) — the wire artifact a
+    * Bolt writer would run. Emitted by the k3_cypher row next to its
+    * per-event parameter bindings so a user could pipe the rows straight
+    * into a Bolt session; the graph-table rows (nodes/edges) are this
+    * statement's MERGE semantics replayed relationally. */
+  val cypherMerge: String = Seq(
+    "MERGE (region:REGION {name: $region})",
+    "MERGE (status:STATUS {id: $status})",
+    "MERGE (subject:SUBJECT {id: $subject})",
+    "MERGE (tenant:TENANT {tenantId: $tenantId, domainId: $domainId}) ",
+    "MERGE (resource:RESOURCE {id: $resourceId})",
+    "MERGE (action:ACTION {id: $actionId, timestamp: $timestamp, source: $source, type: $type})-[:APPLIED_ON]->(resource)",
+    "MERGE (tenant)-[:LOCATED_AT]->(region)",
+    "MERGE (resource)-[:MEMBER_OF]->(tenant)",
+    "MERGE (action)-[:APPLIED_ON]->(resource)",
+    "MERGE (action)-[:WITH_STATUS]->(status)",
+    "MERGE (action)-[:PERFORMED_BY]->(subject)").mkString("\n")
+
+  /** Per-event Cypher parameter map rendered as a JSON string — the
+    * binding order and names of neo4j/client.go:57-68 (extensions →
+    * region/tenantId/domainId/resourceId, envelope → actionId/timestamp/
+    * source/type/status/subject; timestamp as RFC3339 with the feed's
+    * microsecond precision). Deliberately a NAIVE fixed-shape render
+    * (no per-value JSON escaping): every bound value here derives from
+    * ids/enums that cannot carry quotes, the render is shared
+    * byte-for-byte with the DuckDB oracle, and a production writer
+    * binds the map structurally over Bolt rather than serializing it. */
+  def cypherParamsJson: Column =
+    concat(
+      lit("{\"region\":\""), col("region"),
+      lit("\",\"tenantId\":\""), col("tenant"),
+      lit("\",\"domainId\":\""), col("domain"),
+      lit("\",\"resourceId\":\""), col("resourceid"),
+      lit("\",\"actionId\":\""), col("id"),
+      lit("\",\"timestamp\":\""),
+      date_format(col("time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+      lit("\",\"source\":\""), col("source"),
+      lit("\",\"type\":\""), col("type"),
+      lit("\",\"status\":\""), col("status"),
+      lit("\",\"subject\":\""), col("subject"),
+      lit("\"}"))
+
   /** Graph node table — Cypher MERGE ≙ dropDuplicates on node identity
     * (neo4j/client.go:10-21; SURVEY §2.5). Kinds REGION/STATUS/SUBJECT/
     * TENANT/RESOURCE carry no props beyond identity; ACTION carries
