@@ -31,8 +31,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * envelope; an empty marker ends the chain (adapter.go:125-129).
   *
   * Options:
-  *  - `pages`  (required): directory of page fixtures; first page marker
-  *    is `000` (the real source substitutes an HTTP client here).
+  *  - `pages`  (required): WHERE the page chain lives — either a
+  *    directory of page fixtures (first marker `000`), or an
+  *    `http(s)://` endpoint speaking the live CTS v2 list protocol:
+  *    `GET <pages>[?next=<marker>][&limit=N][&from=ms][&to=ms]`, the
+  *    exact wire shape of the reference's traces.List call
+  *    (querier.go:30-37 builds the list call; adapter.go:98-104 sets
+  *    From/To/Limit on every request, adapter.go:125-129 threads the
+  *    response marker into the next request's Next — the FIRST request
+  *    carries no Next). A 404 ends the chain cleanly (the file path's
+  *    missing-page rule); any other non-200 — including 401 — fails the
+  *    scan loudly, because an auth error silently reading as "empty
+  *    feed" would be a data-loss bug.
+  *  - `token`: bearer credential sent as `X-Auth-Token` on every HTTP
+  *    request — the header OpenStack-family APIs authenticate with. The
+  *    reference exchanges IAM user/password for this token at startup
+  *    (cmd/cts_exporter/main.go:78 via clouds.yaml); the exchange needs
+  *    a live IAM endpoint, so here the token itself is the config seam.
   *  - `limit`: server-side page-size cap, reference default 50
   *    (querier.go:15 tracesLowerBound, adapter.go:101).
   *
@@ -75,7 +90,59 @@ object CtsSource {
 
   private val mapper = new ObjectMapper()
 
+  /** The chain-head marker. Files name their first page with it; over
+    * HTTP it is never sent (the reference's first list call carries no
+    * Next — adapter.go:98-104). */
+  val FirstMarker = "000"
+
   def pagePath(dir: String, marker: String) = s"$dir/page-$marker.json"
+
+  private def isHttp(dir: String): Boolean =
+    dir.startsWith("http://") || dir.startsWith("https://")
+
+  /** One shared keep-alive client per JVM: executors fetch one page per
+    * InputPartition, so connection reuse amortizes across a task's
+    * lifetime exactly as in the sink transport (HttpTransport.scala). */
+  private lazy val http: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  /** Fetch one page envelope — the transport seam shared by the marker
+    * walk and the executor body reads. Returns None on a CLEAN end of
+    * chain (missing fixture file / HTTP 404); throws on any other HTTP
+    * failure. `limit`/`tFrom`/`tTo` ride the wire as the server-side
+    * Limit/From/To parameters (adapter.go:98-104); the file path ignores
+    * them here because [[readPage]] replays them client-side. */
+  def fetchPage(dir: String, marker: String, token: Option[String],
+                limit: Option[Int] = None, tFrom: Option[Long] = None,
+                tTo: Option[Long] = None): Option[JsonNode] =
+    if (isHttp(dir)) {
+      val params = Seq(
+        if (marker == FirstMarker) None else Some(s"next=$marker"),
+        limit.map(l => s"limit=$l"),
+        tFrom.map(f => s"from=$f"),
+        tTo.map(t => s"to=$t")).flatten
+      val sep = if (dir.contains("?")) "&" else "?"
+      val url = if (params.isEmpty) dir else dir + sep + params.mkString("&")
+      val b = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30)).GET()
+      token.foreach(t => b.header("X-Auth-Token", t))
+      val resp = http.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case 200 => Some(mapper.readTree(resp.body()))
+        case 404 => None
+        case c => throw new java.io.IOException(
+          s"cts: GET $url failed with HTTP $c" +
+            (if (c == 401 || c == 403) " (check the 'token' option)" else ""))
+      }
+    } else {
+      val p = Paths.get(pagePath(dir, marker))
+      if (!Files.exists(p)) None
+      else Some(mapper.readTree(new String(
+        Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    }
 
   /** Parse a checkpointed offset envelope. Explicit field lookup, not a
     * digit regex — a malformed or reshaped envelope must FAIL the restart
@@ -89,29 +156,40 @@ object CtsSource {
     n.asInt()
   }
 
-  private def parse(dir: String, marker: String): JsonNode =
-    mapper.readTree(new String(
-      Files.readAllBytes(Paths.get(pagePath(dir, marker))), StandardCharsets.UTF_8))
-
-  /** Follow the marker chain from page 000 — the driver-side page walk
-    * (adapter.go:106-130). Only markers are consumed here. */
-  def walkMarkers(dir: String): Vector[String] = {
+  /** Follow the marker chain from the head — the driver-side page walk
+    * (adapter.go:106-130). Only markers are consumed here; over HTTP the
+    * server still ships whole pages (the CTS list API has no
+    * marker-only call — the Go adapter re-reads full pages too), so the
+    * walk costs one chain pass of envelope transfer per planning. */
+  def walkMarkers(dir: String, token: Option[String] = None): Vector[String] = {
     val markers = ArrayBuffer.empty[String]
-    var m = "000"
-    while (m.nonEmpty && Files.exists(Paths.get(pagePath(dir, m)))) {
-      markers += m
-      val next = parse(dir, m).path("meta_data").path("marker").asText("")
-      m = next
+    var m = FirstMarker
+    var done = false
+    while (!done) {
+      fetchPage(dir, m, token) match {
+        case None => done = true
+        case Some(page) =>
+          markers += m
+          m = page.path("meta_data").path("marker").asText("")
+          if (m.isEmpty) done = true
+      }
     }
     markers.toVector
   }
 
   /** Parse one page body into rows — executor-side work. `limit` caps rows
     * per page (the server's Limit parameter); `tFrom`/`tTo` replay the
-    * server-side window filter on `time`. */
+    * server-side window filter on `time`. Over HTTP all three ALSO ride
+    * the request so the server evaluates them first — the client-side
+    * replay is idempotent, and keeps the two transports row-identical
+    * even against a server that ignores the parameters. */
   def readPage(dir: String, marker: String, limit: Int,
-               tFrom: Option[Long], tTo: Option[Long]): Iterator[InternalRow] = {
-    val traces = parse(dir, marker).path("traces")
+               tFrom: Option[Long], tTo: Option[Long],
+               token: Option[String] = None): Iterator[InternalRow] = {
+    val traces = fetchPage(dir, marker, token, Some(limit), tFrom, tTo)
+      .getOrElse(throw new java.io.IOException(
+        s"cts: page '$marker' vanished between planning and read under $dir"))
+      .path("traces")
     def str(n: JsonNode, f: String): Any = {
       val v = n.path(f)
       if (v.isMissingNode || v.isNull) null else UTF8String.fromString(v.asText)
@@ -131,6 +209,7 @@ object CtsSource {
 class CtsTable(props: Map[String, String]) extends Table with SupportsRead {
   private val dir = props.getOrElse("pages",
     throw new IllegalArgumentException("cts source requires option 'pages'"))
+  private val token = props.get("token")
   private val limit = props.get("limit").map(_.toInt).getOrElse(50)
   // CTS page-size legal band (querier.go:15-16 tracesLowerBound=50 /
   // tracesUpperBound=200 — the API cap): a mis-configured page size must
@@ -145,10 +224,10 @@ class CtsTable(props: Map[String, String]) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CtsScanBuilder(dir, limit)
+    new CtsScanBuilder(dir, limit, token)
 }
 
-class CtsScanBuilder(dir: String, limit: Int)
+class CtsScanBuilder(dir: String, limit: Int, token: Option[String])
     extends ScanBuilder with SupportsPushDownFilters {
   private var tFrom: Option[Long] = None
   private var tTo: Option[Long] = None
@@ -170,13 +249,15 @@ class CtsScanBuilder(dir: String, limit: Int)
   private def maxOpt(o: Option[Long], v: Long) = Some(o.fold(v)(math.max(_, v)))
   private def minOpt(o: Option[Long], v: Long) = Some(o.fold(v)(math.min(_, v)))
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new CtsScan(dir, limit, tFrom, tTo)
+  override def build(): Scan = new CtsScan(dir, limit, tFrom, tTo, token)
 }
 
 case class CtsInputPartition(dir: String, marker: String, limit: Int,
-                             tFrom: Option[Long], tTo: Option[Long]) extends InputPartition
+                             tFrom: Option[Long], tTo: Option[Long],
+                             token: Option[String]) extends InputPartition
 
-class CtsScan(dir: String, limit: Int, tFrom: Option[Long], tTo: Option[Long])
+class CtsScan(dir: String, limit: Int, tFrom: Option[Long], tTo: Option[Long],
+              token: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = CtsSource.schema
   override def description(): String =
@@ -184,12 +265,13 @@ class CtsScan(dir: String, limit: Int, tFrom: Option[Long], tTo: Option[Long])
 
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    CtsSource.walkMarkers(dir)
-      .map(m => CtsInputPartition(dir, m, limit, tFrom, tTo): InputPartition).toArray
+    CtsSource.walkMarkers(dir, token)
+      .map(m => CtsInputPartition(dir, m, limit, tFrom, tTo, token): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory = CtsReaderFactory
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CtsMicroBatchStream(dir, limit, tFrom, tTo)
+    new CtsMicroBatchStream(dir, limit, tFrom, tTo, token)
 }
 
 object CtsReaderFactory extends PartitionReaderFactory {
@@ -197,7 +279,8 @@ object CtsReaderFactory extends PartitionReaderFactory {
     val part = p.asInstanceOf[CtsInputPartition]
     new PartitionReader[InternalRow] {
       private val it =
-        CtsSource.readPage(part.dir, part.marker, part.limit, part.tFrom, part.tTo)
+        CtsSource.readPage(part.dir, part.marker, part.limit,
+          part.tFrom, part.tTo, part.token)
       private var row: InternalRow = _
       override def next(): Boolean = { if (it.hasNext) { row = it.next(); true } else false }
       override def get(): InternalRow = row
@@ -213,16 +296,19 @@ case class CtsOffset(pages: Int) extends Offset {
 }
 
 class CtsMicroBatchStream(dir: String, limit: Int,
-                          tFrom: Option[Long], tTo: Option[Long]) extends MicroBatchStream {
+                          tFrom: Option[Long], tTo: Option[Long],
+                          token: Option[String]) extends MicroBatchStream {
   override def initialOffset(): Offset = CtsOffset(0)
-  override def latestOffset(): Offset = CtsOffset(CtsSource.walkMarkers(dir).length)
+  override def latestOffset(): Offset =
+    CtsOffset(CtsSource.walkMarkers(dir, token).length)
   override def deserializeOffset(json: String): Offset =
     CtsOffset(CtsSource.parseOffsetJson(json))
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CtsOffset].pages
     val e = end.asInstanceOf[CtsOffset].pages
-    CtsSource.walkMarkers(dir).slice(s, e)
-      .map(m => CtsInputPartition(dir, m, limit, tFrom, tTo): InputPartition).toArray
+    CtsSource.walkMarkers(dir, token).slice(s, e)
+      .map(m => CtsInputPartition(dir, m, limit, tFrom, tTo, token): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = CtsReaderFactory
   override def commit(end: Offset): Unit = ()

@@ -164,6 +164,98 @@ class CtsSourceSpec extends AnyFunSuite {
       "planted PII must be redacted on the streamed path")
   }
 
+  test("http: batch read over the REST stub equals the file-fixture path row-for-row") {
+    val dir = writeFixtures()
+    val stub = new graft.sources.CtsRestStub(dir.toString, Some("tok-123"))
+    try {
+      val http = spark.read.format("cts")
+        .option("pages", stub.url).option("token", "tok-123").load()
+        .orderBy("trace_id").collect()
+      val file = spark.read.format("cts").option("pages", dir.toString).load()
+        .orderBy("trace_id").collect()
+      assert(http.length === 8)
+      assert(http.toSeq === file.toSeq,
+        "HTTP and file transports must deliver identical rows")
+      // protocol shape: the FIRST request carries no Next (adapter.go:98),
+      // later requests thread the response marker as next=<marker>
+      val qs = stub.served.toArray.map(_.toString).toSeq
+      assert(!qs.head.contains("next="), s"first request must omit next: ${qs.head}")
+      assert(qs.exists(_.contains("next=001")) && qs.exists(_.contains("next=002")),
+        s"marker chain did not ride the wire: $qs")
+    } finally stub.stop()
+  }
+
+  test("http: a wrong or missing token fails the scan loudly (401), never as empty") {
+    val dir = writeFixtures()
+    val stub = new graft.sources.CtsRestStub(dir.toString, Some("tok-123"))
+    try {
+      val err = intercept[Throwable] {
+        spark.read.format("cts")
+          .option("pages", stub.url).option("token", "wrong").load().count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(err).exists(m => m != null && m.contains("401")),
+        s"auth failure must surface the 401, got: ${chain(err)}")
+    } finally stub.stop()
+  }
+
+  test("http: the pushed-down time window rides the wire and the server evaluates it") {
+    val dir = writeFixtures()
+    val stub = new graft.sources.CtsRestStub(dir.toString)
+    try {
+      val from = 1700000000000L + 3 * 60000L
+      val to = from + 3 * 60000L
+      def read(pages: String) = spark.read.format("cts").option("pages", pages).load()
+        .filter(col("time") >= from && col("time") < to)
+        .orderBy("trace_id").collect()
+      val http = read(stub.url)
+      assert(http.map(_.getString(0)).toSeq === Seq("t3", "t4", "t5"))
+      assert(http.toSeq === read(dir.toString).toSeq)
+      // the executor body fetches carried the window as from/to params —
+      // the server (not a Spark Filter) evaluated F1 over the wire
+      val qs = stub.served.toArray.map(_.toString)
+      assert(qs.exists(q => q.contains(s"from=$from") && q.contains(s"to=$to")),
+        s"pushed window never rode the wire: ${qs.toSeq}")
+    } finally stub.stop()
+  }
+
+  test("http: micro-batch stream resumes from the committed marker over the wire") {
+    val dir = writeFixtures()
+    val stub = new graft.sources.CtsRestStub(dir.toString, Some("tok-9"))
+    try {
+      val ckpt = Files.createTempDirectory("cts-ckpt-").toString
+      val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def drainOnce(): Unit = {
+        val q = spark.readStream.format("cts")
+          .option("pages", stub.url).option("token", "tok-9").load()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.select("trace_id").collect().foreach(r => delivered.add(r.getString(0)))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainOnce()
+      assert(delivered.toArray.map(_.toString).toSeq.sorted === (0 to 7).map(i => s"t$i"),
+        "first HTTP drain must deliver the whole chain")
+      // the feed grows a page; the stub re-reads fixtures per request, so
+      // this is a live-feed append over the same endpoint
+      Files.write(dir.resolve("page-003.json"),
+        s"""{"traces":[${trace(8)}],"meta_data":{"count":1,"marker":""}}"""
+          .getBytes(StandardCharsets.UTF_8))
+      val p2 = new String(Files.readAllBytes(dir.resolve("page-002.json")), StandardCharsets.UTF_8)
+      Files.write(dir.resolve("page-002.json"),
+        p2.replace(""""marker":""""", """"marker":"003"""").getBytes(StandardCharsets.UTF_8))
+      delivered.clear()
+      drainOnce()
+      assert(delivered.toArray.map(_.toString).toSeq === Seq("t8"),
+        "restart must resume from the committed marker offset, not re-read")
+    } finally stub.stop()
+  }
+
   test("offset deserialization parses the envelope field and rejects garbage") {
     assert(CtsSource.parseOffsetJson("""{"pages":7}""") === 7)
     assert(intercept[IllegalArgumentException] {
