@@ -2282,6 +2282,130 @@ object LlmOps {
         .orderBy(col("subspace"), col("code"))
     }),
 
+    // IVF + PQ composed — the billion-vector SERVING shape (r16 verdict
+    // task 7): l_ivf_ann probes exact vectors and l_pq compresses without
+    // searching; here the two codebooks compose into the standard
+    // three-stage pipeline. (1) Coarse IVF cells (the l_ivf_ann
+    // centroids, cosine argmax) partition the corpus and a query probes
+    // its nprobe=2 nearest cells. (2) Candidates are scored by ADC —
+    // asymmetric distance over PQ codes: every vector is pre-encoded to
+    // 8 small codes (16 codewords per subspace, per-subspace
+    // squared-distance argmin over the l_pq offset-shifted fixed-point
+    // integers), the query precomputes one 8×16 lookup table of exact
+    // subvector→codeword distances in its own projection, and each
+    // candidate costs 8 table lookups — candidates enter the probe join
+    // as (vec_id, cell, codes), 8 codes instead of 256 bytes of floats,
+    // the ~32× RAM compression that lets a billion-vector index fit
+    // memory. (3) The ADC top-R=256 shortlist is RE-RANKED by exact
+    // cosine with vectors fetched for the shortlist only (a broadcast
+    // probe of the corpus — the point-lookup fetch of a real serving
+    // store), and the final top-3 is exact-metric. The re-rank is NOT
+    // optional decoration: measured on this corpus, straight ADC top-3
+    // recall collapses with corpus size (3/15 at sf0.01 → 0/15 at sf1 —
+    // 4^8 code space can't order 25k same-cell candidates) while
+    // shortlist-then-re-rank holds 11/15 at sf1 ≈ the IVF probe ceiling,
+    // i.e. the PQ stage then loses ~nothing while scanning only codes.
+    // ADC arithmetic is all-integer (bit-exact oracle); the re-rank
+    // cosine is the siblings' float spelling (tolerance-checked).
+    "l_ivfpq_ann" -> ((s, d) => {
+      import graft.functions.HashExprs.vecDot
+      val SUBS = 8
+      val DIMS = 8
+      val CODES = 16
+      val nprobe = 2
+      val RERANK = 256
+      // ONE corpus scan carries both representations: raw floats feed
+      // the IVF coarse assignment, quantized longs feed the PQ encode
+      val e = spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
+          transform(col("embedding"),
+            c => floor(c.cast("double") * lit(1000000.0)) + lit(QUANT_OFF)).as("qe"))
+      // both codebooks are DRIVER-RESIDENT by construction (kilobytes;
+      // the broadcast-codebook pattern of l_ivf_ann / l_pq) — collected
+      // from pruned scans and inlined as literals so assignment, encode
+      // and the query LUT are pure codegen Projects
+      val cents = e.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      require(cents.length == 8,
+        s"l_ivfpq_ann: expected centroid vec_ids 100..107, found ${cents.length}")
+      val cb = e.filter(col("vec_id") < CODES)
+        .select(col("vec_id").cast("long"), col("qe"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+        .sortBy(_._1)
+      require(cb.length == CODES,
+        s"l_ivfpq_ann: expected codeword vec_ids 0..${CODES - 1}, found ${cb.length}")
+      def cosines(emb: Column, nrm: Column): Column = array(cents.map {
+        case (_, cemb, cnrm) => vecDot(emb, lit(cemb)) / (nrm * lit(cnrm))
+      }: _*)
+      def cellOf(cos: Column): Column =
+        element_at(lit(cents.map(_._1)), array_position(cos, array_max(cos)).cast("int"))
+      def subCtr(code: Int, sub: Int): Column = array(
+        cb(code)._2.slice(sub * DIMS, sub * DIMS + DIMS).map(lit): _*)
+      def subDist(sub: Int, code: Int): Column =
+        aggregate(
+          zip_with(slice(col("qe"), sub * DIMS + 1, DIMS), subCtr(code, sub),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      // PQ encode: per subspace the argmin (dist, code) — cb is sorted
+      // by code, so ties break to the smaller code (the l_pq order)
+      def codeOf(sub: Int): Column =
+        least((0 until CODES).map(code =>
+          struct(subDist(sub, code).as("dist"), lit(code.toLong).as("code"))): _*)
+          .getField("code")
+      val asn = e.select(col("vec_id"),
+        cellOf(cosines(col("embedding"), col("nrm"))).as("cell"),
+        array((0 until SUBS).map(codeOf): _*).as("codes"))
+      // query side: nprobe nearest cells (the l_ivf_ann probe spelling)
+      // + the 8×4 ADC lookup table, all in one projection over 5 rows
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"),
+          slice(reverse(array_sort(zip_with(
+            cosines(col("embedding"), col("nrm")),
+            lit(cents.map(c => -c._1)),
+            (c, n) => struct(c.as("cos"), n.as("ncid"))))), 1, nprobe).as("probes"),
+          array((0 until SUBS).map(sub =>
+            array((0 until CODES).map(code => subDist(sub, code)): _*)): _*).as("lut"))
+      val probes = q.select(col("q_id"), col("lut"), explode(col("probes")).as("p"))
+        .select(col("q_id"), col("lut"), (-col("p.ncid")).as("q_cell"))
+      // ADC rows stay SKINNY (q_id, neighbor_id, adc_dist) — the query
+      // embedding does not ride the per-candidate window exchange
+      val joined = asn.join(broadcast(probes),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          aggregate(
+            zip_with(col("lut"), col("codes"),
+              (l, c) => element_at(l, c.cast("int") + 1)),
+            lit(0L), (acc, v) => acc + v).as("adc_dist"))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist"), col("neighbor_id"))
+      val shortlist = joined.withColumn("srn", row_number().over(wAdc))
+        .filter(col("srn") <= RERANK)
+        .select(col("q_id"), col("neighbor_id"))
+      // exact re-rank: fetch true vectors for the O(queries×R) shortlist
+      // only — a broadcast hash probe of the corpus scan (at scale: a
+      // vec_id-bucketed table, so the fetch partition-prunes)
+      val qv2 = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val rerank = e.select(col("vec_id"), col("embedding"), col("nrm"))
+        .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(qv2), "q_id")
+        .select(col("q_id"), col("neighbor_id"),
+          (vecDot(col("q_emb"), col("embedding")) /
+            (col("q_nrm") * col("nrm"))).as("cosine"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      rerank.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup: multi-TABLE sign-LSH (ENR_TABLES tables ×
     // enrBits(N) hyperplanes). One k-bit table has recall p^k at similarity
     // p; L independent tables lift it to 1-(1-p^k)^L — the standard
@@ -3419,6 +3543,86 @@ object LlmOps {
         |SELECT subspace, code, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(dist) AS BIGINT) AS sq_err_sum
         |FROM a GROUP BY subspace, code ORDER BY subspace, code""".stripMargin,
+
+    // IVF from the l_ivf_ann oracle (cosine argmax cells, top-2 probes) +
+    // PQ codes in the l_pq oracle's long format (16 codewords): the ADC
+    // distance of (query, candidate) is the sum over subspaces of the
+    // query's exact subvector→codeword distance at the candidate's code
+    // — and those per-(vec, subspace, code) distances are exactly the
+    // rows of the `d` CTE restricted to query vec_ids, so ADC is one
+    // 3-way join + sum (all-integer, bit-exact); the top-256 shortlist
+    // then re-ranks by exact cosine (the siblings' float spelling).
+    "l_ivfpq_ann" -> {
+      def sqlDot(a: String, b: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |      (a, b) -> a + b)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM $EMB_SRC embeddings
+         |), c AS (
+         |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         |  FROM e WHERE vec_id BETWEEN 100 AND 107
+         |), asn AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1
+         |), probes AS (
+         |  SELECT q_id, cell AS q_cell FROM (
+         |    SELECT e.vec_id AS q_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rn <= 2
+         |), q AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+         |           + 1048576 AS comp
+         |  FROM $EMB_SRC embeddings
+         |), cb AS (SELECT vec_id AS code, dim, comp FROM q WHERE vec_id < 16),
+         |d AS (
+         |  SELECT q.vec_id, CAST((q.dim - 1) // 8 AS BIGINT) AS subspace, c.code,
+         |         CAST(sum((q.comp - c.comp)*(q.comp - c.comp)) AS BIGINT) AS dist
+         |  FROM q JOIN cb c ON c.dim = q.dim
+         |  GROUP BY q.vec_id, subspace, c.code
+         |), a AS (
+         |  SELECT vec_id, subspace, code FROM (
+         |    SELECT vec_id, subspace, code,
+         |           row_number() OVER (PARTITION BY vec_id, subspace
+         |                              ORDER BY dist, code) AS rn
+         |    FROM d) WHERE rn = 1
+         |), scored AS (
+         |  SELECT p.q_id, n.vec_id AS neighbor_id,
+         |         CAST(sum(qd.dist) AS BIGINT) AS adc_dist
+         |  FROM probes p
+         |  JOIN asn n ON n.cell = p.q_cell AND n.vec_id <> p.q_id
+         |  JOIN a ca ON ca.vec_id = n.vec_id
+         |  JOIN d qd ON qd.vec_id = p.q_id AND qd.subspace = ca.subspace
+         |           AND qd.code = ca.code
+         |  GROUP BY 1, 2
+         |), shortlist AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY adc_dist, neighbor_id) AS srn
+         |    FROM scored) WHERE srn <= 256
+         |), rerank AS (
+         |  SELECT s.q_id, s.neighbor_id,
+         |    ${sqlDot("eq.embedding", "en.embedding")} / (eq.nrm * en.nrm) AS cosine
+         |  FROM shortlist s
+         |  JOIN e eq ON eq.vec_id = s.q_id
+         |  JOIN e en ON en.vec_id = s.neighbor_id
+         |), ranked AS (
+         |  SELECT q_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM rerank
+         |)
+         |SELECT q_id, rank, neighbor_id, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
 
     "l_embed_neardup" -> {
       def sqlDot(a: String, b: String): String =

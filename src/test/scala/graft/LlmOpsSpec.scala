@@ -671,6 +671,37 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivfpq: shortlist re-rank is exact-metric and bounded by the IVF probe") {
+    // the composed row's contract: (1) per query exactly ranks 1..3 with
+    // exact cosine non-increasing; (2) ivfpq searches a SUBSET of the
+    // IVF row's probed-cell candidates (the ADC top-256 shortlist), so
+    // its best exact cosine can never beat l_ivf_ann's — the subset
+    // theorem that pins the composition to the same probe geometry;
+    // (3) it still finds true neighbors (recall vs exact top-3 > 0;
+    // measured 7/15 at sf0.001, equal to the IVF probe ceiling).
+    val byQ = run("l_ivfpq_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(byQ.size === 5 && byQ.values.forall(_.length == 3))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
+      val cos = rows.sortBy(_._2).map(_._4)
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b - 1e-12 },
+        s"re-ranked cosine must be non-increasing: ${cos.toSeq}")
+    }
+    val ivfTop1 = run("l_ivf_ann").collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    byQ.foreach { case (q, rows) =>
+      val top1 = rows.filter(_._2 == 1L).head._4
+      assert(top1 <= ivfTop1(q) + 1e-9,
+        s"query $q: ivfpq top-1 cosine $top1 beats ivf ${ivfTop1(q)} — not a subset")
+    }
+    val exact = run("l_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = byQ.values.flatten.count(t => exact.contains((t._1, t._3)))
+    assert(hits > 0, "ivfpq must retain some of the exact top-3")
+  }
+
   test("keep1 covered memo: streams on the first access, persists on the second") {
     // r16 verdict task 3: the unconditional persist made the detect row
     // pay a MEMORY_AND_DISK cache write under Bench's clear-cache
