@@ -804,6 +804,14 @@ object LlmOps {
         new java.util.concurrent.atomic.AtomicInteger(0)))
     if (hits.incrementAndGet() == 2)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Re-assert the INNER grams frame's persist marker on every access:
+    // the memo short-circuits the builder, so without this a harness
+    // clearCache() permanently stripped the gram frame's cache entry and
+    // every later pass computed the gram explode TWICE inside one plan
+    // (the canon-aggregate side and the join side) — measured 2.37 s vs
+    // 1.47 s isolated at sf0.1. dupSpanGrams is memoized itself, so this
+    // is a plan-object lookup + a CacheManager no-op when already cached.
+    dupSpanGrams(s, d)
     df
   }
   private val dupSpanKeep1Memo = new java.util.concurrent.ConcurrentHashMap[

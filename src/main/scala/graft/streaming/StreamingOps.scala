@@ -203,12 +203,40 @@ object StreamingOps {
     p.toString
   }
 
+  /** Bind the state-store provider choice to the session before a
+    * stream starts (the conf is read per-query at `.start()`).
+    * `GRAFT_STATE_STORE=rocksdb` swaps the default on-heap
+    * HDFSBackedStateStoreProvider for RocksDB; `=hdfs` pins the default
+    * explicitly; unset leaves Spark's default. Why it exists: at 100 TB
+    * the stream-stream join rows (`s_stream_join`/`s_stream_outer`, the
+    * heaviest streaming rows at every tier) hold join state on executor
+    * heap, which OOMs when state outgrows memory — RocksDB keeps state
+    * on local disk with bounded heap. Env-gated so the SURVEY §8.6 A/B
+    * measures both providers on identical code, and the adoption
+    * decision is recorded there rather than hard-coded. */
+  private def stateStoreConf(s: SparkSession): Unit = {
+    val pkg = "org.apache.spark.sql.execution.streaming.state"
+    // system property first (settable in-process — the RocksDB
+    // equivalence spec), env var for the CLI harnesses (Iso/Bench)
+    sys.props.get("graft.stateStore")
+      .orElse(sys.env.get("GRAFT_STATE_STORE")).map(_.toLowerCase) match {
+      case Some("rocksdb") => s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        s"$pkg.RocksDBStateStoreProvider")
+      case Some("hdfs") => s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        s"$pkg.HDFSBackedStateStoreProvider")
+      case _ => ()
+    }
+  }
+
   /** Drain `df` to completion under AvailableNow into an idempotent
     * per-batch parquet sink (deterministic `b<batchId>` directory +
     * overwrite: a redelivered batch rewrites its own directory). Returns
     * the sink root for batch re-read. */
   private[graft] def drainToParquet(df: DataFrame, mode: String): String = {
     val out = tmp("graft-sink-")
+    stateStoreConf(df.sparkSession)
     df.writeStream
       .option("checkpointLocation", tmp("graft-ckpt-"))
       .trigger(Trigger.AvailableNow())
@@ -288,6 +316,7 @@ object StreamingOps {
     * [[readDrained]]. */
   private def drainMapped(stream: DataFrame, f: DataFrame => DataFrame): DataFrame = {
     val out = tmp("graft-sink-")
+    stateStoreConf(stream.sparkSession)
     stream.writeStream
       .option("checkpointLocation", tmp("graft-ckpt-"))
       .trigger(Trigger.AvailableNow())
@@ -349,6 +378,7 @@ object StreamingOps {
   private def drainUpsert(stream: DataFrame, rows: DataFrame => DataFrame,
                           keys: Seq[String]): DataFrame = {
     val stateDir = tmp("graft-graph-")
+    stateStoreConf(stream.sparkSession)
     stream.writeStream
       .option("checkpointLocation", tmp("graft-ckpt-"))
       .trigger(Trigger.AvailableNow())
@@ -678,6 +708,7 @@ object StreamingOps {
   private[graft] def cdcApplyInto(stream: DataFrame, stateDir: String,
                                   checkpointDir: String = null): String = {
     val s = stream.sparkSession
+    stateStoreConf(s)
     stream.writeStream
       .option("checkpointLocation",
         Option(checkpointDir).getOrElse(tmp("graft-cdc-ckpt-")))
@@ -899,6 +930,23 @@ object StreamingOps {
         b => graft.operators.CtsParity.edges(ceOf(b)),
         Seq("rel", "src_key", "dst_key"))
         .orderBy(col("rel"), col("src_key"), col("dst_key"))),
+    // Streaming Cypher emission — the statement stream the reference's
+    // Bolt writer actually consumes (one parametrized MERGE per event as
+    // it arrives, neo4j/client.go:33-84): the batch k3_cypher projection
+    // bound to the event stream as a stateless per-row plan (no
+    // foreachBatch, no state store — the projection IS the streaming
+    // plan). Shares the batch oracle: per-event statement text cannot
+    // depend on micro-batch composition.
+    "s_cypher" -> ((s, d) => {
+      val stream = readEventsStream(s, d)
+      val proj = (b: DataFrame) => ceOf(b).select(
+        col("id"),
+        org.apache.spark.sql.functions.lit(
+          graft.operators.CtsParity.cypherMerge).as("statement"),
+        graft.operators.CtsParity.cypherParamsJson.as("params_json"))
+      readDrained(stream, proj, drainToParquet(proj(stream), "append"))
+        .orderBy(col("id").cast("long"))
+    }),
     "s_tumbling" -> ((s, d) => tumbling(s, d)),
     "s_sliding" -> ((s, d) => sliding(s, d)),
     "s_session" -> ((s, d) => session(s, d)),
@@ -926,6 +974,7 @@ object StreamingOps {
     "s_stateful" -> "events", "s_static_join" -> "events",
     "s_stream_join" -> "events", "s_stream_outer" -> "events",
     "s_graph_nodes" -> "events", "s_graph_edges" -> "events",
+    "s_cypher" -> "events",
     "s_doc_dedup" -> "documents", "s_quality" -> "documents",
     "s_pii" -> "documents", "s_langid" -> "documents",
     "s_media_decode" -> "documents", "s_heavy_hitters" -> "documents",
@@ -988,6 +1037,9 @@ object StreamingOps {
     // the oracles ARE the batch graph-table oracles
     "s_graph_nodes" -> graft.Parity.oracles("k3_graph_nodes"),
     "s_graph_edges" -> graft.Parity.oracles("k3_graph_edges"),
+    // stateless per-event statement render — the oracle IS the batch
+    // k3_cypher oracle (identical wire text, hash-pinned)
+    "s_cypher" -> graft.Parity.oracles("k3_cypher"),
 
     "s_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,

@@ -355,6 +355,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("RocksDB state store: state-bearing rows equal the default-provider answers") {
+    // The 100 TB story's state-store swap (SURVEY §8.6): the provider is
+    // a STORAGE choice, never a semantics choice — the heaviest
+    // state-bearing shapes (stream-stream join state, fMGWS custom
+    // state, watermarked dedup state) must produce bit-identical answers
+    // under RocksDB. Runs the three cheapest representatives of those
+    // shapes; the sf1/sf10 A/B timings live in the bench artifacts.
+    val rows = Seq("s_dedup", "s_stateful", "s_stream_join")
+    val want = rows.map(n =>
+      n -> StreamingOps.queries(n)(spark, TestSpark.sfDir)
+        .collect().map(_.toSeq).toSeq).toMap
+    sys.props("graft.stateStore") = "rocksdb"
+    try {
+      for (n <- rows) {
+        val got = StreamingOps.queries(n)(spark, TestSpark.sfDir)
+          .collect().map(_.toSeq).toSeq
+        assert(got === want(n),
+          s"$n diverged under RocksDBStateStoreProvider (${got.size} vs ${want(n).size} rows)")
+        assert(want(n).nonEmpty, s"$n fixture empty — the equality proved nothing")
+      }
+      // the conf actually bound — otherwise this test silently compared
+      // the default provider to itself
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+    } finally {
+      sys.props.remove("graft.stateStore")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    }
+  }
+
+  test("streaming Cypher emission equals the batch k3_cypher rows") {
+    val got = StreamingOps.queries("s_cypher")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val want = Parity.queries("k3_cypher")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want,
+      s"s_cypher diverged from k3_cypher: stream ${got.size}, batch ${want.size}")
+    assert(want.nonEmpty, "k3_cypher fixture empty — the equality proved nothing")
+  }
+
   test("streaming semantic dedup equals the batch l_semdedup verdict row-for-row") {
     val spark = TestSpark.spark
     val got = LlmOps.streamSemDedup(spark, TestSpark.sfDir).collect().toSeq
