@@ -3601,13 +3601,21 @@ object LlmOps {
          |           row_number() OVER (PARTITION BY vec_id, subspace
          |                              ORDER BY dist, code) AS rn
          |    FROM d) WHERE rn = 1
+         |), qd AS (
+         |  -- the query-side ADC lookup table ONLY (5 queries x 8
+         |  -- subspaces x 16 codes = 640 rows). Joining the FULL d frame
+         |  -- instead let the optimizer pair (a x d) on (subspace, code)
+         |  -- first -- 128 distinct keys over 160k x 2.56M rows = a
+         |  -- billions-row intermediate that spilled DuckDB past 70 GB at
+         |  -- sf1 before either vec_id binding applied.
+         |  SELECT vec_id, subspace, code, dist FROM d WHERE vec_id < 5
          |), scored AS (
          |  SELECT p.q_id, n.vec_id AS neighbor_id,
          |         CAST(sum(qd.dist) AS BIGINT) AS adc_dist
          |  FROM probes p
          |  JOIN asn n ON n.cell = p.q_cell AND n.vec_id <> p.q_id
          |  JOIN a ca ON ca.vec_id = n.vec_id
-         |  JOIN d qd ON qd.vec_id = p.q_id AND qd.subspace = ca.subspace
+         |  JOIN qd ON qd.vec_id = p.q_id AND qd.subspace = ca.subspace
          |           AND qd.code = ca.code
          |  GROUP BY 1, 2
          |), shortlist AS (
