@@ -1146,6 +1146,171 @@ object LlmOps {
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  // ---- IVF+PQ composed ANN (l_ivfpq_ann batch row / s_ivfpq_topk
+  // streaming serving twin) — see the l_ivfpq_ann entry's docstring for
+  // the three-stage design rationale. Factored so the offline index
+  // build (trainIvfPqIndex) and the online scorer (ivfPqScorer) share
+  // ONE spelling with the batch row: the shared oracle is the proof the
+  // served answer equals the batch answer.
+  private final val IVFPQ_SUBS = 8
+  private final val IVFPQ_DIMS = 8
+  private final val IVFPQ_CODES = 16
+  private final val IVFPQ_NPROBE = 2
+  private final val IVFPQ_RERANK = 256
+
+  /** Corpus frame (vec_id, embedding, nrm, qe) plus the two
+    * DRIVER-RESIDENT codebooks (kilobytes — the broadcast-codebook
+    * pattern of l_ivf_ann / l_pq), collected from pruned scans and
+    * inlined as literals so assignment, encode and the query LUT are
+    * pure codegen Projects. */
+  private def ivfPqPrep(s: SparkSession, d: String): (DataFrame,
+      Array[(Long, Array[Float], Double)], Array[(Long, IndexedSeq[Long])]) = {
+    import graft.functions.HashExprs.vecDot
+    val e = spread(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
+        transform(col("embedding"),
+          c => floor(c.cast("double") * lit(1000000.0)) + lit(QUANT_OFF)).as("qe"))
+    val cents = e.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.length == 8,
+      s"ivfpq: expected centroid vec_ids 100..107, found ${cents.length}")
+    val cb = e.filter(col("vec_id") < IVFPQ_CODES)
+      .select(col("vec_id").cast("long"), col("qe"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+      .sortBy(_._1)
+    require(cb.length == IVFPQ_CODES,
+      s"ivfpq: expected codeword vec_ids 0..${IVFPQ_CODES - 1}, found ${cb.length}")
+    (e, cents, cb)
+  }
+
+  private def ivfPqCosines(cents: Array[(Long, Array[Float], Double)])(
+      emb: Column, nrm: Column): Column = {
+    import graft.functions.HashExprs.vecDot
+    array(cents.map {
+      case (_, cemb, cnrm) => vecDot(emb, lit(cemb)) / (nrm * lit(cnrm))
+    }: _*)
+  }
+
+  private def ivfPqCell(cents: Array[(Long, Array[Float], Double)])(
+      cos: Column): Column =
+    element_at(lit(cents.map(_._1)), array_position(cos, array_max(cos)).cast("int"))
+
+  /** Exact squared ADC distance of `qe`'s subspace `sub` to codeword
+    * `code` — all-integer over the offset-shifted fixed-point components
+    * (bit-exact oracle arithmetic). */
+  private def ivfPqSubDist(cb: Array[(Long, IndexedSeq[Long])])(
+      sub: Int, code: Int): Column =
+    aggregate(
+      zip_with(slice(col("qe"), sub * IVFPQ_DIMS + 1, IVFPQ_DIMS),
+        array(cb(code)._2.slice(
+          sub * IVFPQ_DIMS, sub * IVFPQ_DIMS + IVFPQ_DIMS).map(lit): _*),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** The COMPRESSED index rows (vec_id, cell, codes): coarse IVF cell by
+    * cosine argmax + 8 PQ codes by per-subspace squared-distance argmin
+    * (cb is sorted by code, so ties break to the smaller code — the
+    * l_pq order). 8 small codes instead of 256 bytes of floats — the
+    * ~32× RAM compression that fits a billion-vector index in memory. */
+  private def ivfPqAssign(e: DataFrame,
+      cents: Array[(Long, Array[Float], Double)],
+      cb: Array[(Long, IndexedSeq[Long])]): DataFrame = {
+    def codeOf(sub: Int): Column =
+      least((0 until IVFPQ_CODES).map(code =>
+        struct(ivfPqSubDist(cb)(sub, code).as("dist"),
+          lit(code.toLong).as("code"))): _*)
+        .getField("code")
+    e.select(col("vec_id"),
+      ivfPqCell(cents)(ivfPqCosines(cents)(col("embedding"), col("nrm"))).as("cell"),
+      array((0 until IVFPQ_SUBS).map(codeOf): _*).as("codes"))
+  }
+
+  /** Offline index build — the train/score seam every model-carrying op
+    * has (langid, BM25, LM, semdedup, kmeans): the compressed
+    * (vec_id, cell, codes) table persists once and the online scorer
+    * probes it statelessly. At 100 TB this table is written bucketed by
+    * cell, so a probe partition-prunes to its nprobe cells. */
+  private[graft] def trainIvfPqIndex(s: SparkSession, d: String,
+                                     dir: String): Unit = {
+    val (e, cents, cb) = ivfPqPrep(s, d)
+    ivfPqAssign(e, cents, cb).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Score a query frame (vec_id, embedding) against a persisted
+    * (vec_id, cell, codes) index: probe → ADC shortlist → exact re-rank.
+    * Norms and quantized components derive from the embedding INSIDE the
+    * scorer with the corpus spelling, so a streamed query row scores
+    * bit-identically to the batch row's e-derived queries. */
+  private def ivfPqScore(e: DataFrame,
+      cents: Array[(Long, Array[Float], Double)],
+      cb: Array[(Long, IndexedSeq[Long])],
+      index: DataFrame, queries: DataFrame): DataFrame = {
+    import graft.functions.HashExprs.vecDot
+    val q0 = queries.select(col("vec_id").as("q_id"), col("embedding"))
+      .withColumn("q_nrm", sqrt(vecDot(col("embedding"), col("embedding"))))
+      .withColumn("qe", transform(col("embedding"),
+        c => floor(c.cast("double") * lit(1000000.0)) + lit(QUANT_OFF)))
+    // nprobe nearest cells (the l_ivf_ann probe spelling) + the 8×16 ADC
+    // lookup table of exact subvector→codeword distances, all in one
+    // projection over the query rows
+    val q = q0.select(col("q_id"),
+      slice(reverse(array_sort(zip_with(
+        ivfPqCosines(cents)(col("embedding"), col("q_nrm")),
+        lit(cents.map(c => -c._1)),
+        (c, n) => struct(c.as("cos"), n.as("ncid"))))), 1, IVFPQ_NPROBE)
+        .as("probes"),
+      array((0 until IVFPQ_SUBS).map(sub =>
+        array((0 until IVFPQ_CODES).map(code =>
+          ivfPqSubDist(cb)(sub, code)): _*)): _*).as("lut"))
+    val probes = q.select(col("q_id"), col("lut"), explode(col("probes")).as("p"))
+      .select(col("q_id"), col("lut"), (-col("p.ncid")).as("q_cell"))
+    // ADC rows stay SKINNY (q_id, neighbor_id, adc_dist) — the query
+    // embedding does not ride the per-candidate window exchange
+    val joined = index.join(broadcast(probes),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("lut"), col("codes"),
+            (l, c) => element_at(l, c.cast("int") + 1)),
+          lit(0L), (acc, v) => acc + v).as("adc_dist"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val shortlist = joined.withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= IVFPQ_RERANK)
+      .select(col("q_id"), col("neighbor_id"))
+    // exact re-rank: fetch true vectors for the O(queries×R) shortlist
+    // only — a broadcast hash probe of the corpus scan (at scale: a
+    // vec_id-bucketed table, so the fetch partition-prunes)
+    val qv2 = q0.select(col("q_id"), col("embedding").as("q_emb"),
+      col("q_nrm"))
+    val rerank = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qv2), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        (vecDot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rerank.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Online serving scorer over a persisted index: prep (corpus frame +
+    * codebook collects) runs ONCE here, and the returned closure scores
+    * each arriving query micro-batch statelessly — per-query work is
+    * index-probe-bounded, no state store. */
+  private[graft] def ivfPqScorer(s: SparkSession, d: String,
+                                 index: DataFrame): DataFrame => DataFrame = {
+    val (e, cents, cb) = ivfPqPrep(s, d)
+    q => ivfPqScore(e, cents, cb, index, q)
+  }
+
   /** One micro-batch of streaming repeated-substring detection
     * ([[streamDupSpans]]): positional K-grams of the arriving docs are
     * checked against the gram index-so-far, covered positions are
@@ -2316,101 +2481,11 @@ object LlmOps {
     // ADC arithmetic is all-integer (bit-exact oracle); the re-rank
     // cosine is the siblings' float spelling (tolerance-checked).
     "l_ivfpq_ann" -> ((s, d) => {
-      import graft.functions.HashExprs.vecDot
-      val SUBS = 8
-      val DIMS = 8
-      val CODES = 16
-      val nprobe = 2
-      val RERANK = 256
-      // ONE corpus scan carries both representations: raw floats feed
-      // the IVF coarse assignment, quantized longs feed the PQ encode
-      val e = spread(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"),
-          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
-          transform(col("embedding"),
-            c => floor(c.cast("double") * lit(1000000.0)) + lit(QUANT_OFF)).as("qe"))
-      // both codebooks are DRIVER-RESIDENT by construction (kilobytes;
-      // the broadcast-codebook pattern of l_ivf_ann / l_pq) — collected
-      // from pruned scans and inlined as literals so assignment, encode
-      // and the query LUT are pure codegen Projects
-      val cents = e.filter(col("vec_id").between(100, 107))
-        .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-      require(cents.length == 8,
-        s"l_ivfpq_ann: expected centroid vec_ids 100..107, found ${cents.length}")
-      val cb = e.filter(col("vec_id") < CODES)
-        .select(col("vec_id").cast("long"), col("qe"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
-        .sortBy(_._1)
-      require(cb.length == CODES,
-        s"l_ivfpq_ann: expected codeword vec_ids 0..${CODES - 1}, found ${cb.length}")
-      def cosines(emb: Column, nrm: Column): Column = array(cents.map {
-        case (_, cemb, cnrm) => vecDot(emb, lit(cemb)) / (nrm * lit(cnrm))
-      }: _*)
-      def cellOf(cos: Column): Column =
-        element_at(lit(cents.map(_._1)), array_position(cos, array_max(cos)).cast("int"))
-      def subCtr(code: Int, sub: Int): Column = array(
-        cb(code)._2.slice(sub * DIMS, sub * DIMS + DIMS).map(lit): _*)
-      def subDist(sub: Int, code: Int): Column =
-        aggregate(
-          zip_with(slice(col("qe"), sub * DIMS + 1, DIMS), subCtr(code, sub),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-      // PQ encode: per subspace the argmin (dist, code) — cb is sorted
-      // by code, so ties break to the smaller code (the l_pq order)
-      def codeOf(sub: Int): Column =
-        least((0 until CODES).map(code =>
-          struct(subDist(sub, code).as("dist"), lit(code.toLong).as("code"))): _*)
-          .getField("code")
-      val asn = e.select(col("vec_id"),
-        cellOf(cosines(col("embedding"), col("nrm"))).as("cell"),
-        array((0 until SUBS).map(codeOf): _*).as("codes"))
-      // query side: nprobe nearest cells (the l_ivf_ann probe spelling)
-      // + the 8×4 ADC lookup table, all in one projection over 5 rows
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"),
-          slice(reverse(array_sort(zip_with(
-            cosines(col("embedding"), col("nrm")),
-            lit(cents.map(c => -c._1)),
-            (c, n) => struct(c.as("cos"), n.as("ncid"))))), 1, nprobe).as("probes"),
-          array((0 until SUBS).map(sub =>
-            array((0 until CODES).map(code => subDist(sub, code)): _*)): _*).as("lut"))
-      val probes = q.select(col("q_id"), col("lut"), explode(col("probes")).as("p"))
-        .select(col("q_id"), col("lut"), (-col("p.ncid")).as("q_cell"))
-      // ADC rows stay SKINNY (q_id, neighbor_id, adc_dist) — the query
-      // embedding does not ride the per-candidate window exchange
-      val joined = asn.join(broadcast(probes),
-          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          aggregate(
-            zip_with(col("lut"), col("codes"),
-              (l, c) => element_at(l, c.cast("int") + 1)),
-            lit(0L), (acc, v) => acc + v).as("adc_dist"))
-      val wAdc = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_dist"), col("neighbor_id"))
-      val shortlist = joined.withColumn("srn", row_number().over(wAdc))
-        .filter(col("srn") <= RERANK)
-        .select(col("q_id"), col("neighbor_id"))
-      // exact re-rank: fetch true vectors for the O(queries×R) shortlist
-      // only — a broadcast hash probe of the corpus scan (at scale: a
-      // vec_id-bucketed table, so the fetch partition-prunes)
-      val qv2 = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      val rerank = e.select(col("vec_id"), col("embedding"), col("nrm"))
-        .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
-        .join(broadcast(qv2), "q_id")
-        .select(col("q_id"), col("neighbor_id"),
-          (vecDot(col("q_emb"), col("embedding")) /
-            (col("q_nrm") * col("nrm"))).as("cosine"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      rerank.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      val (e, cents, cb) = ivfPqPrep(s, d)
+      // index built inline here (same spelling trainIvfPqIndex persists);
+      // the streaming twin s_ivfpq_topk scores over the PERSISTED copy
+      ivfPqScore(e, cents, cb, ivfPqAssign(e, cents, cb),
+        e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")))
         .orderBy(col("q_id"), col("rank"))
     }),
 

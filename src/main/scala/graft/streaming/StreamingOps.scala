@@ -888,6 +888,25 @@ object StreamingOps {
     // EXACTLY the batch covered set (LlmOps.dupSpanBatch). Shares
     // l_dup_spans' oracle: micro-batched ingest with a maintained index
     // provably equals the one-shot corpus scan.
+    // Streaming ANN serving over the PERSISTED compressed index — the
+    // billion-vector online path composed end-to-end: the IVF+PQ index
+    // (vec_id, cell, codes) is trained once offline
+    // (LlmOps.trainIvfPqIndex — the same train/score seam as langid/
+    // BM25/LM/semdedup), and each arriving query micro-batch probes its
+    // nprobe cells, ADC-scores codes, and exact-re-ranks the shortlist
+    // (LlmOps.ivfPqScorer) — stateless per query, no state store.
+    // Shares l_ivfpq_ann's oracle: the proof the SERVED approximate
+    // answer equals the batch row over the same index.
+    "s_ivfpq_topk" -> ((s, d) => {
+      val indexDir = tmp("graft-ivfpq-index-")
+      graft.LlmOps.trainIvfPqIndex(s, d, indexDir)
+      val scorer = graft.LlmOps.ivfPqScorer(s, d, s.read.parquet(indexDir))
+      val queries = readEmbeddingsStream(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 5)
+      drainMapped(queries, scorer)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     "s_dup_spans" -> ((s, d) => graft.LlmOps.streamDupSpans(s, d)),
     // Streaming DECONTAMINATION at ingest: the benchmark 8-gram set is
     // STATIC (eval sets are MBs, built once offline — here LlmOps
@@ -989,7 +1008,8 @@ object StreamingOps {
     "s_bm25" -> "documents", "s_lm_score" -> "documents",
     "s_decontaminate" -> "documents", "s_dup_spans" -> "documents",
     "s_neardup" -> "documents", "s_pipeline" -> "documents",
-    "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings")
+    "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings",
+    "s_ivfpq_topk" -> "embeddings")
 
   /** Batch-SQL twins: the streaming answers must equal what DuckDB computes
     * over the at-rest table (exactly-once + event-time semantics). */
@@ -1027,6 +1047,9 @@ object StreamingOps {
     // stateless per-query scoring against the static corpus index — the
     // oracle IS the batch top-k oracle
     "s_cosine_topk" -> graft.LlmOps.oracles("l_cosine_topk"),
+    // served-from-persisted-index scoring ≡ the batch IVF+PQ row — the
+    // oracle IS the batch oracle
+    "s_ivfpq_topk" -> graft.LlmOps.oracles("l_ivfpq_ann"),
     // maintained-gram-index ingest provably equals the one-shot corpus
     // scan (symmetric coverage emission + terminal distinct) — the
     // oracle IS the batch detect oracle

@@ -503,6 +503,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == 15, "5 queries x top-3 expected from the fixture")
   }
 
+  test("streaming IVF+PQ serving over the persisted index equals the batch row") {
+    val spark = TestSpark.spark
+    val got = graft.streaming.StreamingOps.queries("s_ivfpq_topk")(
+      spark, TestSpark.sfDir).collect().toSeq
+    val want = LlmOps.queries("l_ivfpq_ann")(spark, TestSpark.sfDir).collect().toSeq
+    assert(got == want,
+      s"served/batch IVF+PQ diverged: served ${got.size} rows, batch ${want.size}")
+    assert(want.size == 15, "5 queries x top-3 expected from the fixture")
+  }
+
   test("streaming media decode equals the batch l_media_decode row-for-row") {
     val spark = TestSpark.spark
     val got = StreamingOps.queries("s_media_decode")(
