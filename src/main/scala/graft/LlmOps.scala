@@ -1311,6 +1311,99 @@ object LlmOps {
     q => ivfPqScore(e, cents, cb, index, q)
   }
 
+  // ---- BPE merge training (l_bpe_train / l_bpe_encode) -----------------
+  // Subword-tokenizer training (Sennrich et al. 2016), the one
+  // training-data-pipeline model the suite lacked: learn the top-K
+  // byte-pair merges from corpus word frequencies, then encode the
+  // corpus with them. Everything runs on the VOCABULARY (the word-freq
+  // table), never the raw corpus — the classic BPE trick that makes
+  // training corpus-size-independent after one counting scan; at 100 TB
+  // the vocab table is a few million rows regardless of corpus bytes.
+  private final val BPE_ROUNDS = 6
+
+  /** (w, n, str): distinct corpus words with frequency and the
+    * space-delimited symbol string `" c h a r s </w> "` — one symbol per
+    * codepoint plus the end-of-word marker (suffix merges must differ
+    * from prefix merges), leading/trailing spaces as merge-boundary
+    * sentinels. */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("str", concat(lit(" "),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+        lit(" </w> ")))
+
+  /** The merge fold shared by training and encoding: replace
+    * `" a b "` with `" ab "` TWICE. One `replace` pass scans left and
+    * never overlaps, so of two adjacent occurrences sharing a boundary
+    * space the second survives pass one — but survivors are then
+    * isolated (flanked by merged tokens), so the second pass catches
+    * every one. Two passes therefore reproduce exactly the greedy
+    * left-to-right merge of the reference algorithm, in both engines
+    * (Spark and DuckDB `replace` share the left-scan non-overlap
+    * contract), without per-row loops. */
+  private def bpeMergeOnce(str: Column, a: String, b: String): Column = {
+    val pat = lit(s" $a $b "); val rep = lit(s" $a$b ")
+    replace(replace(str, pat, rep), pat, rep)
+  }
+
+  /** Learn BPE_ROUNDS merges: per round, count adjacent symbol pairs
+    * weighted by word frequency (one map-side-combined aggregate over
+    * the vocab), pick the argmax — ties broken (count DESC, a, b), fully
+    * deterministic cross-engine — and fold the merge into every word.
+    * The chosen pair rides to the driver as ONE collected row per round
+    * (the codebook-collect pattern); the evolving symbol strings stay a
+    * lazy column of chained replaces over the persisted vocab frame.
+    * Returns (round, a, b, count). Invariant (asserted by the spec): the
+    * winning count is non-increasing across rounds — a new pair created
+    * by a merge occurs at most as often as the merge itself, and
+    * existing pairs only lose occurrences. */
+  private[graft] def bpeTrain(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
+    evictStopped(bpeMemo)
+    // MEMOIZED per (session, dir) on the winnowKept discipline — the
+    // model is a 6-element driver-side Seq (clearCache-immune), so the
+    // train→encode pair trains once per session instead of twice; the
+    // same corpus-immutability assumption every other memo here makes.
+    bpeMemo.computeIfAbsent((s, d), _ => {
+      val base = bpeWords(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var cur = base
+        (1 to BPE_ROUNDS).map { r =>
+          val syms = split(trim(col("str")), " ")
+          val pairs = zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))
+          val best = cur.select(col("n"), explode(pairs).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).collect()(0)
+          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          cur = cur.withColumn("str", bpeMergeOnce(col("str"), a, b))
+          (r, a, b, cnt)
+        }
+      } finally base.unpersist(false)
+    })
+  }
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, String, String, Long)]]()
+
+  /** Per-distinct-word BPE token count under a learned merge list — the
+    * encode side stays vocabulary-sized too; the corpus joins back to it
+    * by word (SHUFFLED: the vocab grows with the corpus, like the LM
+    * model join — never a broadcast). */
+  private def bpeWordTokens(s: SparkSession, d: String,
+                            merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val applied = merges.foldLeft(col("str")) {
+      case (acc, (_, a, b, _)) => bpeMergeOnce(acc, a, b)
+    }
+    bpeWords(s, d).select(col("w"),
+      size(split(trim(applied), " ")).cast("long").as("k"))
+  }
+
   /** One micro-batch of streaming repeated-substring detection
     * ([[streamDupSpans]]): positional K-grams of the arriving docs are
     * checked against the gram index-so-far, covered positions are
@@ -1933,6 +2026,42 @@ object LlmOps {
         (least(lit(1.0), nTok.cast("double") / 200.0) * (lit(0.25) + lit(0.75) * ttr))
           .as("quality"),
         polyHash(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge TRAINING (Sennrich et al. 2016) — learn the top-K
+    // byte-pair merges from corpus word frequencies. The returned merge
+    // table IS the tokenizer model: (round, pair, merged form, corpus
+    // pair count). Training is vocabulary-sized after one corpus
+    // counting scan (the classic BPE trick); per round one
+    // map-side-combined pair aggregate + a 1-row argmax collect (the
+    // codebook pattern). The greedy merge fold is two non-overlapping
+    // string replaces (see bpeMergeOnce for the two-pass proof), shared
+    // verbatim with the DuckDB oracle's unrolled rounds, so the learned
+    // merges hash-match exactly — argmax ties break (count, a, b)
+    // deterministically in both engines.
+    "l_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      bpeTrain(s, d)
+        .map { case (r, a, b, c) => (r.toLong, a, b, a + b, c) }
+        .toDF("merge_round", "sym_a", "sym_b", "merged", "n_pairs")
+        .orderBy(col("merge_round"))
+    }),
+
+    // BPE ENCODE — the tokenizer applied: per-document token counts
+    // under the learned merges (the number a context-window packer or
+    // cost model actually consumes). Encoding stays vocabulary-sized
+    // too: the merge fold runs once per DISTINCT word, and the corpus
+    // joins back by word — SHUFFLED, the LM-model-join rule (vocabulary
+    // grows with the corpus, never a broadcast).
+    "l_bpe_encode" -> ((s, d) => {
+      val wtok = bpeWordTokens(s, d, bpeTrain(s, d))
+      docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(wtok, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3283,6 +3412,81 @@ object LlmOps {
          |       sha256(lower(trim(text))) AS fp
          |FROM all_docs GROUP BY fp HAVING count(*) > 1
          |ORDER BY canon_id""".stripMargin,
+
+    // BPE rounds unrolled as CTEs (the kmeans-oracle discipline): per
+    // round, pair positions via the unnest/generate_subscripts zip +
+    // a self-join on i+1, argmax by (count DESC, a, b), and the SAME
+    // two-pass boundary-space replace as the engine (bpeMergeOnce).
+    "l_bpe_train" -> {
+      def round(r: Int) =
+        s"""pos$r AS (
+           |  SELECT w, n, generate_subscripts(syms, 1) AS i, unnest(syms) AS sym
+           |  FROM (SELECT w, n, string_split(trim(str, ' '), ' ') AS syms FROM s${r - 1})),
+           |pc$r AS (
+           |  SELECT p1.sym AS a, p2.sym AS b, CAST(sum(p1.n) AS BIGINT) AS cnt
+           |  FROM pos$r p1 JOIN pos$r p2 ON p2.w = p1.w AND p2.i = p1.i + 1
+           |  GROUP BY 1, 2),
+           |best$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$r AS (
+           |  SELECT s.w, s.n,
+           |    replace(replace(s.str, ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' '),
+           |            ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ') AS str
+           |  FROM s${r - 1} s CROSS JOIN best$r b)""".stripMargin
+      val unions = (1 to BPE_ROUNDS).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS n_pairs FROM best$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |s0 AS (
+         |  SELECT w, n,
+         |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w> ' AS str
+         |  FROM words),
+         |${(1 to BPE_ROUNDS).map(round).mkString(",\n")}
+         |SELECT * FROM (
+         |  $unions
+         |) ORDER BY merge_round""".stripMargin
+    },
+
+    // encode = the train chain's FINAL symbol strings joined back to the
+    // corpus words (inner join + len>0 — empty-split artifacts and
+    // wordless docs drop out identically in both engines)
+    "l_bpe_encode" -> {
+      def round(r: Int) =
+        s"""pos$r AS (
+           |  SELECT w, n, generate_subscripts(syms, 1) AS i, unnest(syms) AS sym
+           |  FROM (SELECT w, n, string_split(trim(str, ' '), ' ') AS syms FROM s${r - 1})),
+           |pc$r AS (
+           |  SELECT p1.sym AS a, p2.sym AS b, CAST(sum(p1.n) AS BIGINT) AS cnt
+           |  FROM pos$r p1 JOIN pos$r p2 ON p2.w = p1.w AND p2.i = p1.i + 1
+           |  GROUP BY 1, 2),
+           |best$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$r AS (
+           |  SELECT s.w, s.n,
+           |    replace(replace(s.str, ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' '),
+           |            ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ') AS str
+           |  FROM s${r - 1} s CROSS JOIN best$r b)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |s0 AS (
+         |  SELECT w, n,
+         |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w> ' AS str
+         |  FROM words),
+         |${(1 to BPE_ROUNDS).map(round).mkString(",\n")},
+         |wtok AS (
+         |  SELECT w, CAST(len(string_split(trim(str, ' '), ' ')) AS BIGINT) AS k
+         |  FROM s$BPE_ROUNDS),
+         |docw AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(t.k) AS BIGINT) AS n_bpe_tokens
+         |FROM docw d JOIN wtok t ON t.w = d.w
+         |WHERE len(d.w) > 0
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
 
     "l_text_stats" -> {
       val stopList = STOPWORDS.map(w => s"'$w'").mkString(", ")

@@ -726,4 +726,46 @@ class LlmOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     LlmOps.dupSpanKeep1MemoReset()
   }
+
+  test("BPE training: deterministic merges with non-increasing pair counts") {
+    val m1 = run("l_bpe_train").collect()
+    assert(m1.length == 6, "one row per merge round")
+    // merged form is the pair's concatenation
+    m1.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    // the winning count can never grow: a pair created by a merge occurs
+    // at most as often as the merge itself, and existing pairs only lose
+    // occurrences — a violation means the merge fold corrupted a word
+    val counts = m1.map(_.getLong(4)).toSeq
+    assert(counts == counts.sorted(Ordering[Long].reverse),
+      s"pair counts increased across rounds: $counts")
+    assert(counts.last > 0, "fixture produced no repeated pairs — proves nothing")
+    // training twice is bit-identical (argmax ties break deterministically)
+    val m2 = run("l_bpe_train").collect()
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+  }
+
+  test("BPE encode: merges only ever shrink a word's token count") {
+    // per doc: chars+1 per word is the round-0 token count (chars + the
+    // </w> marker); 6 merges can only reduce it, and never below 1
+    val enc = run("l_bpe_encode").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = LlmOps.queries("l_text_stats")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // n_tokens (words)
+    assert(enc.nonEmpty && enc.keySet.subsetOf(base.keySet))
+    enc.foreach { case (id, (nw, nb)) =>
+      assert(nb >= nw, s"doc $id: fewer BPE tokens ($nb) than words ($nw)")
+    }
+    // the merges actually compressed: total BPE tokens strictly under
+    // the exact round-0 total (per word: chars + the </w> marker), which
+    // only an applied merge can achieve
+    import org.apache.spark.sql.functions.{col, explode, length, lit, lower, split, sum}
+    val r0tot = Tables.documents(spark, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")).cast("long") + lit(1L)))
+      .first().getLong(0)
+    val totBpe = enc.values.map(_._2).sum
+    assert(totBpe < r0tot,
+      s"no merge ever applied at encode time ($totBpe !< $r0tot)")
+  }
 }
