@@ -1404,6 +1404,21 @@ object LlmOps {
       size(split(trim(applied), " ")).cast("long").as("k"))
   }
 
+  /** Encode any (doc_id, text) frame against the trained merge model —
+    * the ONE spelling shared by the batch l_bpe_encode row and the
+    * streaming twin (model trained once on the at-rest corpus, arriving
+    * docs scored statelessly; a doc's words and their per-word token
+    * counts are row-local facts + model facts, so micro-batched encoding
+    * provably equals the batch row — the shared oracle is the proof). */
+  private[graft] def bpeScorer(s: SparkSession, d: String): DataFrame => DataFrame = {
+    val wtok = bpeWordTokens(s, d, bpeTrain(s, d))
+    b => b.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wtok, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_bpe_tokens"))
+  }
+
   /** One micro-batch of streaming repeated-substring detection
     * ([[streamDupSpans]]): positional K-grams of the arriving docs are
     * checked against the gram index-so-far, covered positions are
@@ -2054,16 +2069,8 @@ object LlmOps {
     // too: the merge fold runs once per DISTINCT word, and the corpus
     // joins back by word — SHUFFLED, the LM-model-join rule (vocabulary
     // grows with the corpus, never a broadcast).
-    "l_bpe_encode" -> ((s, d) => {
-      val wtok = bpeWordTokens(s, d, bpeTrain(s, d))
-      docs(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .join(wtok, "w")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_bpe_tokens"))
-        .orderBy(col("doc_id"))
-    }),
+    "l_bpe_encode" -> ((s, d) =>
+      bpeScorer(s, d)(docs(s, d)).orderBy(col("doc_id"))),
 
     // Language-ID, the n-gram-profile classifier (Cavnar & Trenkle 1994
     // shape): per-language character-trigram profiles trained

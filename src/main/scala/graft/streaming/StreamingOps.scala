@@ -934,6 +934,16 @@ object StreamingOps {
     // against the static corpus assignment index — cell-bounded candidate
     // work per vector, no state store. Shares l_semdedup's oracle: the
     // proof that micro-batched admission equals the batch verdict.
+    // Streaming BPE encoding at ingest: the merge model trains once on
+    // the at-rest corpus (LlmOps.bpeTrain — the offline-train/
+    // online-score seam), then each arriving document's token count is
+    // computed statelessly against it (LlmOps.bpeScorer — per-doc facts
+    // + model facts only, so micro-batched encoding ≡ the batch row;
+    // shared oracle). The per-doc aggregate is batch-local, hence
+    // drainMapped (the langid rule).
+    "s_bpe_encode" -> ((s, d) =>
+      drainMapped(readDocumentsStream(s, d), graft.LlmOps.bpeScorer(s, d))
+        .orderBy(col("doc_id"))),
     "s_semdedup" -> ((s, d) => graft.LlmOps.streamSemDedup(s, d)),
     // Streaming CDC: incremental MERGE materialization of the changelog
     // (see cdcApplyInto) — shares the batch row's oracle, proving the
@@ -1007,6 +1017,7 @@ object StreamingOps {
     "s_media_decode" -> "documents", "s_heavy_hitters" -> "documents",
     "s_bm25" -> "documents", "s_lm_score" -> "documents",
     "s_decontaminate" -> "documents", "s_dup_spans" -> "documents",
+    "s_bpe_encode" -> "documents",
     "s_neardup" -> "documents", "s_pipeline" -> "documents",
     "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings",
     "s_ivfpq_topk" -> "embeddings")
@@ -1050,6 +1061,9 @@ object StreamingOps {
     // served-from-persisted-index scoring ≡ the batch IVF+PQ row — the
     // oracle IS the batch oracle
     "s_ivfpq_topk" -> graft.LlmOps.oracles("l_ivfpq_ann"),
+    // stateless per-doc encoding against the trained merge model — the
+    // oracle IS the batch BPE-encode oracle
+    "s_bpe_encode" -> graft.LlmOps.oracles("l_bpe_encode"),
     // maintained-gram-index ingest provably equals the one-shot corpus
     // scan (symmetric coverage emission + terminal distinct) — the
     // oracle IS the batch detect oracle

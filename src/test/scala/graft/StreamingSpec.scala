@@ -503,6 +503,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == 15, "5 queries x top-3 expected from the fixture")
   }
 
+  test("streaming BPE encoding against the trained model equals the batch row") {
+    val spark = TestSpark.spark
+    val got = StreamingOps.queries("s_bpe_encode")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val want = LlmOps.queries("l_bpe_encode")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want,
+      s"stream/batch BPE encode diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.nonEmpty, "fixture produced no encoded docs — proves nothing")
+  }
+
   test("streaming IVF+PQ serving over the persisted index equals the batch row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_ivfpq_topk")(
