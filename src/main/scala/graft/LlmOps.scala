@@ -1376,11 +1376,17 @@ object LlmOps {
             slice(syms, lit(1), size(syms) - 1),
             slice(syms, lit(2), size(syms) - 1),
             (x, y) => struct(x.as("a"), y.as("b")))
-          val best = cur.select(col("n"), explode(pairs).as("p"))
+          val top = cur.select(col("n"), explode(pairs).as("p"))
             .groupBy(col("p.a").as("a"), col("p.b").as("b"))
             .agg(sum(col("n")).as("cnt"))
             .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(1).collect()(0)
+            .limit(1).collect()
+          // fail loud, not ArrayIndexOutOfBounds: zero pairs means an
+          // empty/degenerate corpus and a learned model of < BPE_ROUNDS
+          // merges would silently change encode semantics
+          require(top.nonEmpty,
+            s"bpeTrain: no adjacent symbol pairs at round $r (empty corpus?)")
+          val best = top(0)
           val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
           cur = cur.withColumn("str", bpeMergeOnce(col("str"), a, b))
           (r, a, b, cnt)
