@@ -216,25 +216,38 @@ object StreamingOps {
     * decision is recorded there rather than hard-coded. */
   private def stateStoreConf(s: SparkSession): Unit = {
     val pkg = "org.apache.spark.sql.execution.streaming.state"
+    val changelog = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
     // system property first (settable in-process — the RocksDB
-    // equivalence spec), env var for the CLI harnesses (Iso/Bench)
+    // equivalence spec), env var for the CLI harnesses (Iso/Bench).
+    // Session conf is STICKY across streams: every branch pins BOTH
+    // knobs (provider + changelog flag) so an earlier rocksdb-changelog
+    // run in the same session cannot leak into a later plain run and
+    // contaminate the A/B this seam exists to serve (r17 ADVICE).
     sys.props.get("graft.stateStore")
       .orElse(sys.env.get("GRAFT_STATE_STORE")).map(_.toLowerCase) match {
-      case Some("rocksdb") => s.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        s"$pkg.RocksDBStateStoreProvider")
+      case Some("rocksdb") =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          s"$pkg.RocksDBStateStoreProvider")
+        s.conf.set(changelog, "false")
       // changelog checkpointing: per-batch upload becomes the delta, not
       // a full snapshot — the standard knob for RocksDB's per-batch
       // maintenance cost (measured in the §8.6 A/B)
       case Some("rocksdb-changelog") =>
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           s"$pkg.RocksDBStateStoreProvider")
-        s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-          "changelogCheckpointing.enabled", "true")
-      case Some("hdfs") => s.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        s"$pkg.HDFSBackedStateStoreProvider")
-      case _ => ()
+        s.conf.set(changelog, "true")
+      case Some("hdfs") =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          s"$pkg.HDFSBackedStateStoreProvider")
+        s.conf.set(changelog, "false")
+      // a typo'd provider name must not silently run the default store
+      // while the operator believes RocksDB is active
+      case Some(other) => throw new IllegalArgumentException(
+        s"GRAFT_STATE_STORE=$other: expected rocksdb|rocksdb-changelog|hdfs")
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        s.conf.unset(changelog)
     }
   }
 

@@ -386,6 +386,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state-store seam: sticky conf resets and typos fail loudly") {
+    // r17 ADVICE: session conf survives across streams, so one
+    // rocksdb-changelog run must not leak the changelog flag into a
+    // later plain-rocksdb (or unset) run, and an unrecognized value must
+    // throw, not silently run the default provider.
+    val changelog = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    try {
+      sys.props("graft.stateStore") = "rocksdb-changelog"
+      StreamingOps.queries("s_dedup")(spark, TestSpark.sfDir).collect()
+      assert(spark.conf.get(changelog) == "true")
+      sys.props("graft.stateStore") = "rocksdb"
+      StreamingOps.queries("s_dedup")(spark, TestSpark.sfDir).collect()
+      assert(spark.conf.get(changelog) == "false",
+        "changelog flag leaked from the previous rocksdb-changelog run")
+      sys.props("graft.stateStore") = "bogus-provider"
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.queries("s_dedup")(spark, TestSpark.sfDir).collect()
+      }
+      assert(e.getMessage.contains("bogus-provider"))
+    } finally {
+      sys.props.remove("graft.stateStore")
+      // one unset-path run restores the session default for later suites
+      StreamingOps.queries("s_dedup")(spark, TestSpark.sfDir).collect()
+      assert(!spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+        .exists(_.contains("RocksDB")))
+    }
+  }
+
   test("streaming Cypher emission equals the batch k3_cypher rows") {
     val got = StreamingOps.queries("s_cypher")(spark, TestSpark.sfDir)
       .collect().map(_.toSeq).toSeq
