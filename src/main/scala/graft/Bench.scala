@@ -95,7 +95,14 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val samples = collection.mutable.Map.empty[String, List[Double]]
     for (pass <- 0 to passes; (name, fn) <- batchQueries) {
+      // l_bpe_train bypasses the session memo so its samples time REAL
+      // K-round training (r17 verdict: the artifact carried a 0.11 s
+      // memo read). The other BPE rows keep the memo: the warm-up pass
+      // trains it once, so l_bpe_encode/s_bpe_encode time pure encode —
+      // the train/serve cost split a production pipeline actually has.
+      if (name == "l_bpe_train") sys.props("graft.bpe.noMemo") = "1"
       val t = try runOnce(fn) catch { case _: Throwable => -1.0 }
+      finally sys.props.remove("graft.bpe.noMemo")
       if (pass > 0) samples(name) = t :: samples.getOrElse(name, Nil)
     }
     val results = batchQueries.map { case (name, _) =>

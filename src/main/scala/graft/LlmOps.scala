@@ -1319,110 +1319,175 @@ object LlmOps {
   // table), never the raw corpus — the classic BPE trick that makes
   // training corpus-size-independent after one counting scan; at 100 TB
   // the vocab table is a few million rows regardless of corpus bytes.
-  private final val BPE_ROUNDS = 6
+  // Merge application is the BpeKernels greedy left-to-right pass (one
+  // pass per merge, the reference merge_vocab semantics — see
+  // functions/BpeExprs.scala for the algorithm and the oracle
+  // equivalence proof); K is env-tunable and defaults to a credible 64
+  // rounds (r17 verdict task 5 — the chained-replace column tree this
+  // replaces grew the plan linearly in K).
+  private[graft] final val BPE_ROUNDS: Int =
+    sys.props.get("graft.bpe.rounds")
+      .orElse(sys.env.get("GRAFT_BPE_ROUNDS")).map(_.toInt).getOrElse(64)
+  // truncate train-loop lineage every N rounds: between checkpoints the
+  // round state chains LAZILY (≤ N kernel passes recomputed over the
+  // last checkpoint — vocab-sized, trivial), so plan shapes CYCLE with
+  // period N and Janino's codegen cache hits from the second window on.
+  // Measured: persist-chaining instead grows superlinearly per round
+  // (the nested InMemoryRelation lineage), ~10× by depth 15.
+  // localCheckpoint here (single-JVM harness); a production cluster run
+  // points spark.checkpoint.dir at reliable storage and uses
+  // checkpoint() — same seam, executor-loss-proof.
+  private final val BPE_CKPT = 4
 
-  /** (w, n, str): distinct corpus words with frequency and the
-    * space-delimited symbol string `" c h a r s </w> "` — one symbol per
-    * codepoint plus the end-of-word marker (suffix merges must differ
-    * from prefix merges), leading/trailing spaces as merge-boundary
-    * sentinels. */
+  /** (w, n, syms): distinct corpus words with frequency and the symbol
+    * array — one entry per CODEPOINT plus the `</w>` end-of-word marker
+    * (suffix merges must differ from prefix merges). */
   private def bpeWords(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("str", concat(lit(" "),
-        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
-        lit(" </w> ")))
-
-  /** The merge fold shared by training and encoding: replace
-    * `" a b "` with `" ab "` TWICE. One `replace` pass scans left and
-    * never overlaps, so of two adjacent occurrences sharing a boundary
-    * space the second survives pass one — but survivors are then
-    * isolated (flanked by merged tokens), so the second pass catches
-    * every one. Two passes therefore reproduce exactly the greedy
-    * left-to-right merge of the reference algorithm, in both engines
-    * (Spark and DuckDB `replace` share the left-scan non-overlap
-    * contract), without per-row loops. */
-  private def bpeMergeOnce(str: Column, a: String, b: String): Column = {
-    val pat = lit(s" $a $b "); val rep = lit(s" $a$b ")
-    replace(replace(str, pat, rep), pat, rep)
-  }
+      .withColumn("syms", graft.functions.BpeExprs.initSyms(col("w")))
 
   /** Learn BPE_ROUNDS merges: per round, count adjacent symbol pairs
     * weighted by word frequency (one map-side-combined aggregate over
     * the vocab), pick the argmax — ties broken (count DESC, a, b), fully
-    * deterministic cross-engine — and fold the merge into every word.
-    * The chosen pair rides to the driver as ONE collected row per round
-    * (the codebook-collect pattern); the evolving symbol strings stay a
-    * lazy column of chained replaces over the persisted vocab frame.
-    * Returns (round, a, b, count). Invariant (asserted by the spec): the
-    * winning count is non-increasing across rounds — a new pair created
-    * by a merge occurs at most as often as the merge itself, and
-    * existing pairs only lose occurrences. */
+    * deterministic cross-engine — and fold the merge into every word
+    * with ONE greedy kernel pass (BpeMergePassExpr). The chosen pair
+    * rides to the driver as ONE collected row per round (the
+    * codebook-collect pattern); each round's vocab state is persisted
+    * and the previous round's cache freed, so round r+1's aggregate is
+    * one cache read — the K sequential rounds are inherent to BPE (the
+    * reference trains the same way), and all per-round work is
+    * vocab-sized, never corpus-sized. Returns (round, a, b, count).
+    * Invariant (asserted by the spec): the winning count is
+    * non-increasing across rounds — a new pair created by a merge occurs
+    * at most as often as the merge itself, and existing pairs only lose
+    * occurrences. */
   private[graft] def bpeTrain(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
     evictStopped(bpeMemo)
     // MEMOIZED per (session, dir) on the winnowKept discipline — the
-    // model is a 6-element driver-side Seq (clearCache-immune), so the
+    // model is a K-element driver-side Seq (clearCache-immune), so the
     // train→encode pair trains once per session instead of twice; the
     // same corpus-immutability assumption every other memo here makes.
-    bpeMemo.computeIfAbsent((s, d), _ => {
-      val base = bpeWords(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        var cur = base
-        (1 to BPE_ROUNDS).map { r =>
-          val syms = split(trim(col("str")), " ")
-          val pairs = zip_with(
-            slice(syms, lit(1), size(syms) - 1),
-            slice(syms, lit(2), size(syms) - 1),
-            (x, y) => struct(x.as("a"), y.as("b")))
-          val top = cur.select(col("n"), explode(pairs).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("n")).as("cnt"))
-            .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(1).collect()
-          // fail loud, not ArrayIndexOutOfBounds: zero pairs means an
-          // empty/degenerate corpus and a learned model of < BPE_ROUNDS
-          // merges would silently change encode semantics
-          require(top.nonEmpty,
-            s"bpeTrain: no adjacent symbol pairs at round $r (empty corpus?)")
-          val best = top(0)
-          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-          cur = cur.withColumn("str", bpeMergeOnce(col("str"), a, b))
-          (r, a, b, cnt)
+    // graft.bpe.noMemo bypasses the memo so Bench can time the REAL
+    // training cost (r17 verdict task 2) instead of a memo read.
+    if (sys.props.contains("graft.bpe.noMemo")) bpeTrainCompute(s, d)
+    else bpeMemo.computeIfAbsent((s, d), _ => bpeTrainCompute(s, d))
+  }
+
+  private def bpeTrainCompute(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
+    val dbg = sys.props.contains("graft.bpe.debug")
+    // round-0 state materialized lineage-free; each later checkpoint
+    // frees its predecessor's blocks deterministically (checkpointRdd)
+    var cur = bpeWords(s, d).localCheckpoint(true)
+    var ckRdd = org.apache.spark.sql.GraftSqlBridge.checkpointRdd(cur)
+    var depth = 0
+    try {
+      (1 to BPE_ROUNDS).map { r =>
+        val t0 = System.nanoTime()
+        val syms = col("syms")
+        val pairs = zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))
+        val top = cur.select(col("n"), explode(pairs).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        // fail loud, not ArrayIndexOutOfBounds: zero pairs means an
+        // empty/degenerate corpus and a learned model of < BPE_ROUNDS
+        // merges would silently change encode semantics
+        require(top.nonEmpty,
+          s"bpeTrain: no adjacent symbol pairs at round $r (empty corpus?)")
+        val best = top(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        if (r < BPE_ROUNDS) {
+          cur = cur.withColumn("syms",
+            graft.functions.BpeExprs.mergePass(col("syms"), a, b))
+          depth += 1
+          if (depth == BPE_CKPT) {
+            cur = cur.localCheckpoint(true)
+            ckRdd.foreach(_.unpersist(false))
+            ckRdd = org.apache.spark.sql.GraftSqlBridge.checkpointRdd(cur)
+            depth = 0
+          }
         }
-      } finally base.unpersist(false)
-    })
+        if (dbg) println(f"[bpe] round $r ${(System.nanoTime() - t0) / 1e9}%.3f s ($a,$b)=$cnt")
+        (r, a, b, cnt)
+      }
+    } finally ckRdd.foreach(_.unpersist(false))
   }
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[(Int, String, String, Long)]]()
 
-  /** Per-distinct-word BPE token count under a learned merge list — the
-    * encode side stays vocabulary-sized too; the corpus joins back to it
-    * by word (SHUFFLED: the vocab grows with the corpus, like the LM
-    * model join — never a broadcast). */
-  private def bpeWordTokens(s: SparkSession, d: String,
-                            merges: Seq[(Int, String, String, Long)]): DataFrame = {
-    val applied = merges.foldLeft(col("str")) {
-      case (acc, (_, a, b, _)) => bpeMergeOnce(acc, a, b)
-    }
-    bpeWords(s, d).select(col("w"),
-      size(split(trim(applied), " ")).cast("long").as("k"))
-  }
-
   /** Encode any (doc_id, text) frame against the trained merge model —
     * the ONE spelling shared by the batch l_bpe_encode row and the
     * streaming twin (model trained once on the at-rest corpus, arriving
-    * docs scored statelessly; a doc's words and their per-word token
-    * counts are row-local facts + model facts, so micro-batched encoding
-    * provably equals the batch row — the shared oracle is the proof). */
+    * docs scored statelessly). Each word encodes from its OWN codepoints
+    * through the learned merge list in one codegen'd kernel call
+    * (BpeTokenCount): no training-vocab join, so out-of-vocabulary words
+    * in a streamed document encode correctly from characters + whatever
+    * merges apply (the r17 ADVICE fix), the per-doc scores are row-local
+    * facts + model facts (micro-batched encoding provably equals the
+    * batch row — the shared oracle is the proof), and the whole encode
+    * is map-side: its only shuffle is the per-doc aggregate. */
   private[graft] def bpeScorer(s: SparkSession, d: String): DataFrame => DataFrame = {
-    val wtok = bpeWordTokens(s, d, bpeTrain(s, d))
+    val merges = bpeTrain(s, d).map(t => (t._2, t._3))
     b => b.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .join(wtok, "w")
+      .select(col("doc_id"),
+        graft.functions.BpeExprs.tokenCount(col("w"), merges).as("k"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_bpe_tokens"))
+  }
+
+  /** DuckDB replay of BPE training (shared by the l_bpe_train and
+    * l_bpe_encode oracles): the vocab as space-delimited symbol strings
+    * with boundary sentinels (`" c h a r s </w> "`), one CTE block per
+    * round — pair count via the generate_subscripts self-join, argmax by
+    * (count DESC, a, b), then the greedy merge as a recursive
+    * leftmost-occurrence replace to fixpoint (strpos/substr, no regex —
+    * symbols may contain regex metacharacters). `it$r` accumulates one
+    * row per replacement step; `s$r` keeps each word's final (max-i)
+    * state. MATERIALIZED on every multi-referenced CTE defeats DuckDB's
+    * per-reference inlining of the chain (exponential in K without it);
+    * the recursive CTE itself cannot be inlined. `finalSelect` sees
+    * `words`, `s0..s$BPE_ROUNDS` and `best1..best$BPE_ROUNDS`. */
+  private def bpeOracle(finalSelect: String): String = {
+    def round(r: Int) =
+      s"""pos$r AS MATERIALIZED (
+         |  SELECT w, n, generate_subscripts(syms, 1) AS i, unnest(syms) AS sym
+         |  FROM (SELECT w, n, string_split(trim(str, ' '), ' ') AS syms FROM s${r - 1})),
+         |pc$r AS MATERIALIZED (
+         |  SELECT p1.sym AS a, p2.sym AS b, CAST(sum(p1.n) AS BIGINT) AS cnt
+         |  FROM pos$r p1 JOIN pos$r p2 ON p2.w = p1.w AND p2.i = p1.i + 1
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (
+         |  SELECT a, b, cnt, ' ' || a || ' ' || b || ' ' AS pat, ' ' || a || b || ' ' AS rep
+         |  FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |it$r AS (
+         |  SELECT w, n, str, 0 AS i FROM s${r - 1}
+         |  UNION ALL
+         |  SELECT t.w, t.n,
+         |         substr(t.str, 1, strpos(t.str, b.pat) - 1) || b.rep ||
+         |           substr(t.str, strpos(t.str, b.pat) + length(b.pat)),
+         |         t.i + 1
+         |  FROM it$r t, best$r b
+         |  WHERE strpos(t.str, b.pat) > 0),
+         |s$r AS MATERIALIZED (
+         |  SELECT w, n, str FROM it$r
+         |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY i DESC) = 1)""".stripMargin
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, n,
+       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> ' AS str
+       |  FROM words),
+       |${(1 to BPE_ROUNDS).map(round).mkString(",\n")}
+       |$finalSelect""".stripMargin
   }
 
   /** One micro-batch of streaming repeated-substring detection
@@ -2056,11 +2121,12 @@ object LlmOps {
     // pair count). Training is vocabulary-sized after one corpus
     // counting scan (the classic BPE trick); per round one
     // map-side-combined pair aggregate + a 1-row argmax collect (the
-    // codebook pattern). The greedy merge fold is two non-overlapping
-    // string replaces (see bpeMergeOnce for the two-pass proof), shared
-    // verbatim with the DuckDB oracle's unrolled rounds, so the learned
-    // merges hash-match exactly — argmax ties break (count, a, b)
-    // deterministically in both engines.
+    // codebook pattern). The merge fold is ONE greedy left-to-right
+    // kernel pass per round (BpeKernels — correct on identical-symbol
+    // runs, where string replaces diverge; see BpeExprs.scala for the
+    // proof it equals the oracle's leftmost-replace-to-fixpoint
+    // recursion) — argmax ties break (count, a, b) deterministically in
+    // both engines, so the learned merges hash-match exactly at K=64.
     "l_bpe_train" -> ((s, d) => {
       import s.implicits._
       bpeTrain(s, d)
@@ -2071,10 +2137,11 @@ object LlmOps {
 
     // BPE ENCODE — the tokenizer applied: per-document token counts
     // under the learned merges (the number a context-window packer or
-    // cost model actually consumes). Encoding stays vocabulary-sized
-    // too: the merge fold runs once per DISTINCT word, and the corpus
-    // joins back by word — SHUFFLED, the LM-model-join rule (vocabulary
-    // grows with the corpus, never a broadcast).
+    // cost model actually consumes). One codegen'd kernel call per word
+    // occurrence (BpeTokenCount, the model as reference objects —
+    // constant-size generated code at ANY merge count, OOV words encode
+    // from their own characters): fully map-side, no vocab join, the
+    // only shuffle is the per-doc aggregate.
     "l_bpe_encode" -> ((s, d) =>
       bpeScorer(s, d)(docs(s, d)).orderBy(col("doc_id"))),
 
@@ -3428,78 +3495,36 @@ object LlmOps {
 
     // BPE rounds unrolled as CTEs (the kmeans-oracle discipline): per
     // round, pair positions via the unnest/generate_subscripts zip +
-    // a self-join on i+1, argmax by (count DESC, a, b), and the SAME
-    // two-pass boundary-space replace as the engine (bpeMergeOnce).
-    "l_bpe_train" -> {
-      def round(r: Int) =
-        s"""pos$r AS (
-           |  SELECT w, n, generate_subscripts(syms, 1) AS i, unnest(syms) AS sym
-           |  FROM (SELECT w, n, string_split(trim(str, ' '), ' ') AS syms FROM s${r - 1})),
-           |pc$r AS (
-           |  SELECT p1.sym AS a, p2.sym AS b, CAST(sum(p1.n) AS BIGINT) AS cnt
-           |  FROM pos$r p1 JOIN pos$r p2 ON p2.w = p1.w AND p2.i = p1.i + 1
-           |  GROUP BY 1, 2),
-           |best$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |s$r AS (
-           |  SELECT s.w, s.n,
-           |    replace(replace(s.str, ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' '),
-           |            ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ') AS str
-           |  FROM s${r - 1} s CROSS JOIN best$r b)""".stripMargin
-      val unions = (1 to BPE_ROUNDS).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS n_pairs FROM best$r")
-        .mkString("\n  UNION ALL ")
-      s"""WITH words AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-         |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |s0 AS (
-         |  SELECT w, n,
-         |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w> ' AS str
-         |  FROM words),
-         |${(1 to BPE_ROUNDS).map(round).mkString(",\n")}
-         |SELECT * FROM (
-         |  $unions
-         |) ORDER BY merge_round""".stripMargin
-    },
+    // a self-join on i+1, argmax by (count DESC, a, b), then the greedy
+    // merge as a RECURSIVE CTE replacing the LEFTMOST ` a b ` occurrence
+    // until none remains — equal to the engine kernel's single greedy
+    // left-to-right pass (a leftmost replacement never creates an
+    // occurrence at or before itself, so the rescans walk the word once;
+    // proof in BpeExprs.scala). Every multi-referenced CTE is
+    // MATERIALIZED: DuckDB otherwise inlines the round chain and
+    // re-evaluates it per reference — measured ~4× per round, i.e.
+    // exponential in K.
+    "l_bpe_train" -> bpeOracle(
+      s"""SELECT * FROM (
+         |  ${(1 to BPE_ROUNDS).map(r =>
+             s"SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS n_pairs FROM best$r")
+            .mkString("\n  UNION ALL ")}
+         |) ORDER BY merge_round""".stripMargin),
 
     // encode = the train chain's FINAL symbol strings joined back to the
     // corpus words (inner join + len>0 — empty-split artifacts and
-    // wordless docs drop out identically in both engines)
-    "l_bpe_encode" -> {
-      def round(r: Int) =
-        s"""pos$r AS (
-           |  SELECT w, n, generate_subscripts(syms, 1) AS i, unnest(syms) AS sym
-           |  FROM (SELECT w, n, string_split(trim(str, ' '), ' ') AS syms FROM s${r - 1})),
-           |pc$r AS (
-           |  SELECT p1.sym AS a, p2.sym AS b, CAST(sum(p1.n) AS BIGINT) AS cnt
-           |  FROM pos$r p1 JOIN pos$r p2 ON p2.w = p1.w AND p2.i = p1.i + 1
-           |  GROUP BY 1, 2),
-           |best$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |s$r AS (
-           |  SELECT s.w, s.n,
-           |    replace(replace(s.str, ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' '),
-           |            ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ') AS str
-           |  FROM s${r - 1} s CROSS JOIN best$r b)""".stripMargin
-      s"""WITH words AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-         |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |s0 AS (
-         |  SELECT w, n,
-         |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w> ' AS str
-         |  FROM words),
-         |${(1 to BPE_ROUNDS).map(round).mkString(",\n")},
-         |wtok AS (
-         |  SELECT w, CAST(len(string_split(trim(str, ' '), ' ')) AS BIGINT) AS k
-         |  FROM s$BPE_ROUNDS),
-         |docw AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
-         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+    // wordless docs drop out identically in both engines; every corpus
+    // word is in the trained vocab, so the inner join loses nothing and
+    // matches the engine's per-word kernel encode exactly)
+    "l_bpe_encode" -> bpeOracle(
+      s"""SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(t.k) AS BIGINT) AS n_bpe_tokens
-         |FROM docw d JOIN wtok t ON t.w = d.w
+         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |      FROM documents) d
+         |JOIN (SELECT w, CAST(len(string_split(trim(str, ' '), ' ')) AS BIGINT) AS k
+         |      FROM s$BPE_ROUNDS) t ON t.w = d.w
          |WHERE len(d.w) > 0
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-    },
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
     "l_text_stats" -> {
       val stopList = STOPWORDS.map(w => s"'$w'").mkString(", ")

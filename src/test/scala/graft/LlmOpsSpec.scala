@@ -729,7 +729,7 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("BPE training: deterministic merges with non-increasing pair counts") {
     val m1 = run("l_bpe_train").collect()
-    assert(m1.length == 6, "one row per merge round")
+    assert(m1.length == LlmOps.BPE_ROUNDS, "one row per merge round")
     // merged form is the pair's concatenation
     m1.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
     // the winning count can never grow: a pair created by a merge occurs
@@ -744,9 +744,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
   }
 
+  test("BPE greedy merge kernel: identical-symbol runs merge left-to-right") {
+    // the r17 ADVICE divergence: a two-pass string replace turns
+    // 'aaaaaa' under merge (a,a) into [aa,a,aa,a]; the reference greedy
+    // pass yields [aa,aa,aa]. The kernel must produce the reference
+    // shape — floor(n/2) merged tokens + (n mod 2) singletons + </w>.
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    def count(w: String, merges: Seq[(String, String)]): Long =
+      graft.functions.BpeKernels.tokenCount(u(w),
+        merges.map(p => u(p._1)).toArray, merges.map(p => u(p._2)).toArray,
+        merges.map(p => u(p._1 + p._2)).toArray)
+    val aa = Seq(("a", "a"))
+    // n=4..7: tokens = floor(n/2) + (n%2) + 1 (</w>)
+    assert(count("aaaa", aa) == 3L)   // [aa,aa,</w>]
+    assert(count("aaaaa", aa) == 4L)  // [aa,aa,a,</w>]
+    assert(count("aaaaaa", aa) == 4L) // [aa,aa,aa,</w>] — two-pass replace said 5
+    assert(count("aaaaaaa", aa) == 5L)
+    // merges apply in learned order, each one greedy pass
+    assert(count("abab", Seq(("a", "b"), ("ab", "ab"))) == 2L) // [abab,</w>]
+    assert(count("abab", Seq(("ab", "ab"), ("a", "b"))) == 3L) // round 1 no-op
+    // OOV encode: unseen word encodes from its own characters + merges
+    assert(count("zzq", Seq(("a", "a"))) == 4L) // [z,z,q,</w>]
+    assert(count("", Seq(("a", "a"))) == 1L)    // bare </w>
+    // suffix merge uses the marker
+    assert(count("ba", Seq(("a", "</w>"))) == 2L) // [b,a</w>]
+  }
+
+  test("BPE streaming scorer encodes out-of-vocabulary words from characters") {
+    // r17 ADVICE: the old vocab-join scorer silently DROPPED words the
+    // training corpus never saw. A frame with a fabricated OOV word must
+    // count it (chars + </w> minus whatever learned merges apply).
+    import spark.implicits._
+    val scorer = LlmOps.bpeScorer(spark, d)
+    val frame = Seq((900001L, "zqxjv kwpy")).toDF("doc_id", "text")
+    val out = scorer(frame).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2L, "both OOV words must be counted")
+    // zqxjv→≤6 tokens, kwpy→≤5; ≥1 token each; merges can only shrink
+    val k = r.getLong(2)
+    assert(k >= 2L && k <= 11L, s"OOV token count out of range: $k")
+  }
+
   test("BPE encode: merges only ever shrink a word's token count") {
     // per doc: chars+1 per word is the round-0 token count (chars + the
-    // </w> marker); 6 merges can only reduce it, and never below 1
+    // </w> marker); K merges can only reduce it, and never below 1
     val enc = run("l_bpe_encode").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val base = LlmOps.queries("l_text_stats")(spark, d).collect()
