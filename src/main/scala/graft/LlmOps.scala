@@ -1200,6 +1200,16 @@ object LlmOps {
       cos: Column): Column =
     element_at(lit(cents.map(_._1)), array_position(cos, array_max(cos)).cast("int"))
 
+  /** The nprobe nearest cells of a query as an array of (cos, -cid)
+    * structs sorted best-first — ONE spelling shared by the ADC probe
+    * projection and the serving scorer's cell-pruning collect. */
+  private def ivfPqProbeCol(cents: Array[(Long, Array[Float], Double)])(
+      emb: Column, nrm: Column): Column =
+    slice(reverse(array_sort(zip_with(
+      ivfPqCosines(cents)(emb, nrm),
+      lit(cents.map(c => -c._1)),
+      (c, n) => struct(c.as("cos"), n.as("ncid"))))), 1, IVFPQ_NPROBE)
+
   /** Exact squared ADC distance of `qe`'s subspace `sub` to codeword
     * `code` — all-integer over the offset-shifted fixed-point components
     * (bit-exact oracle arithmetic). */
@@ -1233,12 +1243,17 @@ object LlmOps {
   /** Offline index build — the train/score seam every model-carrying op
     * has (langid, BM25, LM, semdedup, kmeans): the compressed
     * (vec_id, cell, codes) table persists once and the online scorer
-    * probes it statelessly. At 100 TB this table is written bucketed by
-    * cell, so a probe partition-prunes to its nprobe cells. */
+    * probes it statelessly. Written PARTITIONED BY cell (the §8.3
+    * layout claim made real, r17 verdict task 4): at 100 TB each coarse
+    * cell is its own parquet directory, so a serving probe that filters
+    * to its nprobe cells scans 2/K of the index at the FILE level —
+    * `PartitionFilters: [cell IN …]`, pinned by PlanAuditSpec — instead
+    * of reading all codes and filtering in the join. */
   private[graft] def trainIvfPqIndex(s: SparkSession, d: String,
                                      dir: String): Unit = {
     val (e, cents, cb) = ivfPqPrep(s, d)
-    ivfPqAssign(e, cents, cb).write.mode("overwrite").parquet(dir)
+    ivfPqAssign(e, cents, cb).write.mode("overwrite")
+      .partitionBy("cell").parquet(dir)
   }
 
   /** Score a query frame (vec_id, embedding) against a persisted
@@ -1259,11 +1274,7 @@ object LlmOps {
     // lookup table of exact subvector→codeword distances, all in one
     // projection over the query rows
     val q = q0.select(col("q_id"),
-      slice(reverse(array_sort(zip_with(
-        ivfPqCosines(cents)(col("embedding"), col("q_nrm")),
-        lit(cents.map(c => -c._1)),
-        (c, n) => struct(c.as("cos"), n.as("ncid"))))), 1, IVFPQ_NPROBE)
-        .as("probes"),
+      ivfPqProbeCol(cents)(col("embedding"), col("q_nrm")).as("probes"),
       array((0 until IVFPQ_SUBS).map(sub =>
         array((0 until IVFPQ_CODES).map(code =>
           ivfPqSubDist(cb)(sub, code)): _*)): _*).as("lut"))
@@ -1304,11 +1315,32 @@ object LlmOps {
   /** Online serving scorer over a persisted index: prep (corpus frame +
     * codebook collects) runs ONCE here, and the returned closure scores
     * each arriving query micro-batch statelessly — per-query work is
-    * index-probe-bounded, no state store. */
+    * index-probe-bounded, no state store. Per batch, the union of the
+    * queries' nprobe cells rides to the driver as a ≤K-value collect
+    * (the codebook pattern — cells, never data) and becomes a LITERAL
+    * `cell IN (…)` filter on the index scan: against the cell-partitioned
+    * layout trainIvfPqIndex writes, that is STATIC partition pruning —
+    * the probe reads only the probed cells' files (PlanAuditSpec pins
+    * the PartitionFilters entry). Lossless by construction: the ADC join
+    * keeps only cell === q_cell rows, a subset of the filter. */
   private[graft] def ivfPqScorer(s: SparkSession, d: String,
                                  index: DataFrame): DataFrame => DataFrame = {
+    import graft.functions.HashExprs.vecDot
     val (e, cents, cb) = ivfPqPrep(s, d)
-    q => ivfPqScore(e, cents, cb, index, q)
+    q => {
+      val cells = q.select(explode(ivfPqProbeCol(cents)(col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))))).as("p"))
+        .select((-col("p.ncid")).as("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      // partition-column type inference may read `cell` back as INT;
+      // match the literal type so the IN stays a pure partition filter
+      // (a cast around the attribute would block file-level pruning)
+      val lits: Seq[Any] = index.schema("cell").dataType match {
+        case org.apache.spark.sql.types.IntegerType => cells.map(_.toInt)
+        case _ => cells
+      }
+      ivfPqScore(e, cents, cb, index.filter(col("cell").isin(lits: _*)), q)
+    }
   }
 
   // ---- BPE merge training (l_bpe_train / l_bpe_encode) -----------------

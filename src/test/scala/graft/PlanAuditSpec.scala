@@ -121,6 +121,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a band/bucket candidate join:\n${plan.take(1500)}")
   }
 
+  test("ivfpq serving probe partition-prunes the persisted index to its cells") {
+    // §8.3's layout claim, pinned (r17 verdict task 4): trainIvfPqIndex
+    // writes the index PARTITIONED BY cell, and the serving scorer turns
+    // the batch's probed cells into a literal IN filter — the index scan
+    // must carry a non-empty PartitionFilters entry (file-level pruning,
+    // 2/K of a 100 TB index read) and scan fewer partition dirs than the
+    // index has cells.
+    val dir = graft.streaming.StreamingOps.tmp("audit-ivfpq-")
+    LlmOps.trainIvfPqIndex(spark, d, dir)
+    val index = spark.read.parquet(dir)
+    val nCells = index.select("cell").distinct().count()
+    val queries = Tables.embeddings(spark, d)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .select("vec_id", "embedding")
+    val served = LlmOps.ivfPqScorer(spark, d, index)(queries)
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.nonEmpty, s"no cell partition filter on the index scan:\n${plan.take(2000)}")
+    assert(pf.get.contains("IN") || pf.get.contains("isin") || pf.get.contains("in("),
+      s"partition filter is not the probed-cell IN list: ${pf.get}")
+    // with 2 queries × nprobe=2 the probed-cell union is < the cell count
+    val scanned = "PartitionCount: (\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+    scanned.foreach(n => assert(n < nCells,
+      s"index scan read $n of $nCells cells — pruning did not engage"))
+    assert(served.count() > 0, "served frame empty — the audit proved nothing")
+  }
+
   test("no oracle query plans a CartesianProduct at sf0.001") {
     // BroadcastNestedLoopJoin is NOT banned here: the suite's crossJoins
     // broadcast 1-row stats frames, which legitimately plan as BNLJ — the
