@@ -45,6 +45,11 @@ class CtsRestStub(pagesDir: String, token: Option[String] = None) {
     * window rode the request as from/to). */
   val served = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Fault injection: the next N requests answer 500 before the stub
+    * recovers — drives the client's bounded per-page retry
+    * (CtsSource.PAGE_RETRIES) in CtsSourceSpec. */
+  val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val server = HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
@@ -67,6 +72,7 @@ class CtsRestStub(pagesDir: String, token: Option[String] = None) {
 
   private def respond(rawQuery: String, auth: Option[String]): (Int, String) = {
     served.add(rawQuery)
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) return (500, "")
     if (token.exists(t => !auth.contains(t))) return (401, "")
     val params = rawQuery.split("&").filter(_.contains("="))
       .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }

@@ -70,6 +70,10 @@ class CtsDataSource extends TableProvider with DataSourceRegister {
     new CtsTable(properties.asScala.toMap)
 }
 
+/** Non-retryable CTS endpoint failure (4xx other than the 404
+  * end-of-chain contract): auth or protocol errors a retry cannot fix. */
+final class CtsClientError(msg: String) extends RuntimeException(msg)
+
 object CtsSource {
   /** The CTS v2 trace fields the reference touches (SURVEY §1.1, each cited
     * from adapter.go usage). `time` is epoch-ms int64 exactly as the API
@@ -107,12 +111,28 @@ object CtsSource {
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
+  /** Transient-failure budget per page request: 5xx responses and
+    * connection-level IOExceptions retry up to PAGE_RETRIES times with
+    * linear backoff, then FAIL the task with context. The reference's
+    * stream loop logs a failed page and moves on (adapter.go:181-198) —
+    * acceptable for a best-effort exporter, but in an analytics scan a
+    * silently skipped page is silent data loss, so the divergence is
+    * deliberate: bounded retry absorbs the transient blip the
+    * reference's skip was for, and a deterministic server error surfaces
+    * loudly (Spark then retries the task / the orchestrator the query)
+    * instead of producing a plausible-but-incomplete answer. 4xx never
+    * retries: 404 is the clean end-of-chain contract, 401/403 is a
+    * credential problem no retry fixes. */
+  private final val PAGE_RETRIES = 3
+  private final val PAGE_BACKOFF_MS = 100L
+
   /** Fetch one page envelope — the transport seam shared by the marker
     * walk and the executor body reads. Returns None on a CLEAN end of
     * chain (missing fixture file / HTTP 404); throws on any other HTTP
-    * failure. `limit`/`tFrom`/`tTo` ride the wire as the server-side
-    * Limit/From/To parameters (adapter.go:98-104); the file path ignores
-    * them here because [[readPage]] replays them client-side. */
+    * failure after the retry budget. `limit`/`tFrom`/`tTo` ride the wire
+    * as the server-side Limit/From/To parameters (adapter.go:98-104);
+    * the file path ignores them here because [[readPage]] replays them
+    * client-side. */
   def fetchPage(dir: String, marker: String, token: Option[String],
                 limit: Option[Int] = None, tFrom: Option[Long] = None,
                 tTo: Option[Long] = None): Option[JsonNode] =
@@ -124,19 +144,37 @@ object CtsSource {
         tTo.map(t => s"to=$t")).flatten
       val sep = if (dir.contains("?")) "&" else "?"
       val url = if (params.isEmpty) dir else dir + sep + params.mkString("&")
-      val b = java.net.http.HttpRequest
-        .newBuilder(java.net.URI.create(url))
-        .timeout(java.time.Duration.ofSeconds(30)).GET()
-      token.foreach(t => b.header("X-Auth-Token", t))
-      val resp = http.send(b.build(),
-        java.net.http.HttpResponse.BodyHandlers.ofString())
-      resp.statusCode() match {
-        case 200 => Some(mapper.readTree(resp.body()))
-        case 404 => None
-        case c => throw new java.io.IOException(
-          s"cts: GET $url failed with HTTP $c" +
-            (if (c == 401 || c == 403) " (check the 'token' option)" else ""))
+      def attempt(): Option[JsonNode] = {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(30)).GET()
+        token.foreach(t => b.header("X-Auth-Token", t))
+        val resp = http.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() match {
+          case 200 => Some(mapper.readTree(resp.body()))
+          case 404 => None
+          case c if c >= 500 => throw new java.io.IOException(
+            s"cts: GET $url failed with HTTP $c")
+          case c => throw new CtsClientError(
+            s"cts: GET $url failed with HTTP $c" +
+              (if (c == 401 || c == 403) " (check the 'token' option)" else ""))
+        }
       }
+      var tries = 0
+      var out: Option[JsonNode] = None
+      var done = false
+      while (!done) {
+        try { out = attempt(); done = true }
+        catch {
+          case e: java.io.IOException =>
+            tries += 1
+            if (tries > PAGE_RETRIES) throw new java.io.IOException(
+              s"cts: page fetch failed after ${tries} attempts: ${e.getMessage}", e)
+            Thread.sleep(PAGE_BACKOFF_MS * tries)
+        }
+      }
+      out
     } else {
       val p = Paths.get(pagePath(dir, marker))
       if (!Files.exists(p)) None

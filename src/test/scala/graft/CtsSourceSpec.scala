@@ -185,6 +185,35 @@ class CtsSourceSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("http: a transiently flaky page survives via bounded retry; a dead server fails") {
+    // r17 verdict task 7: the reference's stream loop logs a failed page
+    // and keeps going (adapter.go:181-198); here a 500 gets a bounded
+    // retry — a blip is absorbed, a deterministic failure surfaces
+    // loudly instead of looping a task forever or dropping the page.
+    val dir = writeFixtures()
+    val stub = new graft.sources.CtsRestStub(dir.toString)
+    try {
+      // one blip: the very first request 500s once, then the chain walks
+      stub.failNext.set(1)
+      val rows = spark.read.format("cts").option("pages", stub.url).load().count()
+      assert(rows === 8, "retry must deliver the full chain after one 500")
+      // a persistent failure exhausts the budget and fails with context
+      stub.failNext.set(1000)
+      val before = stub.served.size()
+      val err = intercept[Throwable] {
+        spark.read.format("cts").option("pages", stub.url).load().count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(err).exists(m => m != null && m.contains("attempts")),
+        s"exhausted retry must say so, got: ${chain(err)}")
+      val tried = stub.served.size() - before
+      assert(tried >= 2 && tried <= 8,
+        s"retry budget must be bounded (saw $tried requests for one page)")
+      stub.failNext.set(0)
+    } finally stub.stop()
+  }
+
   test("http: a wrong or missing token fails the scan loudly (401), never as empty") {
     val dir = writeFixtures()
     val stub = new graft.sources.CtsRestStub(dir.toString, Some("tok-123"))
