@@ -364,6 +364,25 @@ object StressCheck {
           s"semdedup_diff=$sdDiff")
     }
 
+    check("serving_twins_equal_batch") {
+      // The r17 serving twins (verdict task 6): the index/model-carrying
+      // ONLINE paths — ANN over the PERSISTED cell-partitioned IVF+PQ
+      // index, and BPE encode against the trained merge model — drained
+      // as streams and full-frame-diffed against their batch rows at
+      // stress SF, where the index parquet round-trip and the K-round
+      // trained model are real-corpus-sized. Bit-equality is the
+      // contract: the ivfpq re-rank cosine derives from identical double
+      // arithmetic on both paths, and the BPE counts are longs.
+      def frameDiff(a: DataFrame, b: DataFrame): Long =
+        a.exceptAll(b).count() + b.exceptAll(a).count()
+      val ivfDiff = frameDiff(SparkEntry.queries("s_ivfpq_topk")(spark, d),
+        SparkEntry.queries("l_ivfpq_ann")(spark, d))
+      val bpeDiff = frameDiff(SparkEntry.queries("s_bpe_encode")(spark, d),
+        SparkEntry.queries("l_bpe_encode")(spark, d))
+      (ivfDiff == 0L && bpeDiff == 0L,
+        s"ivfpq_serve_diff=$ivfDiff bpe_encode_diff=$bpeDiff")
+    }
+
     // The sweep accumulates cached frames across 11 invariants (the
     // memoized positional-gram frame alone is corpus-gram-sized at
     // stress SF, plus the streaming twins' index residue). PageRank's
