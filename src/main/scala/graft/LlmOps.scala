@@ -2177,6 +2177,25 @@ object LlmOps {
     "l_bpe_encode" -> ((s, d) =>
       bpeScorer(s, d)(docs(s, d)).orderBy(col("doc_id"))),
 
+    // BPE VOCABULARY export (round 18) — the third artifact of a real
+    // tokenizer pipeline (train → vocab → encode): every subword token
+    // the trained model produces over the corpus, with total corpus
+    // occurrences and distinct-word coverage. Runs on the word-frequency
+    // table (vocab-sized, never the corpus): one BpeTokens kernel call
+    // per DISTINCT word materializes its token array, explode + one
+    // map-side-combined aggregate. This is the token list + frequency
+    // file a tokenizer ships (merges.txt + vocab.json in HF terms).
+    "l_bpe_vocab" -> ((s, d) => {
+      val merges = bpeTrain(s, d).map(t => (t._2, t._3))
+      bpeWords(s, d)
+        .select(col("w"), col("n"),
+          explode(graft.functions.BpeExprs.tokens(col("w"), merges)).as("token"))
+        .groupBy(col("token"))
+        .agg(sum(col("n")).as("n_occurrences"),
+          countDistinct(col("w")).as("n_words"))
+        .orderBy(col("token"))
+    }),
+
     // Language-ID, the n-gram-profile classifier (Cavnar & Trenkle 1994
     // shape): per-language character-trigram profiles trained
     // SELF-SUPERVISED from the labeled corpus in one aggregate pass, then
@@ -3557,6 +3576,16 @@ object LlmOps {
          |      FROM s$BPE_ROUNDS) t ON t.w = d.w
          |WHERE len(d.w) > 0
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    // vocabulary = the train chain's FINAL symbol multiset over the
+    // word-frequency table — occurrences weighted by word frequency,
+    // coverage as distinct words containing the token
+    "l_bpe_vocab" -> bpeOracle(
+      s"""SELECT sym AS token, CAST(sum(n) AS BIGINT) AS n_occurrences,
+         |       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+         |FROM (SELECT w, n, unnest(string_split(trim(str, ' '), ' ')) AS sym
+         |      FROM s$BPE_ROUNDS)
+         |GROUP BY sym ORDER BY token""".stripMargin),
 
     "l_text_stats" -> {
       val stopList = STOPWORDS.map(w => s"'$w'").mkString(", ")

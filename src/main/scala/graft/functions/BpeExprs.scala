@@ -113,6 +113,42 @@ object BpeKernels {
     }
     n.toLong
   }
+
+  /** Encode one word and return the token ARRAY (same fold as
+    * [[tokenCount]]; `tokenCount` = its length without the allocation). */
+  def tokens(word: UTF8String, ma: Array[UTF8String],
+             mb: Array[UTF8String], mm: Array[UTF8String]): ArrayData = {
+    val s = word.toString
+    var syms = new Array[UTF8String](s.codePointCount(0, s.length) + 1)
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms(n) = UTF8String.fromString(s.substring(i, i + w))
+      n += 1
+      i += w
+    }
+    syms(n) = EOW
+    n += 1
+    var m = 0
+    while (m < ma.length && n > 1) {
+      val a = ma(m); val b = mb(m); val merged = mm(m)
+      var r = 0
+      var o = 0
+      while (r < n) {
+        if (r + 1 < n && a.equals(syms(r)) && b.equals(syms(r + 1))) {
+          syms(o) = merged; r += 2
+        } else {
+          syms(o) = syms(r); r += 1
+        }
+        o += 1
+      }
+      n = o
+      m += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(syms, n).asInstanceOf[Array[Any]])
+  }
 }
 
 /** word STRING → ARRAY<STRING> of codepoint symbols + `</w>`. */
@@ -160,6 +196,34 @@ case class BpeMergePassExpr(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** word STRING → ARRAY<STRING> of its BPE tokens under a learned merge
+  * list — the materialized encode (BpeTokenCount's count is `size` of
+  * this); feeds the vocabulary export (l_bpe_vocab). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+  @transient private lazy val ma = merges.map(p => UTF8String.fromString(p._1)).toArray
+  @transient private lazy val mb = merges.map(p => UTF8String.fromString(p._2)).toArray
+  @transient private lazy val mm = merges.map(p => UTF8String.fromString(p._1 + p._2)).toArray
+  override protected def nullSafeEval(w: Any): Any =
+    BpeKernels.tokens(w.asInstanceOf[UTF8String], ma, mb, mm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = "org.apache.spark.unsafe.types.UTF8String[]"
+    val mar = ctx.addReferenceObj("graftBpeMa", ma, t)
+    val mbr = ctx.addReferenceObj("graftBpeMb", mb, t)
+    val mmr = ctx.addReferenceObj("graftBpeMm", mm, t)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeKernels.tokens($c, $mar, $mbr, $mmr)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
 /** word STRING → BIGINT token count under a learned merge list (applied
   * in order, one greedy pass each — see [[BpeKernels.tokenCount]]). The
   * model rides as reference objects: kilobytes for any realistic merge
@@ -200,4 +264,6 @@ object BpeExprs {
     GraftSqlBridge.column(BpeMergePassExpr(expr(syms), a, b))
   def tokenCount(word: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeTokenCount(expr(word), merges))
+  def tokens(word: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeTokens(expr(word), merges))
 }

@@ -787,6 +787,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(k >= 2L && k <= 11L, s"OOV token count out of range: $k")
   }
 
+  test("BPE vocab: occurrence mass equals the encode rows' total token count") {
+    // the vocabulary export and the per-doc encode are two views of ONE
+    // tokenization: sum(n_occurrences) over the vocab must equal
+    // sum(n_bpe_tokens) over the docs, and every token is non-empty with
+    // positive counts
+    val vocab = run("l_bpe_vocab").collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { r =>
+      assert(r.getString(0).nonEmpty && r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+    val vocabMass = vocab.map(_.getLong(1)).sum
+    val encodeMass = run("l_bpe_encode").collect().map(_.getLong(2)).sum
+    assert(vocabMass == encodeMass,
+      s"vocab occurrence mass $vocabMass != encode token total $encodeMass")
+    // the end-of-word marker family is represented (every word ends in
+    // </w> or a merged token containing it)
+    assert(vocab.exists(_.getString(0).contains("</w>")))
+  }
+
   test("BPE encode: merges only ever shrink a word's token count") {
     // per doc: chars+1 per word is the round-0 token count (chars + the
     // </w> marker); K merges can only reduce it, and never below 1
