@@ -340,6 +340,19 @@ class StreamingSpec extends AnyFunSuite {
       nodesOf, Seq("kind", "key"))
     assert(keyRows(materialized) === want,
       "replaying a batch must not change the materialized graph")
+    // r17 verdict task 3: an ALL-DUPLICATE micro-batch legitimately
+    // writes a ZERO-ROW delta; the NEXT batch then reads that schema-less
+    // dir among its priors — with schema inference that aborts the
+    // stream, with the explicit-schema read it must sail through
+    StreamingOps.graphUpsertBatch(slices(0), 3L, stateDir,
+      nodesOf, Seq("kind", "key"))
+    assert(spark.read.schema(nodesOf(e).schema)
+      .parquet(s"$stateDir/b3").count() === 0L,
+      "an all-duplicate batch must write an empty delta, not re-add rows")
+    StreamingOps.graphUpsertBatch(slices(1), 4L, stateDir,
+      nodesOf, Seq("kind", "key"))
+    assert(keyRows(materialized) === want,
+      "a batch after a zero-row delta must neither fail nor change the graph")
   }
 
   test("streaming graph tables equal the batch k3 rows end-to-end") {
