@@ -71,9 +71,29 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // (3) hostWriteSec: a fixed 2M-row long-frame parquet write to a
+    // fresh temp dir — tracks the WRITE path (filesystem, page-cache
+    // flush, parquet encode) the cpu/scan kernels miss. Round 18 made
+    // the need measurable: streaming drain walls (state checkpoints +
+    // append sinks) swung ±25% between adjacent idle windows while q1
+    // and the scan kernel sat flat, so write-heavy rows flagged against
+    // cpu/scan calibration isolate clean. Same min-of-3 policy; compare
+    // drain-wall series against THIS factor first (SURVEY §8.4).
+    def writeKernel(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-wcal-")
+      val t0 = System.nanoTime()
+      spark.range(0, 2000000L, 1, 32)
+        .write.mode("overwrite").parquet(dir.resolve("w").toString)
+      val t = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      t
+    }
     val hostCpuSec = { cpuKernel(); (1 to 3).map(_ => cpuKernel()).min }
     val hostScanSec =
       try { scanKernel(); (1 to 3).map(_ => scanKernel()).min }
+      catch { case _: Throwable => -1.0 }
+    val hostWriteSec =
+      try { writeKernel(); (1 to 3).map(_ => writeKernel()).min }
       catch { case _: Throwable => -1.0 }
 
     def runOnce(fn: SparkEntry.Q): Double = {
@@ -171,7 +191,7 @@ object Bench {
         case c             => c.toString
       }
     val noteField = if (note.isEmpty) "" else s""""note":"$note","""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$noteField$streamFields"host_cpu_sec":$hostCpuSec,"host_cpu_sec_post":$hostCpuSecPost,"host_scan_sec":$hostScanSec,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$noteField$streamFields"host_cpu_sec":$hostCpuSec,"host_cpu_sec_post":$hostCpuSecPost,"host_scan_sec":$hostScanSec,"host_write_sec":$hostWriteSec,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout is the driver contract, but its capture has been observed to
     // clip mid-line (BENCH_r06 lost 3 queries) — persist the same JSON to a
