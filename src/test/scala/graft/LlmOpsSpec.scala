@@ -787,6 +787,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(k >= 2L && k <= 11L, s"OOV token count out of range: $k")
   }
 
+  test("BPE training saturates at pair exhaustion instead of failing") {
+    // reference semantics: the learn loop BREAKS when no adjacent pair
+    // remains (K caps the merge count, it is not a row quota). At
+    // saturation every corpus word is a single token, so encoding any
+    // corpus word with the saturated model yields exactly 1 token.
+    import org.apache.spark.sql.functions.{col, explode, length, lower, split}
+    val sat = LlmOps.bpeTrainCompute(spark, d, rounds = 100000)
+    assert(sat.nonEmpty && sat.length < 100000,
+      s"fixture must saturate under 100000 merges, got ${sat.length}")
+    // deterministic: same saturated model on a second run
+    val sat2 = LlmOps.bpeTrainCompute(spark, d, rounds = 100000)
+    assert(sat == sat2)
+    val merges = sat.map(t => (t._2, t._3))
+    val maxTok = Tables.documents(spark, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(graft.functions.BpeExprs.tokenCount(col("w"), merges).as("k"))
+      .agg(org.apache.spark.sql.functions.max(col("k"))).first().getLong(0)
+    assert(maxTok == 1L,
+      s"saturated model must encode every corpus word to 1 token, max was $maxTok")
+  }
+
   test("BPE vocab: occurrence mass equals the encode rows' total token count") {
     // the vocabulary export and the per-doc encode are two views of ONE
     // tokenization: sum(n_occurrences) over the vocab must equal
