@@ -787,6 +787,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(k >= 2L && k <= 11L, s"OOV token count out of range: $k")
   }
 
+  test("BPE kernel property: matches an independent greedy reference on random inputs") {
+    // randomized evidence for the r17-ADVICE fix: the codegen kernel's
+    // in-place compaction fold vs a naive list-based Sennrich greedy
+    // pass (different implementation style, same contract), over words
+    // with adversarial repeated-character runs and merges drawn from the
+    // word's own alphabet (so they actually fire)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.unsafe.types.UTF8String
+    def refTokens(word: String, merges: Seq[(String, String)]): List[String] = {
+      def pass(syms: List[String], a: String, b: String): List[String] = syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: pass(rest, a, b)
+        case x :: rest => x :: pass(rest, a, b)
+        case Nil => Nil
+      }
+      merges.foldLeft(word.map(_.toString).toList :+ "</w>") {
+        case (s, (a, b)) => pass(s, a, b)
+      }
+    }
+    val wordGen = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', '.', '!')).map(_.mkString))
+    val symGen = Gen.oneOf("a", "b", ".", "!", "aa", "ab", "..", "</w>", "a</w>")
+    val mergesGen = Gen.chooseNum(0, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(symGen, symGen)))
+    def u(s: String) = UTF8String.fromString(s)
+    var checked = 0
+    for (seed <- 0 until 500) {
+      val p = Gen.Parameters.default
+      val word = wordGen.apply(p, Seed(seed.toLong)).getOrElse("")
+      val merges = mergesGen.apply(p, Seed((seed + 7919).toLong)).getOrElse(Nil)
+      val want = refTokens(word, merges)
+      val gotN = graft.functions.BpeKernels.tokenCount(u(word),
+        merges.map(m => u(m._1)).toArray, merges.map(m => u(m._2)).toArray,
+        merges.map(m => u(m._1 + m._2)).toArray)
+      val gotToks = graft.functions.BpeKernels.tokens(u(word),
+        merges.map(m => u(m._1)).toArray, merges.map(m => u(m._2)).toArray,
+        merges.map(m => u(m._1 + m._2)).toArray)
+      val gotList = (0 until gotToks.numElements())
+        .map(i => gotToks.getUTF8String(i).toString).toList
+      assert(gotList == want && gotN == want.length.toLong,
+        s"word='$word' merges=$merges: kernel=$gotList (n=$gotN) ref=$want")
+      checked += 1
+    }
+    assert(checked == 500)
+  }
+
   test("BPE training saturates at pair exhaustion instead of failing") {
     // reference semantics: the learn loop BREAKS when no adjacent pair
     // remains (K caps the merge count, it is not a row quota). At
