@@ -226,6 +226,11 @@ class CtsSourceSpec extends AnyFunSuite {
         if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
       assert(chain(err).exists(m => m != null && m.contains("401")),
         s"auth failure must surface the 401, got: ${chain(err)}")
+      // 4xx is non-retryable: a credential problem must fail on the
+      // FIRST request, not burn the 5xx retry budget against an auth
+      // wall (CtsClientError bypasses the bounded-retry loop)
+      assert(stub.served.size() === 1,
+        s"401 must not be retried (saw ${stub.served.size()} requests)")
     } finally stub.stop()
   }
 
