@@ -81,12 +81,15 @@ object Bench {
     // drain-wall series against THIS factor first (SURVEY §8.4).
     def writeKernel(): Double = {
       val dir = java.nio.file.Files.createTempDirectory("graft-wcal-")
-      val t0 = System.nanoTime()
-      spark.range(0, 2000000L, 1, 32)
-        .write.mode("overwrite").parquet(dir.resolve("w").toString)
-      val t = (System.nanoTime() - t0) / 1e9
-      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
-      t
+      // try/finally, not success-path cleanup: a failed write maps to
+      // -1.0 upstream but must still delete its graft-wcal-* dir (r18
+      // ADVICE — up to 4 leaked dirs per run otherwise)
+      try {
+        val t0 = System.nanoTime()
+        spark.range(0, 2000000L, 1, 32)
+          .write.mode("overwrite").parquet(dir.resolve("w").toString)
+        (System.nanoTime() - t0) / 1e9
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
     val hostCpuSec = { cpuKernel(); (1 to 3).map(_ => cpuKernel()).min }
     val hostScanSec =
@@ -129,7 +132,13 @@ object Bench {
       val xs = samples.getOrElse(name, List(-1.0))
       name -> (if (xs.forall(_ < 0)) -1.0 else xs.filter(_ >= 0).min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-digit seconds everywhere (r18 verdict task 7): millisecond
+    // precision loses nothing at query granularity, and the shorter
+    // stdout line is what survives the driver's clipping capture —
+    // "parsed": null since r13 traced to the full-precision doubles
+    // pushing the line past the capture window.
+    def j3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -165,14 +174,14 @@ object Bench {
             (name, t, if (t > 0 && n > 0) n / t else -1.0)
           }
       }
-    val sq = streamResults.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val sq = streamResults.map { case (k, v, _) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
-    val sr = streamResults.map { case (k, _, r) => "\"" + k + "\":" + r }
+    val sr = streamResults.map { case (k, _, r) => "\"" + k + "\":" + j3(r) }
       .mkString("{", ",", "}")
     val streamTotal = streamResults.map(_._2).filter(_ >= 0).sum
     val streamFields =
       if (!streamOn) ""
-      else s""""streaming_total_sec":$streamTotal,"streaming":$sq,"streaming_rows_per_sec":$sr,"""
+      else s""""streaming_total_sec":${j3(streamTotal)},"streaming":$sq,"streaming_rows_per_sec":$sr,"""
     // POST-loop calibration re-run (r13 verdict): the pre-loop host_cpu
     // fields only bracket the window BEFORE the queries — r13's uniform
     // 1.27× inflation at identical pre-loop calibration read as
@@ -191,7 +200,28 @@ object Bench {
         case c             => c.toString
       }
     val noteField = if (note.isEmpty) "" else s""""note":"$note","""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$noteField$streamFields"host_cpu_sec":$hostCpuSec,"host_cpu_sec_post":$hostCpuSecPost,"host_scan_sec":$hostScanSec,"host_write_sec":$hostWriteSec,"queries":$qs,"sf":"$sfDir"}"""
+    // git SHA stamp (r18 verdict task 3): two rounds running, committed
+    // "final" artifacts predated late commits — the stamp makes the
+    // artifact↔code binding checkable instead of argued from mtimes.
+    // Read .git directly (loose ref, then packed-refs) — no subprocess.
+    def gitSha(): String = try {
+      val git = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), ".git")
+      def slurp(p: java.nio.file.Path) = new String(
+        java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val head = slurp(git.resolve("HEAD"))
+      if (!head.startsWith("ref: ")) head
+      else {
+        val ref = head.drop(5)
+        val loose = git.resolve(ref)
+        if (java.nio.file.Files.exists(loose)) slurp(loose)
+        else slurp(git.resolve("packed-refs")).linesIterator
+          .find(_.endsWith(" " + ref)).map(_.split(" ")(0))
+          .getOrElse("unknown")
+      }
+    } catch { case _: Exception => "unknown" }
+    val line = s"""{"metric":"total","value":${j3(total)},"unit":"sec","sha":"${gitSha()}",$noteField$streamFields"host_cpu_sec":${j3(hostCpuSec)},"host_cpu_sec_post":${j3(hostCpuSecPost)},"host_scan_sec":${j3(hostScanSec)},"host_write_sec":${j3(hostWriteSec)},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout is the driver contract, but its capture has been observed to
     // clip mid-line (BENCH_r06 lost 3 queries) — persist the same JSON to a

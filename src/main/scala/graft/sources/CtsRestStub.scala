@@ -50,6 +50,13 @@ class CtsRestStub(pagesDir: String, token: Option[String] = None) {
     * (CtsSource.PAGE_RETRIES) in CtsSourceSpec. */
   val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Fault injection: the next N requests answer HTTP 200 with a
+    * MALFORMED body (truncated JSON) — drives the client's
+    * parse-outside-the-retry-loop contract: a bad 200 body is a server
+    * contract violation, not a transient, and must fail on the first
+    * sight without burning the 5xx retry budget (r18 ADVICE). */
+  val garbleNext = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val server = HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
@@ -73,6 +80,8 @@ class CtsRestStub(pagesDir: String, token: Option[String] = None) {
   private def respond(rawQuery: String, auth: Option[String]): (Int, String) = {
     served.add(rawQuery)
     if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) return (500, "")
+    if (garbleNext.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      return (200, """{"traces":[{"trace_id": tru""")
     if (token.exists(t => !auth.contains(t))) return (401, "")
     val params = rawQuery.split("&").filter(_.contains("="))
       .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }

@@ -144,7 +144,7 @@ object CtsSource {
         tTo.map(t => s"to=$t")).flatten
       val sep = if (dir.contains("?")) "&" else "?"
       val url = if (params.isEmpty) dir else dir + sep + params.mkString("&")
-      def attempt(): Option[JsonNode] = {
+      def attempt(): Option[String] = {
         val b = java.net.http.HttpRequest
           .newBuilder(java.net.URI.create(url))
           .timeout(java.time.Duration.ofSeconds(30)).GET()
@@ -152,7 +152,7 @@ object CtsSource {
         val resp = http.send(b.build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
         resp.statusCode() match {
-          case 200 => Some(mapper.readTree(resp.body()))
+          case 200 => Some(resp.body())
           case 404 => None
           case c if c >= 500 => throw new java.io.IOException(
             s"cts: GET $url failed with HTTP $c")
@@ -162,7 +162,7 @@ object CtsSource {
         }
       }
       var tries = 0
-      var out: Option[JsonNode] = None
+      var out: Option[String] = None
       var done = false
       while (!done) {
         try { out = attempt(); done = true }
@@ -174,7 +174,19 @@ object CtsSource {
             Thread.sleep(PAGE_BACKOFF_MS * tries)
         }
       }
-      out
+      // Parse OUTSIDE the retried section (r18 ADVICE): Jackson's
+      // JsonProcessingException extends IOException, so a deterministic
+      // malformed 200 body inside the loop would burn the whole retry
+      // budget with backoff before failing. A bad body is a server
+      // contract violation, not a transient — fail on the first sight.
+      out.map { body =>
+        try mapper.readTree(body)
+        catch {
+          case e: com.fasterxml.jackson.core.JsonProcessingException =>
+            throw new CtsClientError(
+              s"cts: GET $url returned HTTP 200 with a malformed JSON body: ${e.getMessage}")
+        }
+      }
     } else {
       val p = Paths.get(pagePath(dir, marker))
       if (!Files.exists(p)) None

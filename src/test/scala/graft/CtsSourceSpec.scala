@@ -214,6 +214,30 @@ class CtsSourceSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("http: a malformed 200 body fails on the FIRST request, never retried") {
+    // r18 ADVICE: Jackson's JsonProcessingException extends IOException,
+    // so parsing inside the retried section treated a deterministic bad
+    // body as transient and burned the whole backoff budget. The parse
+    // now happens outside the loop and surfaces as a non-retryable
+    // client error on first sight.
+    val dir = writeFixtures()
+    val stub = new graft.sources.CtsRestStub(dir.toString)
+    try {
+      stub.garbleNext.set(1000)
+      val before = stub.served.size()
+      val err = intercept[Throwable] {
+        spark.read.format("cts").option("pages", stub.url).load().count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(err).exists(m => m != null && m.contains("malformed JSON body")),
+        s"bad body must surface as a contract violation, got: ${chain(err)}")
+      assert(stub.served.size() - before === 1,
+        s"malformed 200 must not be retried (saw ${stub.served.size() - before} requests)")
+      stub.garbleNext.set(0)
+    } finally stub.stop()
+  }
+
   test("http: a wrong or missing token fails the scan loudly (401), never as empty") {
     val dir = writeFixtures()
     val stub = new graft.sources.CtsRestStub(dir.toString, Some("tok-123"))

@@ -729,7 +729,16 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("BPE training: deterministic merges with non-increasing pair counts") {
     val m1 = run("l_bpe_train").collect()
-    assert(m1.length == LlmOps.BPE_ROUNDS, "one row per merge round")
+    // ≤, not ==: training legitimately SATURATES below BPE_ROUNDS when
+    // no pair remains (a raised GRAFT_BPE_ROUNDS or a smaller fixture —
+    // r18 ADVICE). Exactness is pinned below on an explicit small round
+    // count the fixture cannot saturate at.
+    assert(m1.length <= LlmOps.BPE_ROUNDS, "at most one row per merge round")
+    assert(m1.nonEmpty, "fixture trained zero merges — proves nothing")
+    // pinned-rounds exactness: the fixture has far more than 8 merge
+    // opportunities, so an 8-round train must return exactly 8 rows
+    assert(LlmOps.bpeTrainCompute(spark, TestSpark.sfDir, rounds = 8).length == 8,
+      "pinned 8-round training must not saturate on this fixture")
     // merged form is the pair's concatenation
     m1.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
     // the winning count can never grow: a pair created by a merge occurs
