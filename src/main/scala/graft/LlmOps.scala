@@ -1334,19 +1334,32 @@ object LlmOps {
                                  index: DataFrame): DataFrame => DataFrame = {
     import graft.functions.HashExprs.vecDot
     val (e, cents, cb) = ivfPqPrep(s, d)
+    // The probe-union collect is one tiny driver job per micro-batch —
+    // worth it only when pruning can actually skip files. With
+    // cells ≤ 2·nprobe, a single query's probe set is already half the
+    // index and a multi-query union covers most of it, so the filter
+    // saves no meaningful I/O while the collect adds a job per batch
+    // (r18 ADVICE). Gate: prune iff the trained cell count exceeds
+    // 2·nprobe — true for the 8-cell harness index and overwhelmingly
+    // true at production cell counts (1024+), false only for toy
+    // indexes where the full scan is the cheaper plan.
+    val prune = cents.length > 2 * IVFPQ_NPROBE
     q => {
-      val cells = q.select(explode(ivfPqProbeCol(cents)(col("embedding"),
-          sqrt(vecDot(col("embedding"), col("embedding"))))).as("p"))
-        .select((-col("p.ncid")).as("cell")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      // partition-column type inference may read `cell` back as INT;
-      // match the literal type so the IN stays a pure partition filter
-      // (a cast around the attribute would block file-level pruning)
-      val lits: Seq[Any] = index.schema("cell").dataType match {
-        case org.apache.spark.sql.types.IntegerType => cells.map(_.toInt)
-        case _ => cells
+      if (!prune) ivfPqScore(e, cents, cb, index, q)
+      else {
+        val cells = q.select(explode(ivfPqProbeCol(cents)(col("embedding"),
+            sqrt(vecDot(col("embedding"), col("embedding"))))).as("p"))
+          .select((-col("p.ncid")).as("cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // partition-column type inference may read `cell` back as INT;
+        // match the literal type so the IN stays a pure partition filter
+        // (a cast around the attribute would block file-level pruning)
+        val lits: Seq[Any] = index.schema("cell").dataType match {
+          case org.apache.spark.sql.types.IntegerType => cells.map(_.toInt)
+          case _ => cells
+        }
+        ivfPqScore(e, cents, cb, index.filter(col("cell").isin(lits: _*)), q)
       }
-      ivfPqScore(e, cents, cb, index.filter(col("cell").isin(lits: _*)), q)
     }
   }
 
@@ -2112,6 +2125,174 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Source-level curation (l_url_dedup / l_domain_cap /
+  // s_domain_cap) — the FIRST stage of a real web-scale pipeline
+  // (CCNet/FineWeb run URL-level dedup and per-domain admission before
+  // any content-level pass): canonicalize the crawl URL, drop exact
+  // URL duplicates, and cap each domain's contribution by quality so
+  // one hot domain cannot dominate the corpus mix.
+
+  /** Duplicate-URL key modulus: two crawls of the same page differ in
+    * scheme case, www., default port, tracking params and fragment —
+    * the planted raw URLs collide on `doc_id % URL_KEY_MOD` exactly
+    * when canonicalization is right. */
+  private val URL_KEY_MOD = 400L
+  /** Per-domain admission budget (top-N by quality). */
+  private val DOMAIN_CAP = 5
+  /** Salt shards for the skew-safe two-phase per-domain top-N. */
+  private val DOMAIN_SALTS = 8L
+
+  /** Plant a deterministic RAW crawl URL per document (the l_media_decode
+    * discipline: fixture bytes derived from doc_id in the query, replayed
+    * verbatim by the oracle). Every noise axis a real crawler sees is
+    * exercised — scheme/host case, www. prefix, explicit default port,
+    * utm_* tracking params around a real param, fragment, trailing
+    * slash — and each axis cancels under canonicalization while the
+    * (source, doc_id % URL_KEY_MOD) identity survives. */
+  private[graft] def docUrls(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val key = (d % URL_KEY_MOD).cast("string")
+    df.withColumn("url", concat(
+      when(d % 2 === 0, lit("https")).otherwise(lit("HTTP")), lit("://"),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(d % 5 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(d % 7 === 0,
+        when(d % 2 === 0, lit(":443")).otherwise(lit(":80"))).otherwise(lit("")),
+      lit("/a/"), key,
+      when(d % 11 === 0, lit("/")).otherwise(lit("")),
+      when(d % 2 === 0, concat(lit("?utm_source=feed&id="), key))
+        .otherwise(concat(lit("?id="), key, lit("&utm_campaign=c"),
+          (d % 4).cast("string"))),
+      when(d % 13 === 0, concat(lit("#sec"), d.cast("string")))
+        .otherwise(lit(""))))
+  }
+
+  /** url → (url_canon, domain): the canonicalization ladder every
+    * web-curation pipeline runs before URL dedup, as SIX named regex
+    * stages (named columns, not repeated subtrees — each evaluates once
+    * per row in codegen; one Project, zero shuffle, scan speed at
+    * 100 TB): strip fragment → lowercase scheme+authority (path/query
+    * case is significant, so never `lower(url)`) → strip www. → strip
+    * default ports (:80/http, :443/https) → strip utm_* tracking params
+    * (three rules: mid-query, leading-with-follower, whole-query) →
+    * strip trailing path slashes. `domain` is the canonical authority —
+    * the shuffle key of every source-level stage. */
+  private[graft] def withCanonicalUrl(df: DataFrame): DataFrame = {
+    val headPat = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    df
+      .withColumn("__u1", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("__uh", regexp_extract(col("__u1"), headPat, 1))
+      .withColumn("__u2", concat(lower(col("__uh")),
+        col("__u1").substr(length(col("__uh")) + 1, length(col("__u1")))))
+      .withColumn("__u3",
+        regexp_replace(col("__u2"), "^(https?://)www\\.", "$1"))
+      .withColumn("__u4", regexp_replace(
+        regexp_replace(col("__u3"), "^(http://[^/:?#]*):80([/?#].*|)$", "$1$2"),
+        "^(https://[^/:?#]*):443([/?#].*|)$", "$1$2"))
+      .withColumn("__u5", regexp_replace(
+        regexp_replace(
+          regexp_replace(col("__u4"), "&utm_[a-z]+=[^&#]*", ""),
+          "\\?utm_[a-z]+=[^&#]*&", "?"),
+        "\\?utm_[a-z]+=[^&#]*$", ""))
+      .withColumn("url_canon", regexp_replace(
+        regexp_replace(col("__u5"), "/+\\?", "?"), "/+$", ""))
+      .withColumn("domain",
+        regexp_extract(col("url_canon"), "^[a-z]+://([^/:?#]+)", 1))
+      .drop("__u1", "__uh", "__u2", "__u3", "__u4", "__u5")
+  }
+
+  /** (doc_id, domain, quality): the STATELESS per-document projection
+    * under the per-domain cap — URL planting + canonicalization + the
+    * l_text_stats quality spelling (bit-identical cross-engine there, so
+    * the ranking can never disagree on ties it doesn't have). Stateless,
+    * hence ONE spelling for the batch row and the streaming admission
+    * twin (the qualityProjection discipline). */
+  private[graft] def domainQuality(df: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val q = graft.functions.HashExprs.textQuality(col("text"))
+    val nTok = col("__q.n_tokens")
+    val ttr = size(array_distinct(toks)).cast("long").cast("double") /
+      nTok.cast("double")
+    withCanonicalUrl(docUrls(df))
+      .withColumn("__q", q)
+      .select(col("doc_id"), col("domain"),
+        (least(lit(1.0), nTok.cast("double") / 200.0) *
+          (lit(0.25) + lit(0.75) * ttr)).as("quality"))
+  }
+
+  /** Per-domain top-N over (doc_id, domain, quality) rows — TWO-PHASE
+    * for skew (the q_salted_agg discipline, mandatory here because a hot
+    * domain at 100 TB IS the skew case): phase 1 ranks within
+    * (domain, salt) shards — DOMAIN_SALTS× smaller partitions, a hot
+    * domain's rows split across shards — and keeps each shard's top N
+    * (≤ N·SALTS survivors per domain, cap-bounded); phase 2 re-ranks
+    * ONLY the survivors per domain. Correct by containment: a domain's
+    * true top-N row ranks ≤ N within its own shard, so phase 1 never
+    * drops it. The full corpus never shuffles on the bare domain key. */
+  private[graft] def domainCapSelect(scored: DataFrame): DataFrame = {
+    val w1 = Window
+      .partitionBy(col("domain"), pmod(col("doc_id"), lit(DOMAIN_SALTS)))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("domain"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("__srn", row_number().over(w1))
+      .filter(col("__srn") <= DOMAIN_CAP)
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= DOMAIN_CAP)
+      .select(col("domain"), col("rk"), col("doc_id"), col("quality"))
+      .orderBy(col("domain"), col("rk"))
+  }
+
+  /** DuckDB replay of the planted raw URL + the canonicalization ladder
+    * (CTE chain mirroring [[docUrls]] + [[withCanonicalUrl]] stage for
+    * stage; RE2 `\1` backrefs where Spark uses `$1`, explicit 'g' where
+    * Spark's regexp_replace is always global). Ends in a `urls` CTE with
+    * (doc_id, url_canon). */
+  private def urlOracleChain: String =
+    s"""u0 AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+       |    '.Example.COM' ||
+       |    (CASE WHEN doc_id % 7 = 0
+       |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+       |          ELSE '' END) ||
+       |    '/a/' || CAST(doc_id % $URL_KEY_MOD AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 2 = 0
+       |          THEN '?utm_source=feed&id=' || CAST(doc_id % $URL_KEY_MOD AS VARCHAR)
+       |          ELSE '?id=' || CAST(doc_id % $URL_KEY_MOD AS VARCHAR) ||
+       |               '&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR) END) ||
+       |    (CASE WHEN doc_id % 13 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR)
+       |          ELSE '' END) AS url
+       |  FROM documents
+       |), u1 AS (
+       |  SELECT doc_id, regexp_replace(url, '#.*$$', '', 'g') AS u FROM u0
+       |), u2 AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+       |    substr(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+       |  FROM u1
+       |), u3 AS (
+       |  SELECT doc_id, regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM u2
+       |), u4 AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(u,
+       |    '^(http://[^/:?#]*):80([/?#].*|)$$', '\\1\\2'),
+       |    '^(https://[^/:?#]*):443([/?#].*|)$$', '\\1\\2') AS u FROM u3
+       |), u5 AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+       |    '&utm_[a-z]+=[^&#]*', '', 'g'),
+       |    '\\?utm_[a-z]+=[^&#]*&', '?', 'g'),
+       |    '\\?utm_[a-z]+=[^&#]*$$', '', 'g') AS u FROM u4
+       |), urls AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(u, '/+\\?', '?', 'g'), '/+$$', '', 'g') AS url_canon
+       |  FROM u5
+       |)""".stripMargin
+
   def queries: Map[String, Q] = Map(
 
     // Exact dedup: normalize → content hash → group. The corpus has no
@@ -2131,6 +2312,35 @@ object LlmOps {
         .select(col("canon_id"), col("n_copies"), col("fp"))
         .orderBy(col("canon_id"))
     }),
+
+    // URL-level exact dedup — the stage BEFORE any content pass in a
+    // web-scale pipeline (CCNet/FineWeb: canonicalize the crawl URL,
+    // drop re-crawls of the same page before paying to read the body).
+    // Canonicalization is one regex Project at scan speed; dedup is one
+    // hash aggregate where the CANONICAL URL (bytes of a key, never the
+    // document) rides the shuffle — the l_exact_dedup discipline. The
+    // planted raw URLs (docUrls) collide on doc_id % URL_KEY_MOD exactly
+    // when every canonicalization axis (case, www., default port, utm_*
+    // params, fragment, trailing slash) cancels — a one-rule regression
+    // splits a duplicate group and goes hash-red.
+    "l_url_dedup" -> ((s, d) =>
+      withCanonicalUrl(docUrls(docs(s, d)))
+        .groupBy(col("url_canon"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canon_id"))
+        .filter(col("n_copies") > 1)
+        .select(col("canon_id"), col("n_copies"), col("url_canon"))
+        .orderBy(col("canon_id"))),
+
+    // Per-domain admission cap — top-N docs per domain by quality score
+    // (the FineWeb-style source balancing step: one hot domain must not
+    // dominate the corpus mix). Scoring is stateless per document
+    // (domainQuality — URL canonicalization + the l_text_stats quality
+    // arithmetic); selection is the TWO-PHASE skew-safe top-N
+    // (domainCapSelect): a hot domain at 100 TB is exactly the skew case
+    // q_salted_agg exists for, so the corpus never shuffles on the bare
+    // domain key — phase 1 ranks inside (domain, salt) shards and keeps
+    // ≤ cap per shard, phase 2 re-ranks only the cap·salts survivors.
+    "l_domain_cap" -> ((s, d) => domainCapSelect(domainQuality(docs(s, d)))),
 
     // Text analysis: token stats, BPE-ish subtoken count, type-token ratio,
     // stopword ratio, a stopword-based language guess, a quality score, and
@@ -3173,6 +3383,40 @@ object LlmOps {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKEN-TRUE packing — l_pack composed with the trained BPE model
+    // (r18 verdict task 5): real pretraining packs to a TOKEN budget,
+    // not a character/word proxy, and the packer is the tokenizer's
+    // first downstream CONSUMER (train → encode → pack closes the
+    // loop). Per-doc token counts come from the SAME kernel encode as
+    // l_bpe_encode (BpeTokenCount — map-side, model as reference
+    // objects, constant-size codegen at any K), the bucket is carried
+    // through the encode's per-doc aggregate (same shuffle key, no
+    // extra exchange), and placement is the l_pack running-total window
+    // per hash bucket — buckets pack independently, perfect parallelism
+    // at corpus scale.
+    "l_pack_tokens" -> ((s, d) => {
+      val cap = 4096L
+      val merges = bpeTrain(s, d).map(t => (t._2, t._3))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(col("doc_id"),
+          pmod(polyHash(col("text")), lit(8L)).as("bucket"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("bucket"),
+          graft.functions.BpeExprs.tokenCount(col("w"), merges).as("k"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("k")).as("n_bpe_tokens"))
+        .withColumn("tokens_before",
+          coalesce(sum(col("n_bpe_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("bucket"),
+          (col("tokens_before") / cap).cast("long").as("bin"),
+          col("n_bpe_tokens"), col("tokens_before"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Context-window CHUNKING — split each document into fixed-length
     // overlapping token windows (64-token chunks, stride 48): the RAG /
     // long-doc-training shape. Pure per-row explode of a generated
@@ -3560,6 +3804,35 @@ object LlmOps {
          |       sha256(lower(trim(text))) AS fp
          |FROM all_docs GROUP BY fp HAVING count(*) > 1
          |ORDER BY canon_id""".stripMargin,
+
+    "l_url_dedup" ->
+      s"""WITH $urlOracleChain
+         |SELECT min(doc_id) AS canon_id, CAST(count(*) AS BIGINT) AS n_copies,
+         |       url_canon
+         |FROM urls GROUP BY url_canon HAVING count(*) > 1
+         |ORDER BY canon_id""".stripMargin,
+
+    // quality = the l_text_stats arithmetic verbatim (bit-identical
+    // cross-engine there); plain one-phase window top-N — semantically
+    // what the engine's two-phase skew-safe plan computes
+    "l_domain_cap" ->
+      s"""WITH $urlOracleChain,
+         |q AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), scored AS (
+         |  SELECT u.doc_id,
+         |    regexp_extract(u.url_canon, '^[a-z]+://([^/:?#]+)', 1) AS domain,
+         |    least(1.0, CAST(len(toks) AS DOUBLE) / 200.0) *
+         |      (0.25 + 0.75 * (CAST(len(list_distinct(toks)) AS DOUBLE) /
+         |                      CAST(len(toks) AS DOUBLE))) AS quality
+         |  FROM urls u JOIN q ON q.doc_id = u.doc_id
+         |), ranked AS (
+         |  SELECT doc_id, domain, quality,
+         |    row_number() OVER (PARTITION BY domain ORDER BY quality DESC, doc_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id, quality
+         |FROM ranked WHERE rk <= $DOMAIN_CAP ORDER BY domain, rk""".stripMargin,
 
     // BPE rounds unrolled as CTEs (the kmeans-oracle discipline): per
     // round, pair positions via the unnest/generate_subscripts zip +
@@ -4390,6 +4663,30 @@ object LlmOps {
          |  FROM t)
          |SELECT doc_id, bucket, tokens_before // 256 AS bin, n_tokens, tokens_before
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    // token-true packing: the l_bpe_encode per-doc count spelling (the
+    // train chain's final symbol strings joined back to corpus words)
+    // composed with the l_pack running-total window — one oracle, both
+    // halves already proven independently
+    "l_pack_tokens" -> bpeOracle(
+      s"""SELECT doc_id, bucket, tokens_before // 4096 AS bin,
+         |       n_bpe_tokens, tokens_before
+         |FROM (
+         |  SELECT doc_id, bucket, n_bpe_tokens,
+         |    CAST(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |  FROM (
+         |    SELECT c.doc_id, b.bucket, c.n_bpe_tokens
+         |    FROM (SELECT d.doc_id, CAST(sum(t.k) AS BIGINT) AS n_bpe_tokens
+         |          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |                FROM documents) d
+         |          JOIN (SELECT w, CAST(len(string_split(trim(str, ' '), ' ')) AS BIGINT) AS k
+         |                FROM s$BPE_ROUNDS) t ON t.w = d.w
+         |          WHERE len(d.w) > 0
+         |          GROUP BY d.doc_id) c
+         |    JOIN (SELECT doc_id, ${sqlPoly("text")} % 8 AS bucket
+         |          FROM documents) b ON b.doc_id = c.doc_id))
+         |ORDER BY doc_id""".stripMargin),
 
     "l_chunk" ->
       """WITH t AS (

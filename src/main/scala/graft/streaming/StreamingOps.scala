@@ -214,6 +214,15 @@ object StreamingOps {
     * on local disk with bounded heap. Env-gated so the SURVEY §8.6 A/B
     * measures both providers on identical code, and the adoption
     * decision is recorded there rather than hard-coded. */
+  /** Sessions whose provider conf THIS seam last set — the None branch
+    * unsets only those, so a provider an operator pinned directly via
+    * Spark conf / spark-submit (outside GRAFT_STATE_STORE) survives a
+    * drain with the knob unset (r18 ADVICE: the unconditional unset
+    * silently discarded externally-set providers). */
+  private val stateStoreSetBy =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   private def stateStoreConf(s: SparkSession): Unit = {
     val pkg = "org.apache.spark.sql.execution.streaming.state"
     val changelog = "spark.sql.streaming.stateStore.rocksdb." +
@@ -227,6 +236,7 @@ object StreamingOps {
     sys.props.get("graft.stateStore")
       .orElse(sys.env.get("GRAFT_STATE_STORE")).map(_.toLowerCase) match {
       case Some("rocksdb") =>
+        stateStoreSetBy.add(s)
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           s"$pkg.RocksDBStateStoreProvider")
         s.conf.set(changelog, "false")
@@ -234,10 +244,12 @@ object StreamingOps {
       // a full snapshot — the standard knob for RocksDB's per-batch
       // maintenance cost (measured in the §8.6 A/B)
       case Some("rocksdb-changelog") =>
+        stateStoreSetBy.add(s)
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           s"$pkg.RocksDBStateStoreProvider")
         s.conf.set(changelog, "true")
       case Some("hdfs") =>
+        stateStoreSetBy.add(s)
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           s"$pkg.HDFSBackedStateStoreProvider")
         s.conf.set(changelog, "false")
@@ -246,8 +258,12 @@ object StreamingOps {
       case Some(other) => throw new IllegalArgumentException(
         s"GRAFT_STATE_STORE=$other: expected rocksdb|rocksdb-changelog|hdfs")
       case None =>
-        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        s.conf.unset(changelog)
+        // only undo what THIS seam set: an externally-pinned provider
+        // (Spark conf / spark-submit) is not ours to discard
+        if (stateStoreSetBy.remove(s)) {
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          s.conf.unset(changelog)
+        }
     }
   }
 
@@ -855,6 +871,19 @@ object StreamingOps {
         .limit(10)
         .select(col("doc_id"), col("n_terms"), col("score"))
     }),
+    // Streaming PER-DOMAIN admission cap: scoring is stateless per
+    // document (LlmOps.domainQuality — URL canonicalization + the
+    // l_text_stats quality arithmetic, no corpus facts), so it binds to
+    // each micro-batch inside foreachBatch unchanged (the drainMapped
+    // rule); the per-domain top-N is a corpus-global selection, hence
+    // the drain tail (the s_bm25 discipline) — and the tail runs the
+    // SAME two-phase skew-safe spelling as the batch row
+    // (LlmOps.domainCapSelect), so at 100 TB the admitted store never
+    // shuffles on the bare domain key either. Shares l_domain_cap's
+    // oracle: micro-batched scoring + one selection pass ≡ the batch row.
+    "s_domain_cap" -> ((s, d) =>
+      graft.LlmOps.domainCapSelect(
+        drainMapped(readDocumentsStream(s, d), graft.LlmOps.domainQuality))),
     // Streaming LM-perplexity scoring at ingest: the bigram-MLE model is
     // TRAINED once batch-side and persisted (LlmOps.trainLmModel — the
     // last model-carrying op to get the offline-trainer/online-scorer
@@ -1030,7 +1059,7 @@ object StreamingOps {
     "s_media_decode" -> "documents", "s_heavy_hitters" -> "documents",
     "s_bm25" -> "documents", "s_lm_score" -> "documents",
     "s_decontaminate" -> "documents", "s_dup_spans" -> "documents",
-    "s_bpe_encode" -> "documents",
+    "s_bpe_encode" -> "documents", "s_domain_cap" -> "documents",
     "s_neardup" -> "documents", "s_pipeline" -> "documents",
     "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings",
     "s_ivfpq_topk" -> "embeddings")
@@ -1065,6 +1094,9 @@ object StreamingOps {
     // stateless per-doc scoring against the persisted corpus-statistics
     // model — the oracle IS the batch BM25 oracle
     "s_bm25" -> graft.LlmOps.oracles("l_bm25"),
+    // stateless per-doc URL+quality scoring, corpus-global top-N at the
+    // drain tail — the oracle IS the batch domain-cap oracle
+    "s_domain_cap" -> graft.LlmOps.oracles("l_domain_cap"),
     // stateless per-doc scoring against the persisted bigram-MLE model —
     // the oracle IS the batch LM-score oracle
     "s_lm_score" -> graft.LlmOps.oracles("l_lm_score"),

@@ -727,6 +727,64 @@ class LlmOpsSpec extends AnyFunSuite {
     LlmOps.dupSpanKeep1MemoReset()
   }
 
+  test("URL canonicalization cancels every planted noise axis and nothing else") {
+    val rows = LlmOps.withCanonicalUrl(LlmOps.docUrls(Tables.documents(spark, d)))
+      .select(col("doc_id"), col("source"), col("url"), col("url_canon"), col("domain"))
+      .collect()
+    val canonById = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    rows.foreach { r =>
+      val (id, src, canon, dom) =
+        (r.getLong(0), r.getString(1), r.getString(3), r.getString(4))
+      // full independent reconstruction: scheme by parity, lowercased
+      // host, no www/port/utm/fragment, trailing slash gone
+      val expected = (if (id % 2 == 0) "https" else "http") +
+        s"://${src.toLowerCase}.example.com/a/${id % 400}?id=${id % 400}"
+      assert(canon == expected, s"doc $id: $canon != $expected (raw ${r.getString(2)})")
+      assert(dom == s"${src.toLowerCase}.example.com", s"doc $id domain $dom")
+    }
+    // duplicate identity: doc d and d+400 canonicalize EQUAL (the pair
+    // differs in www/port/case/utm/fragment noise only)...
+    (0L until 100L).foreach { id =>
+      assert(canonById(id) == canonById(id + 400), s"dup pair $id split") }
+    // ...and nothing else collides: exactly URL_KEY_MOD distinct pages
+    assert(rows.map(_.getString(3)).distinct.length == 400,
+      "spurious canonical collision beyond the planted key")
+  }
+
+  test("domain cap: two-phase skew-safe selection equals the one-phase window") {
+    val scored = LlmOps.domainQuality(Tables.documents(spark, d))
+    val got = LlmOps.domainCapSelect(scored).collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("quality").desc, col("doc_id"))
+    val ref = scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("domain"), col("rk"), col("doc_id"), col("quality"))
+      .orderBy(col("domain"), col("rk")).collect().map(_.toSeq).toSeq
+    assert(got == ref, "two-phase top-N diverged from the plain window")
+    assert(got.groupBy(_.head).forall(_._2.length <= 5), "cap violated")
+    assert(got.nonEmpty, "fixture produced no capped domains — proves nothing")
+  }
+
+  test("token packing composes the BPE encode counts with correct running totals") {
+    val pack = run("l_pack_tokens").collect()
+    val enc = run("l_bpe_encode").select("doc_id", "n_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pack.length == enc.size, "packing must place every encoded doc")
+    pack.foreach { r =>
+      assert(r.getLong(3) == enc(r.getLong(0)),
+        s"doc ${r.getLong(0)}: pack count ${r.getLong(3)} != encode ${enc(r.getLong(0))}") }
+    // per bucket: tokens_before is the doc_id-ordered running sum and
+    // bin its 4096-capacity quotient
+    pack.groupBy(_.getLong(1)).foreach { case (bucket, rows) =>
+      var acc = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(4) == acc, s"bucket $bucket doc ${r.getLong(0)}: tokens_before")
+        assert(r.getLong(2) == acc / 4096L, s"bucket $bucket doc ${r.getLong(0)}: bin")
+        acc += r.getLong(3)
+      }
+    }
+  }
+
   test("BPE training: deterministic merges with non-increasing pair counts") {
     val m1 = run("l_bpe_train").collect()
     // ≤, not ==: training legitimately SATURATES below BPE_ROUNDS when

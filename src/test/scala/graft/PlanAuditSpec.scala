@@ -121,6 +121,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a band/bucket candidate join:\n${plan.take(1500)}")
   }
 
+  test("l_url_dedup: canonicalization is one codegen Project, dedup one aggregate exchange") {
+    // URL dedup at 100 TB = regex ladder at scan speed + ONE hash
+    // aggregate where only the canonical key shuffles. More than the
+    // aggregate exchange + the oracle sort means the ladder planned a
+    // shuffle it must not have.
+    val plan = planOf("l_url_dedup")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"url dedup must combine map-side before the exchange:\n${plan.take(1500)}")
+    // exactly one hash exchange (the dedup aggregate) + the oracle sort;
+    // the spread() RoundRobin widening of the one-file testdata scan is
+    // the identity on production multi-part data and is not counted
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1 &&
+      "Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+      s"unexpected exchanges in the url-dedup plan:\n${plan.take(1500)}")
+  }
+
+  test("l_domain_cap: the per-domain top-N is two-phase (salted shard rank first)") {
+    // a hot domain at 100 TB is the skew case: the corpus must never
+    // shuffle on the bare domain key. Phase 1 ranks inside (domain,
+    // salt) shards — the plan carries TWO Window nodes, and the first
+    // exchange below the scan partitions on two expressions (domain +
+    // the pmod salt), not one.
+    val plan = planOf("l_domain_cap")
+    assert("(?m)^[\\s:+-]*Window ".r.findAllIn(plan).size == 2,
+      s"expected the two-phase window pair:\n${plan.take(2000)}")
+    val parts = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(parts.exists(p => p.contains("domain") && p.split(",").length >= 3),
+      s"phase 1 must shard the domain key with a salt: $parts")
+  }
+
   test("ivfpq serving probe partition-prunes the persisted index to its cells") {
     // §8.3's layout claim, pinned (r17 verdict task 4): trainIvfPqIndex
     // writes the index PARTITIONED BY cell, and the serving scorer turns

@@ -513,6 +513,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == 10, "the fixture must fill the top-10")
   }
 
+  test("streaming per-domain cap equals the batch l_domain_cap row-for-row") {
+    val spark = TestSpark.spark
+    val got = graft.streaming.StreamingOps.queries("s_domain_cap")(
+      spark, TestSpark.sfDir).collect().map(_.toSeq).toSeq
+    val want = LlmOps.queries("l_domain_cap")(
+      spark, TestSpark.sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want,
+      s"stream/batch domain cap diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.nonEmpty, "the fixture must cap at least one domain")
+  }
+
   test("streaming LM scoring against the persisted model equals the batch row") {
     val spark = TestSpark.spark
     def byDoc(rows: Seq[org.apache.spark.sql.Row]) =
