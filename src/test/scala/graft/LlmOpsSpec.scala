@@ -811,6 +811,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
   }
 
+  test("BPE local merge learning is bit-identical to the distributed loop") {
+    // the local learner (the production train path — see bpeTrainCompute)
+    // and the distributed loop share the BpeKernels fold; this pins that
+    // the pair count + argmax tie-break agree too, both in the steady
+    // state (K=24) and THROUGH SATURATION (K=128 — the sf0.001 fixture
+    // exhausts its pairs below 128, so both paths must stop at the same
+    // round with the same final merge)
+    for (k <- Seq(24, 128)) {
+      val loc = LlmOps.bpeTrainCompute(spark, TestSpark.sfDir, rounds = k)
+      sys.props("graft.bpe.distributed") = "1"
+      val dist =
+        try LlmOps.bpeTrainCompute(spark, TestSpark.sfDir, rounds = k)
+        finally sys.props.remove("graft.bpe.distributed")
+      assert(loc == dist, s"local/distributed learners diverged at K=$k")
+      if (k == 128) assert(loc.length < 128,
+        "K=128 was expected to SATURATE on this fixture — raise K or shrink it")
+    }
+  }
+
   test("BPE greedy merge kernel: identical-symbol runs merge left-to-right") {
     // the r17 ADVICE divergence: a two-pass string replace turns
     // 'aaaaaa' under merge (a,a) into [aa,a,aa,a]; the reference greedy
