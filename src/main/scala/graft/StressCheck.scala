@@ -326,6 +326,67 @@ object StressCheck {
         s"covered@$k=$nK covered@${k + 2}=$nK2 escaped_containment=$escaped")
     }
 
+    check("source_curation_invariants") {
+      // The round-19 source-level family at stress SF (the sf0.01/sf1
+      // oracle gate is cheap for these rows, but the skew/shuffle shapes
+      // only bite at corpus scale). (a) l_url_dedup has a CLOSED FORM on
+      // ScaleUp-derived data: canonical identity is exactly
+      // doc_id % 400 (scheme parity, source and the id param are all
+      // functions of the key; doc_ids are dense), so the group table
+      // must equal an independently recomputed groupBy(doc_id % 400) —
+      // canon_id = the key itself. (b) l_domain_cap must equal an
+      // independent ONE-PHASE window top-N computed here (the two-phase
+      // plan is a pure optimization). (c) l_pack_tokens bookkeeping:
+      // tokens_before re-derived by an independent window, bin = its
+      // 4096 quotient, row count = every doc with >= 1 word.
+      val urls = SparkEntry.queries("l_url_dedup")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nGroups = urls.count()
+      val nCanon = urls.select(col("url_canon")).distinct().count()
+      val nExpected = Tables.documents(spark, d)
+        .groupBy(pmod(col("doc_id"), lit(400L))).count()
+        .filter(col("count") > 1).count()
+      val expected = Tables.documents(spark, d)
+        .groupBy(pmod(col("doc_id"), lit(400L)).as("canon_id"))
+        .agg(count(lit(1)).as("n_copies_e"), min(col("doc_id")).as("mn"))
+        .filter(col("n_copies_e") > 1)
+      val urlBad = urls.select(col("canon_id"), col("n_copies"))
+        .join(expected, Seq("canon_id"), "full")
+        .filter(col("n_copies").isNull || col("n_copies_e").isNull ||
+          col("canon_id") =!= col("mn") ||
+          col("n_copies") =!= col("n_copies_e"))
+        .count()
+      urls.unpersist()
+      val cap = SparkEntry.queries("l_domain_cap")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(col("quality").desc, col("doc_id"))
+      val ref = graft.LlmOps.domainQuality(Tables.documents(spark, d))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("domain"), col("rk"), col("doc_id"), col("quality"))
+      val capDiff = cap.exceptAll(ref).count() + ref.exceptAll(cap).count()
+      val nCap = cap.count()
+      cap.unpersist()
+      val pk = SparkEntry.queries("l_pack_tokens")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val packBad = pk
+        .withColumn("tb2", coalesce(sum(col("n_bpe_tokens")).over(wp), lit(0L)))
+        .filter(col("tokens_before") =!= col("tb2") ||
+          col("bin") =!= (col("tokens_before") / lit(4096L)).cast("long"))
+        .count()
+      val nPack = pk.count()
+      pk.unpersist()
+      val nDocs = Tables.documents(spark, d).count()
+      (nGroups == nExpected && nCanon == nGroups && nGroups > 0L && urlBad == 0L &&
+        capDiff == 0L && nCap > 0L && packBad == 0L && nPack == nDocs,
+        s"url_groups=$nGroups expected=$nExpected distinct_canon=$nCanon url_bad=$urlBad " +
+          s"cap_rows=$nCap cap_diff=$capDiff pack_rows=$nPack pack_bad=$packBad")
+    }
+
     check("streaming_twins_equal_batch") {
       // The index-carrying streaming twins at stress SF (r15 verdict
       // task 3): the sf1 oracle gate covers all streaming rows, but the
