@@ -1156,7 +1156,22 @@ object LlmOps {
   private final val IVFPQ_DIMS = 8
   private final val IVFPQ_CODES = 16
   private final val IVFPQ_NPROBE = 2
-  private final val IVFPQ_RERANK = 256
+  /** ADC shortlist size for the exact re-rank. Env-tunable because the
+    * right value SCALES WITH CELL OCCUPANCY: a 4^8 code space cannot
+    * order arbitrarily many same-cell candidates, so as the corpus
+    * grows 10× per cell the true top-3's odds of falling outside a
+    * FIXED shortlist grow with it — measured by Recall at 10× occupancy
+    * (sf10, ~25k vectors/cell): R=256 holds 0.400 vs the 0.667 IVF
+    * probe ceiling, while R=1024 (and 4096) recover the FULL ceiling —
+    * the re-rank stage loses nothing once R tracks occupancy. A
+    * production deployment sizes R ~ occupancy/25 (sf1's 2.5k/cell
+    * sits at the ceiling on the 256 default; sf10's 25k/cell needs
+    * ~1024) or re-trains more cells to hold occupancy constant; the
+    * harness default stays 256 and the oracle interpolates whatever is
+    * set, so any R stays hash-verified. */
+  private final val IVFPQ_RERANK: Int =
+    sys.props.get("graft.ivfpq.rerank")
+      .orElse(sys.env.get("GRAFT_IVFPQ_RERANK")).map(_.toInt).getOrElse(256)
 
   /** Corpus frame (vec_id, embedding, nrm, qe) plus the two
     * DRIVER-RESIDENT codebooks (kilobytes — the broadcast-codebook
@@ -4381,7 +4396,7 @@ object LlmOps {
          |    SELECT q_id, neighbor_id,
          |      row_number() OVER (PARTITION BY q_id
          |        ORDER BY adc_dist, neighbor_id) AS srn
-         |    FROM scored) WHERE srn <= 256
+         |    FROM scored) WHERE srn <= $IVFPQ_RERANK
          |), rerank AS (
          |  SELECT s.q_id, s.neighbor_id,
          |    ${sqlDot("eq.embedding", "en.embedding")} / (eq.nrm * en.nrm) AS cosine
