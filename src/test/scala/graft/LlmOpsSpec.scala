@@ -751,6 +751,79 @@ class LlmOpsSpec extends AnyFunSuite {
       "spurious canonical collision beyond the planted key")
   }
 
+  test("URL canonicalization property: noise-invariant and idempotent on random URLs") {
+    // randomized evidence beyond the planted fixture: for a random
+    // logical page (host, path, query param), EVERY noise combination a
+    // crawler sees (scheme/host case, www., explicit default port,
+    // utm_* params before/after the real param, fragment, trailing
+    // slash) must canonicalize to the SAME string, and the canonical
+    // form must be a fixed point of the ladder.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val hostGen = Gen.chooseNum(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString + ".example.org"))
+    val segGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val raws = (0 until 60).flatMap { seed =>
+      val p = Gen.Parameters.default
+      val host = hostGen.apply(p, Seed(seed.toLong)).get
+      val path = segGen.apply(p, Seed((seed + 101).toLong)).get
+      val param = segGen.apply(p, Seed((seed + 202).toLong)).get
+      val https = seed % 2 == 0
+      val scheme = if (https) "https" else "http"
+      val expected = s"$scheme://$host/$path?id=$param"
+      // 8 noise variants of the same logical page
+      val variants = for {
+        www <- Seq("", "WWW.")
+        port <- Seq("", if (https) ":443" else ":80")
+        utm <- Seq("?utm_source=x&id=" + param, "?id=" + param + "&utm_medium=m")
+      } yield (expected,
+        s"${if (seed % 3 == 0) scheme.toUpperCase else scheme}://$www${
+          if (seed % 5 == 0) host.toUpperCase else host}$port/$path$utm#f$seed")
+      variants
+    }
+    val got = LlmOps.withCanonicalUrl(
+        raws.map(_._2).toDF("url").withColumn("doc_id", lit(0L)))
+      .select(org.apache.spark.sql.functions.col("url_canon")).as[String].collect()
+    raws.map(_._1).zip(got).foreach { case (want, canon) =>
+      assert(canon == want, s"canonicalization diverged: $canon != $want") }
+    // fixed point: canonicalizing the canonical form changes nothing
+    val twice = LlmOps.withCanonicalUrl(
+        got.toSeq.toDF("url").withColumn("doc_id", lit(0L)))
+      .select(org.apache.spark.sql.functions.col("url_canon")).as[String].collect()
+    assert(twice.toSeq == got.toSeq, "canonicalization is not idempotent")
+  }
+
+  test("BPE learner equality property: local == distributed on random corpora") {
+    // the fixture equality test pins K=24/128 on one corpus; this pins
+    // the pair-count + argmax tie-break agreement on 10 RANDOM corpora
+    // (adversarial repeated-character words, heavy count ties) written
+    // as real documents tables and trained through BOTH paths end-to-end
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val wordGen = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (c <- 0 until 10) {
+      val p = Gen.Parameters.default
+      val words = (0 until 40).map(i =>
+        wordGen.apply(p, Seed((c * 1000 + i).toLong)).get)
+      val docs = words.grouped(8).zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "en", s"src$i", ws.mkString(" ").length.toLong)
+      }.toSeq
+      val dir = graft.streaming.StreamingOps.tmp(s"bpe-prop-$c-")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val loc = LlmOps.bpeTrainCompute(spark, dir, rounds = 12)
+      sys.props("graft.bpe.distributed") = "1"
+      val dist =
+        try LlmOps.bpeTrainCompute(spark, dir, rounds = 12)
+        finally sys.props.remove("graft.bpe.distributed")
+      assert(loc == dist, s"corpus $c (${words.take(6)}...): local $loc != distributed $dist")
+    }
+  }
+
   test("domain cap: two-phase skew-safe selection equals the one-phase window") {
     val scored = LlmOps.domainQuality(Tables.documents(spark, d))
     val got = LlmOps.domainCapSelect(scored).collect().map(_.toSeq).toSeq
