@@ -133,11 +133,12 @@ object Bench {
       name -> (if (xs.forall(_ < 0)) -1.0 else xs.filter(_ >= 0).min)
     }
     // 3-digit seconds everywhere (r18 verdict task 7): millisecond
-    // precision loses nothing at query granularity, and the shorter
-    // stdout line is what survives the driver's clipping capture —
-    // "parsed": null since r13 traced to the full-precision doubles
-    // pushing the line past the capture window.
-    def j3(v: Double): String = f"$v%.3f"
+    // precision loses nothing at query granularity. Locale-pinned (r19
+    // ADVICE): the f"" interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would emit "0,874" — invalid JSON,
+    // silently recreating the parse failure this formatting exists to fix.
+    def j3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -221,14 +222,29 @@ object Bench {
           .getOrElse("unknown")
       }
     } catch { case _: Exception => "unknown" }
-    val line = s"""{"metric":"total","value":${j3(total)},"unit":"sec","sha":"${gitSha()}",$noteField$streamFields"host_cpu_sec":${j3(hostCpuSec)},"host_cpu_sec_post":${j3(hostCpuSecPost)},"host_scan_sec":${j3(hostScanSec)},"host_write_sec":${j3(hostWriteSec)},"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout is the driver contract, but its capture has been observed to
-    // clip mid-line (BENCH_r06 lost 3 queries) — persist the same JSON to a
-    // file so the per-query map always survives intact
+    // Dirty-tree indicator (r19 ADVICE): the sha alone can lie — an
+    // artifact built from uncommitted changes stamps a clean-looking
+    // commit. tools/run.sh exports SPARK_GRAFT_DIRTY from
+    // `git status --porcelain` before every run; a set value suffixes
+    // the stamp so the artifact↔code binding is checkable either way.
+    val sha = gitSha() +
+      (if (sys.env.get("SPARK_GRAFT_DIRTY").exists(_.nonEmpty)) "-dirty" else "")
+    val calib = s""""host_cpu_sec":${j3(hostCpuSec)},"host_cpu_sec_post":${j3(hostCpuSecPost)},"host_scan_sec":${j3(hostScanSec)},"host_write_sec":${j3(hostWriteSec)}"""
+    val line = s"""{"metric":"total","value":${j3(total)},"unit":"sec","sha":"$sha",$noteField$streamFields$calib,"queries":$qs,"sf":"$sfDir"}"""
+    // The full per-query map goes to a FILE, never to stdout: the
+    // driver's stdout capture clips long lines from the HEAD (r19: only
+    // 90 of 95 entries and no opening brace survived — "parsed": null
+    // seven rounds running, r13–r19). The file is the canonical
+    // artifact; stdout carries only a short summary object that always
+    // fits the capture window and parses (r19 verdict task 2).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    val outAbs = java.nio.file.Paths.get(out).toAbsolutePath
+    java.nio.file.Files.write(outAbs,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val streamSummary =
+      if (!streamOn) ""
+      else s""""streaming_total_sec":${j3(streamTotal)},"n_streaming":${streamResults.size},"""
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","sha":"$sha",$noteField$streamSummary$calib,"n_batch":${results.size},"queries_path":"$outAbs","sf":"$sfDir"}""")
     spark.stop()
   }
 }

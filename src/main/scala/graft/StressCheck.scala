@@ -380,7 +380,12 @@ object StressCheck {
         .count()
       val nPack = pk.count()
       pk.unpersist()
-      val nDocs = Tables.documents(spark, d).count()
+      // docs with ≥1 non-empty space-split token, matching the pack row's
+      // filter(length(w) > 0) — an empty-text document legitimately drops
+      // out of l_pack_tokens and must not fail the gate (r19 ADVICE)
+      val nDocs = Tables.documents(spark, d)
+        .filter(exists(split(lower(col("text")), " "), w => length(w) > 0))
+        .count()
       (nGroups == nExpected && nCanon == nGroups && nGroups > 0L && urlBad == 0L &&
         capDiff == 0L && nCap > 0L && packBad == 0L && nPack == nDocs,
         s"url_groups=$nGroups expected=$nExpected distinct_canon=$nCanon url_bad=$urlBad " +
@@ -414,14 +419,45 @@ object StressCheck {
       val nCov = covered.count()
       val dupDiff = frameDiff(covered, LlmOps.dupSpanCovered(spark, d))
       covered.unpersist()
+      // maintained canonical-URL index (r19 verdict task 1), driven as
+      // THREE doc_id-ORDERED micro-batches — contiguous ranges, not pmod
+      // slices: arrival order IS id order for a crawl feed, and the
+      // first-come-wins admission anchors the min id only under ordered
+      // delivery (which is what makes the verdict-derived group table
+      // equal the batch row). Cross-batch probes do real work: every
+      // batch-1/2 re-crawl of a batch-0 URL must reject via the index.
+      val urlIdx = graft.streaming.StreamingOps.tmp("stress-url-idx-")
+      val urlAdm = graft.streaming.StreamingOps.tmp("stress-url-admit-")
+      val idsEnd = docsT.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      (0 to 2).foreach { i =>
+        LlmOps.urlAdmitBatch(
+          docsT.filter(col("doc_id") >= lit(i * idsEnd / 3) &&
+            col("doc_id") < lit((i + 1) * idsEnd / 3)),
+          i.toLong, urlIdx, urlAdm)
+      }
+      val urlDiff = frameDiff(LlmOps.urlAdmitGroups(spark, urlAdm),
+        SparkEntry.queries("l_url_dedup")(spark, d))
+      // every admission verdict independently recomputed: admitted ⟺ the
+      // group's min doc_id, and every rejection names that min as dup_of
+      val urlLogs = spark.read
+        .schema("doc_id long, url_canon string, admitted boolean, dup_of long")
+        .option("recursiveFileLookup", "true").parquet(urlAdm)
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("url_canon"))
+      val urlVerdictBad = urlLogs
+        .withColumn("mn", min(col("doc_id")).over(wU))
+        .filter(col("admitted") =!= (col("doc_id") === col("mn")) ||
+          (!col("admitted") && col("dup_of") =!= col("mn")))
+        .count()
       // static-index twins end-to-end (one-batch drains at this scale —
       // what they stress is the index-sized broadcast/persist + scoring)
       val ndDiff = frameDiff(SparkEntry.queries("s_neardup")(spark, d),
         SparkEntry.queries("l_minhash_lsh")(spark, d))
       val sdDiff = frameDiff(SparkEntry.queries("s_semdedup")(spark, d),
         SparkEntry.queries("l_semdedup")(spark, d))
-      (dupDiff == 0L && ndDiff == 0L && sdDiff == 0L,
-        s"covered=$nCov dup_spans_diff=$dupDiff neardup_diff=$ndDiff " +
+      (dupDiff == 0L && urlDiff == 0L && urlVerdictBad == 0L &&
+        ndDiff == 0L && sdDiff == 0L,
+        s"covered=$nCov dup_spans_diff=$dupDiff url_diff=$urlDiff " +
+          s"url_verdict_bad=$urlVerdictBad neardup_diff=$ndDiff " +
           s"semdedup_diff=$sdDiff")
     }
 

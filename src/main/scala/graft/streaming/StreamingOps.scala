@@ -219,9 +219,14 @@ object StreamingOps {
     * Spark conf / spark-submit (outside GRAFT_STATE_STORE) survives a
     * drain with the knob unset (r18 ADVICE: the unconditional unset
     * silently discarded externally-set providers). */
+  // WEAK keys (r19 ADVICE): a strong set held stopped sessions (and their
+  // conf graphs) for the life of the JVM in long-lived multi-session
+  // processes. WeakHashMap is not thread-safe — synchronizedSet wraps it;
+  // contention is nil (one add/remove per stream start).
   private val stateStoreSetBy =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private def stateStoreConf(s: SparkSession): Unit = {
     val pkg = "org.apache.spark.sql.execution.streaming.state"
@@ -792,6 +797,15 @@ object StreamingOps {
     "s_dedup" -> ((s, d) => dedup(s, d)),
     "s_doc_dedup" -> ((s, d) => docDedup(s, d)),
     "s_neardup" -> ((s, d) => graft.LlmOps.streamNearDup(s, d)),
+    // Streaming URL-dedup admission WITH a maintained canonical-URL
+    // index (r19 verdict task 1) — the crawler front-end's first
+    // continuous stage: per micro-batch, canonicalize (the batch row's
+    // stateless ladder), reject URLs already admitted, fold admissions
+    // into the index for the next batch (the admitBatch discipline).
+    // The duplicate-group verdict is re-derived FROM the admission log,
+    // so the maintained index is load-bearing for the shared
+    // l_url_dedup oracle, not just for the side files.
+    "s_url_dedup" -> ((s, d) => graft.LlmOps.streamUrlDedup(s, d)),
     // Streaming QUALITY-FILTER admission: the stateless rule cascade
     // (LlmOps.qualityProjection) bound to the document stream — an
     // ingest-time gate needs no state store, so the streaming plan IS the
@@ -1061,6 +1075,7 @@ object StreamingOps {
     "s_decontaminate" -> "documents", "s_dup_spans" -> "documents",
     "s_bpe_encode" -> "documents", "s_domain_cap" -> "documents",
     "s_neardup" -> "documents", "s_pipeline" -> "documents",
+    "s_url_dedup" -> "documents",
     "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings",
     "s_ivfpq_topk" -> "embeddings")
 
@@ -1080,6 +1095,10 @@ object StreamingOps {
     // pair surfaces from both sides' ingest; orientation + distinct
     // collapses them) — the oracle IS the batch oracle
     "s_neardup" -> graft.LlmOps.oracles("l_minhash_lsh"),
+    // maintained-index URL admission: first-come-wins over a doc_id-
+    // ordered feed ≡ the batch row's min-id canon — the oracle IS the
+    // batch url-dedup oracle
+    "s_url_dedup" -> graft.LlmOps.oracles("l_url_dedup"),
     "s_quality" -> graft.LlmOps.oracles("l_quality_filter"),
     "s_pii" -> graft.LlmOps.oracles("l_pii_scrub"),
     // stateless per-row construct+decode at ingest — the oracle IS the

@@ -513,6 +513,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == 10, "the fixture must fill the top-10")
   }
 
+  test("streaming URL-dedup admission equals the batch l_url_dedup row-for-row") {
+    val spark = TestSpark.spark
+    val got = graft.streaming.StreamingOps.queries("s_url_dedup")(
+      spark, TestSpark.sfDir).collect().map(_.toSeq).toSeq
+    val want = LlmOps.queries("l_url_dedup")(
+      spark, TestSpark.sfDir).collect().map(_.toSeq).toSeq
+    assert(got == want,
+      s"stream/batch url dedup diverged: stream ${got.size} rows, batch ${want.size}")
+    assert(want.nonEmpty, "the fixture must contain URL duplicate groups")
+  }
+
+  test("streaming URL admission: a URL admitted in batch N rejects its batch-N+1 re-crawl") {
+    import spark.implicits._
+    // docs 1 and 401 share the canonical identity (doc_id % 400 = 1, same
+    // source, and every noise axis — scheme case, www., port, utm, slash,
+    // fragment — cancels under canonicalization); docs 5 and 7 are fresh
+    def batchOf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "source")
+    val indexDir = java.nio.file.Files.createTempDirectory("url-index-").toString
+    val admitDir = java.nio.file.Files.createTempDirectory("url-log-").toString
+    LlmOps.urlAdmitBatch(batchOf(1L -> "web", 5L -> "web"), 0L, indexDir, admitDir)
+    LlmOps.urlAdmitBatch(batchOf(401L -> "web", 7L -> "web"), 1L, indexDir, admitDir)
+    def verdicts(b: Int) = spark.read.parquet(s"$admitDir/b$b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(verdicts(0) === Map(1L -> (true, -1L), 5L -> (true, -1L)),
+      "batch 0 must admit both URLs against the empty index")
+    assert(verdicts(1) === Map(401L -> (false, 1L), 7L -> (true, -1L)),
+      "batch 1 must reject the re-crawl of batch-0-admitted doc 1 and admit the fresh URL")
+    // in-batch first-come-wins + cross-batch index in ONE batch: 801 and
+    // 1201 both re-crawl doc 1's URL — both reject straight to the
+    // batch-0 anchor (min over the index hit and the in-batch smaller id)
+    LlmOps.urlAdmitBatch(batchOf(801L -> "web", 1201L -> "web"), 2L, indexDir, admitDir)
+    assert(verdicts(2) === Map(801L -> (false, 1L), 1201L -> (false, 1L)),
+      "batch 2 must reject both re-crawls with the batch-0 anchor as dup_of")
+    // at-least-once redelivery: a replayed batch reads only the index
+    // STRICTLY BEFORE it, so it recomputes its original decision
+    val b1 = verdicts(1)
+    LlmOps.urlAdmitBatch(batchOf(401L -> "web", 7L -> "web"), 1L, indexDir, admitDir)
+    assert(verdicts(1) === b1, "replayed batch must rewrite its verdict identically")
+    // the index grew by exactly the admitted URLs
+    val indexed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(indexDir).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(indexed.toSeq === Seq(1L, 5L, 7L))
+  }
+
   test("streaming per-domain cap equals the batch l_domain_cap row-for-row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_domain_cap")(

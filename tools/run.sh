@@ -1,6 +1,14 @@
 #!/bin/bash
 # Fast main-class runner: bypasses sbt startup. Usage: tools/run.sh graft.Verify args...
 CLS="$1"; shift
+# Dirty-tree stamp for bench artifacts (r19 ADVICE): Bench suffixes its
+# git sha with "-dirty" when this is set, so an artifact built from
+# uncommitted changes can't stamp a clean-looking commit. Explicit
+# SPARK_GRAFT_DIRTY (even empty) wins over the probe.
+if [ -z "${SPARK_GRAFT_DIRTY+x}" ] && command -v git >/dev/null 2>&1 \
+   && [ -n "$(git -C /root/repo status --porcelain 2>/dev/null)" ]; then
+  export SPARK_GRAFT_DIRTY=1
+fi
 exec java \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
