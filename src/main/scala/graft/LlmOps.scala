@@ -2455,6 +2455,75 @@ object LlmOps {
       .orderBy(col("domain"), col("rk"))
   }
 
+  // ---- HTML boilerplate / main-content extraction (l_html_extract /
+  // s_html_extract) — the stage UPSTREAM of every text row in this file:
+  // CCNet/FineWeb-style pipelines run main-content extraction on the raw
+  // crawl BEFORE url/quality/dedup stages, and until r20 the suite
+  // started at clean text. Fixture discipline is l_media_decode's:
+  // deterministic boilerplate planted from doc_id around the document's
+  // own text, extraction replayed arithmetic-for-arithmetic by the
+  // DuckDB oracle — so the extractor is verified against bytes it did
+  // not construct for itself.
+
+  /** Plant a deterministic HTML page per document: title, optional
+    * <style>, a <script> whose body contains a literal "<ad>" tag-like
+    * string (removal must be block-wise, not tag-wise), a nav with
+    * doc_id%4+1 links, a header with an entity, the document text
+    * HTML-ESCAPED inside <article><p>, a tagline <p> carrying &amp;/&lt;
+    * entities the extractor must decode, an optional <aside>, a footer.
+    * Every boilerplate axis varies with doc_id so a one-rule regression
+    * shifts thousands of rows and goes hash-red. */
+  private[graft] def docHtml(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val esc = replace(replace(replace(col("text"),
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val linkUnit = concat(lit("<li><a href=\"/s/"), (d % 5).cast("string"),
+      lit("\">sec</a></li>"))
+    df.withColumn("html", concat(
+      lit("<html><head><title>Doc "), d.cast("string"), lit("</title>"),
+      when(d % 2 === 0, lit("<style>p{margin:0;color:#222}</style>"))
+        .otherwise(lit("")),
+      lit("<script type=\"text/javascript\">track("), d.cast("string"),
+      lit(",\"<ad>\");</script></head><body><nav><ul>"),
+      call_function("repeat", linkUnit, (d % 4 + 1).cast("int")),
+      lit("</ul></nav><header><h1>Doc &#35;"), d.cast("string"),
+      lit("</h1></header><article><p>"), esc,
+      lit("</p><p class=\"tag\">Read more &amp; subscribe &lt;now&gt;</p></article>"),
+      when(d % 3 === 0, lit("<aside>Related &amp; sponsored</aside>"))
+        .otherwise(lit("")),
+      lit("<footer>&copy; example</footer></body></html>")))
+  }
+
+  /** html → (title, n_links, main_text): the main-content extraction
+    * ladder as NAMED regex stages in ONE codegen Project (the
+    * withCanonicalUrl discipline — no shuffle, scan speed at 100 TB):
+    * strip <script>/<style> BLOCKS (dotall + non-greedy: script bodies
+    * legally contain '<' text a tag-stripper would mangle) → title +
+    * link count off the cleaned page → <article> inner content → strip
+    * remaining tags to spaces → decode the planted entities (&lt;/&gt;
+    * first, &amp; LAST — the standard order, since "&amp;" must not
+    * double-decode) → collapse whitespace and trim. */
+  private[graft] def htmlExtract(df: DataFrame): DataFrame = df
+    .withColumn("__h", regexp_replace(regexp_replace(col("html"),
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " "))
+    .withColumn("title", regexp_extract(col("__h"), "<title>([^<]*)</title>", 1))
+    .withColumn("n_links", regexp_count(col("__h"), lit("<a href=")).cast("long"))
+    .withColumn("__a", regexp_extract(col("__h"), "(?s)<article>(.*?)</article>", 1))
+    .withColumn("__t", regexp_replace(col("__a"), "<[^>]*>", " "))
+    .withColumn("main_text", trim(regexp_replace(
+      replace(replace(replace(col("__t"),
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")), lit("&amp;"), lit("&")),
+      "\\s+", " ")))
+    .drop("__h", "__a", "__t")
+
+  /** The STATELESS per-document construct+extract projection — ONE
+    * spelling for the batch row and the streaming ingest twin (the
+    * qualityProjection discipline). */
+  private[graft] def htmlExtractProjection(df: DataFrame): DataFrame =
+    htmlExtract(docHtml(df))
+      .select(col("doc_id"), col("title"), col("n_links"), col("main_text"))
+
   /** DuckDB replay of the planted raw URL + the canonicalization ladder
     * (CTE chain mirroring [[docUrls]] + [[withCanonicalUrl]] stage for
     * stage; RE2 `\1` backrefs where Spark uses `$1`, explicit 'g' where
@@ -2551,6 +2620,16 @@ object LlmOps {
     // domain key — phase 1 ranks inside (domain, salt) shards and keeps
     // ≤ cap per shard, phase 2 re-ranks only the cap·salts survivors.
     "l_domain_cap" -> ((s, d) => domainCapSelect(domainQuality(docs(s, d)))),
+
+    // HTML main-content extraction — the stage upstream of every text
+    // row: strip script/style blocks, pull the title + link count, take
+    // the <article> content, strip tags, decode entities, normalize
+    // whitespace. Construct + extract is one codegen Project at scan
+    // speed (plan-pinned); the oracle replays both halves, so a
+    // regression in any regex stage shifts the main text and goes
+    // hash-red against bytes the extractor did not make up for itself.
+    "l_html_extract" -> ((s, d) =>
+      htmlExtractProjection(docs(s, d)).orderBy(col("doc_id"))),
 
     // Text analysis: token stats, BPE-ish subtoken count, type-token ratio,
     // stopword ratio, a stopword-based language guess, a quality score, and
@@ -4021,6 +4100,42 @@ object LlmOps {
          |       url_canon
          |FROM urls GROUP BY url_canon HAVING count(*) > 1
          |ORDER BY canon_id""".stripMargin,
+
+    // the planted page rebuilt stage-for-stage (docHtml), then the
+    // extraction ladder replayed: block strips with RE2's (?s) inline
+    // dotall + 'g', entity decode in the same order (&amp; last)
+    "l_html_extract" ->
+      """WITH h0 AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '<style>p{margin:0;color:#222}</style>' ELSE '' END) ||
+        |    '<script type="text/javascript">track(' || CAST(doc_id AS VARCHAR) || ',"<ad>");</script></head><body><nav><ul>' ||
+        |    repeat('<li><a href="/s/' || CAST(doc_id % 5 AS VARCHAR) || '">sec</a></li>',
+        |           CAST(doc_id % 4 + 1 AS INT)) ||
+        |    '</ul></nav><header><h1>Doc &#35;' || CAST(doc_id AS VARCHAR) || '</h1></header>' ||
+        |    '<article><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |    '</p><p class="tag">Read more &amp; subscribe &lt;now&gt;</p></article>' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '<aside>Related &amp; sponsored</aside>' ELSE '' END) ||
+        |    '<footer>&copy; example</footer></body></html>' AS html
+        |  FROM documents
+        |), h1 AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(html,
+        |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS h
+        |  FROM h0
+        |), h2 AS (
+        |  SELECT doc_id,
+        |    regexp_extract(h, '<title>([^<]*)</title>', 1) AS title,
+        |    CAST(len(regexp_extract_all(h, '<a href=')) AS BIGINT) AS n_links,
+        |    regexp_replace(regexp_extract(h, '(?s)<article>(.*?)</article>', 1),
+        |      '<[^>]*>', ' ', 'g') AS t
+        |  FROM h1
+        |)
+        |SELECT doc_id, title, n_links,
+        |  trim(regexp_replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '\s+', ' ', 'g')) AS main_text
+        |FROM h2 ORDER BY doc_id""".stripMargin,
 
     // quality = the l_text_stats arithmetic verbatim (bit-identical
     // cross-engine there); plain one-phase window top-N — semantically

@@ -392,6 +392,32 @@ object StressCheck {
           s"cap_rows=$nCap cap_diff=$capDiff pack_rows=$nPack pack_bad=$packBad")
     }
 
+    check("html_extract_roundtrip") {
+      // l_html_extract has a CLOSED FORM on any corpus: the planted page
+      // wraps the document's own text, so extraction must return exactly
+      // the whitespace-normalized text + the planted tagline (entity
+      // decode is load-bearing: the tagline's & and <now> arrive
+      // encoded), the title must be "Doc <id>", and the link count the
+      // planted doc_id%4+1 — independently recomputed from the raw
+      // documents table, never from the extractor's own code path.
+      val got = SparkEntry.queries("l_html_extract")(spark, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = got.count()
+      val docsN = Tables.documents(spark, d).count()
+      val expected = Tables.documents(spark, d).select(col("doc_id"),
+        trim(concat(trim(regexp_replace(col("text"), "\\s+", " ")),
+          lit(" Read more & subscribe <now>"))).as("want_main"),
+        concat(lit("Doc "), col("doc_id").cast("string")).as("want_title"),
+        (pmod(col("doc_id"), lit(4L)) + 1L).as("want_links"))
+      val bad = got.join(expected, Seq("doc_id"))
+        .filter(col("main_text") =!= col("want_main") ||
+          col("title") =!= col("want_title") ||
+          col("n_links") =!= col("want_links"))
+        .count()
+      got.unpersist()
+      (n == docsN && bad == 0L, s"rows=$n docs=$docsN roundtrip_bad=$bad")
+    }
+
     check("streaming_twins_equal_batch") {
       // The index-carrying streaming twins at stress SF (r15 verdict
       // task 3): the sf1 oracle gate covers all streaming rows, but the

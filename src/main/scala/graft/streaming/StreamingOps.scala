@@ -818,6 +818,13 @@ object StreamingOps {
     // plan, proven by the shared l_pii_scrub oracle.
     "s_pii" -> ((s, d) =>
       drainedDocProjection(s, d, graft.LlmOps.piiProjection)),
+    // Streaming HTML main-content extraction at ingest — the FIRST
+    // transform a crawler feed hits, before url/quality/dedup: the
+    // stateless construct+extract Project (LlmOps.htmlExtractProjection)
+    // bound to the document stream, no state store — the streaming plan
+    // IS the batch plan, proven by the shared l_html_extract oracle.
+    "s_html_extract" -> ((s, d) =>
+      drainedDocProjection(s, d, graft.LlmOps.htmlExtractProjection)),
     // Streaming MEDIA DECODE at ingest: the construct + real-parser
     // decode pass (LlmOps.mediaDecodeProjection — per-row stateless
     // mapPartitions, decoder context per partition) bound to the
@@ -1075,7 +1082,7 @@ object StreamingOps {
     "s_decontaminate" -> "documents", "s_dup_spans" -> "documents",
     "s_bpe_encode" -> "documents", "s_domain_cap" -> "documents",
     "s_neardup" -> "documents", "s_pipeline" -> "documents",
-    "s_url_dedup" -> "documents",
+    "s_url_dedup" -> "documents", "s_html_extract" -> "documents",
     "s_semdedup" -> "embeddings", "s_cosine_topk" -> "embeddings",
     "s_ivfpq_topk" -> "embeddings")
 
@@ -1101,6 +1108,9 @@ object StreamingOps {
     "s_url_dedup" -> graft.LlmOps.oracles("l_url_dedup"),
     "s_quality" -> graft.LlmOps.oracles("l_quality_filter"),
     "s_pii" -> graft.LlmOps.oracles("l_pii_scrub"),
+    // stateless per-row construct+extract at ingest — the oracle IS the
+    // batch html-extract oracle
+    "s_html_extract" -> graft.LlmOps.oracles("l_html_extract"),
     // stateless per-row construct+decode at ingest — the oracle IS the
     // batch media-decode oracle
     "s_media_decode" -> graft.LlmOps.oracles("l_media_decode"),

@@ -32,6 +32,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("html extraction strips boilerplate blocks and decodes entities") {
+    import spark.implicits._
+    // adversarial text: raw & < > must survive the escape→decode round
+    // trip, and internal whitespace must normalize to single spaces
+    val rows = Seq(
+      (0L, "alpha & beta <tag> done"),
+      (7L, "  spaced   out\ttext "),
+      (12L, "plain words"))
+      .toDF("doc_id", "text")
+    val got = LlmOps.htmlExtractProjection(rows).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val tagline = "Read more & subscribe <now>"
+    assert(got(0L) === (("Doc 0", 1L, s"alpha & beta <tag> done $tagline")))
+    assert(got(7L) === (("Doc 7", 4L, s"spaced out text $tagline")))
+    assert(got(12L) === (("Doc 12", 1L, s"plain words $tagline")))
+    // nothing from the removed blocks leaks into the main text: the
+    // script body's "<ad>" literal, style rules, nav/aside/footer words
+    val html = LlmOps.docHtml(rows).select("html").collect().map(_.getString(0))
+    assert(html.exists(_.contains("<ad>")), "fixture must plant the script-body tag")
+    got.values.foreach { case (_, _, main) =>
+      Seq("<ad>", "margin", "sec", "sponsored", "example", "track(").foreach(w =>
+        assert(!main.contains(w), s"boilerplate '$w' leaked into: $main"))
+    }
+  }
+
   test("exact dedup collapses every mirrored doc into a 2-copy group") {
     val groups = run("l_exact_dedup").collect()
     assert(groups.length === 500)

@@ -137,6 +137,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected exchanges in the url-dedup plan:\n${plan.take(1500)}")
   }
 
+  test("l_html_extract: construct+extract is one codegen Project, no shuffle but the sort") {
+    // main-content extraction at 100 TB is a per-row regex ladder that
+    // must run at scan speed: zero hash exchanges (no aggregate, no
+    // join), only the oracle sort's range exchange, and every stage
+    // inside whole-stage codegen.
+    val df = SparkEntry.queries("l_html_extract")(spark, d)
+    df.collect() // finalize the AQE plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"l_html_extract has no codegen span:\n${plan.take(1200)}")
+    assert("(?m)^[\\s:+-]*Project ".r.findFirstIn(plan).isEmpty,
+      s"l_html_extract has a non-codegen Project on the hot path:\n${plan.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"unexpected hash exchange in a per-row extraction pipeline:\n${plan.take(1500)}")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly the oracle sort exchange:\n${plan.take(1500)}")
+  }
+
   test("l_domain_cap: the per-domain top-N is two-phase (salted shard rank first)") {
     // a hot domain at 100 TB is the skew case: the corpus must never
     // shuffle on the bare domain key. Phase 1 ranks inside (domain,
