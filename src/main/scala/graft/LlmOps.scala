@@ -1261,22 +1261,56 @@ object LlmOps {
   private final val IVFPQ_DIMS = 8
   private final val IVFPQ_CODES = 16
   private final val IVFPQ_NPROBE = 2
-  /** ADC shortlist size for the exact re-rank. Env-tunable because the
-    * right value SCALES WITH CELL OCCUPANCY: a 4^8 code space cannot
-    * order arbitrarily many same-cell candidates, so as the corpus
-    * grows 10× per cell the true top-3's odds of falling outside a
-    * FIXED shortlist grow with it — measured by Recall at 10× occupancy
-    * (sf10, ~25k vectors/cell): R=256 holds 0.400 vs the 0.667 IVF
-    * probe ceiling, while R=1024 (and 4096) recover the FULL ceiling —
-    * the re-rank stage loses nothing once R tracks occupancy. A
-    * production deployment sizes R ~ occupancy/25 (sf1's 2.5k/cell
-    * sits at the ceiling on the 256 default; sf10's 25k/cell needs
-    * ~1024) or re-trains more cells to hold occupancy constant; the
-    * harness default stays 256 and the oracle interpolates whatever is
-    * set, so any R stays hash-verified. */
-  private final val IVFPQ_RERANK: Int =
+  /** ADC shortlist size for the exact re-rank: OCCUPANCY-AWARE by
+    * default (r19 verdict task 4). The right value SCALES WITH CELL
+    * OCCUPANCY — a 4^8 code space cannot order arbitrarily many
+    * same-cell candidates, so as the corpus grows 10× per cell the true
+    * top-3's odds of falling outside a FIXED shortlist grow with it:
+    * measured by Recall at sf10 (~25k vectors/cell), R=256 held 0.400
+    * vs the 0.667 IVF probe ceiling while R=1024 recovered the FULL
+    * ceiling. The DEFAULT therefore derives R from the trained cell
+    * histogram at index-build time — R = max(256, ceil(maxOcc / 25)),
+    * the survey's measured rule — persisted with the index (`_meta`)
+    * and read back by the serving scorer; the oracle computes the SAME
+    * formula from its own assignment CTE, so the default stays
+    * hash-verified at every SF without anyone exporting a knob. The
+    * env/prop override remains for A/B sweeps and is parsed DEFENSIVELY
+    * at each read (r19 ADVICE: the static-val `.toInt` crashed
+    * class-load opaquely on a malformed value and silently ignored
+    * post-load changes). */
+  private[graft] def ivfPqRerankOverride: Option[Int] =
     sys.props.get("graft.ivfpq.rerank")
-      .orElse(sys.env.get("GRAFT_IVFPQ_RERANK")).map(_.toInt).getOrElse(256)
+      .orElse(sys.env.get("GRAFT_IVFPQ_RERANK"))
+      .map { v =>
+        val n =
+          try v.trim.toInt
+          catch { case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft.ivfpq.rerank / GRAFT_IVFPQ_RERANK must be a positive " +
+                s"int, got '$v'", e)
+          }
+        require(n > 0,
+          s"graft.ivfpq.rerank / GRAFT_IVFPQ_RERANK must be positive, got $n")
+        n
+      }
+
+  /** The occupancy rule: shortlist ≈ maxOccupancy/25, floored at the
+    * measured-safe 256 (sf1's 2.5k/cell sits at the recall ceiling
+    * there; sf10's ~25k/cell derives ~1024 — exactly the value the r19
+    * sweep showed recovers the probe ceiling). */
+  private[graft] def ivfPqRerankFor(maxOccupancy: Long): Int =
+    math.max(256L, math.ceil(maxOccupancy / 25.0).toLong).toInt
+
+  /** Rerank bound for an index frame: the override if set, else the
+    * occupancy rule over the index's cell histogram (one skinny
+    * map-side-combined aggregate — cells, never vectors, at the
+    * driver). */
+  private def ivfPqRerankOf(index: DataFrame): Int =
+    ivfPqRerankOverride.getOrElse {
+      val occ = index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      ivfPqRerankFor(occ)
+    }
 
   /** Corpus frame (vec_id, embedding, nrm, qe) plus the two
     * DRIVER-RESIDENT codebooks (kilobytes — the broadcast-codebook
@@ -1381,6 +1415,19 @@ object LlmOps {
     // keeps files large and cell-contiguous.
     ivfPqAssign(e, cents, cb).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // occupancy-derived rerank bound, computed from the WRITTEN index's
+    // cell histogram (cell is a partition column — the count reads file
+    // metadata, not codes) and persisted WITH the model under `_meta`
+    // (underscore = invisible to plain index readers): the serving
+    // scorer loads the index's own R instead of relying on an exported
+    // env var — a 100×-scale default, not a toy setting (r19 verdict).
+    val written = s.read.parquet(dir)
+    val occ = written.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    val rerank = ivfPqRerankOverride.getOrElse(ivfPqRerankFor(occ))
+    s.range(1).select(lit(rerank.toLong).as("rerank"),
+        lit(occ).as("max_occupancy"))
+      .write.mode("overwrite").parquet(s"$dir/_meta")
   }
 
   /** Score a query frame (vec_id, embedding) against a persisted
@@ -1391,7 +1438,7 @@ object LlmOps {
   private def ivfPqScore(e: DataFrame,
       cents: Array[(Long, Array[Float], Double)],
       cb: Array[(Long, IndexedSeq[Long])],
-      index: DataFrame, queries: DataFrame): DataFrame = {
+      index: DataFrame, queries: DataFrame, rerank: Int): DataFrame = {
     import graft.functions.HashExprs.vecDot
     val q0 = queries.select(col("vec_id").as("q_id"), col("embedding"))
       .withColumn("q_nrm", sqrt(vecDot(col("embedding"), col("embedding"))))
@@ -1419,14 +1466,14 @@ object LlmOps {
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     val shortlist = joined.withColumn("srn", row_number().over(wAdc))
-      .filter(col("srn") <= IVFPQ_RERANK)
+      .filter(col("srn") <= rerank)
       .select(col("q_id"), col("neighbor_id"))
     // exact re-rank: fetch true vectors for the O(queries×R) shortlist
     // only — a broadcast hash probe of the corpus scan (at scale: a
     // vec_id-bucketed table, so the fetch partition-prunes)
     val qv2 = q0.select(col("q_id"), col("embedding").as("q_emb"),
       col("q_nrm"))
-    val rerank = e.select(col("vec_id"), col("embedding"), col("nrm"))
+    val exact = e.select(col("vec_id"), col("embedding"), col("nrm"))
       .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
       .join(broadcast(qv2), "q_id")
       .select(col("q_id"), col("neighbor_id"),
@@ -1434,7 +1481,7 @@ object LlmOps {
           (col("q_nrm") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    rerank.withColumn("rank", row_number().over(w).cast("long"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
@@ -1451,9 +1498,21 @@ object LlmOps {
     * the PartitionFilters entry). Lossless by construction: the ADC join
     * keeps only cell === q_cell rows, a subset of the filter. */
   private[graft] def ivfPqScorer(s: SparkSession, d: String,
-                                 index: DataFrame): DataFrame => DataFrame = {
+                                 indexDir: String): DataFrame => DataFrame = {
     import graft.functions.HashExprs.vecDot
+    val index = s.read.parquet(indexDir)
     val (e, cents, cb) = ivfPqPrep(s, d)
+    // serving R: the live override wins (A/B seam), else the bound the
+    // index was BUILT with (`_meta`), else — for a pre-meta index — the
+    // occupancy rule recomputed from the index itself. Resolved once at
+    // scorer construction, like the codebook collects.
+    val rerank = ivfPqRerankOverride.getOrElse {
+      val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
+      val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(metaPath))
+        s.read.parquet(metaPath.toString).head().getAs[Long]("rerank").toInt
+      else ivfPqRerankOf(index)
+    }
     // The probe-union collect is one tiny driver job per micro-batch —
     // worth it only when pruning can actually skip files. With
     // cells ≤ 2·nprobe, a single query's probe set is already half the
@@ -1465,7 +1524,7 @@ object LlmOps {
     // indexes where the full scan is the cheaper plan.
     val prune = cents.length > 2 * IVFPQ_NPROBE
     q => {
-      if (!prune) ivfPqScore(e, cents, cb, index, q)
+      if (!prune) ivfPqScore(e, cents, cb, index, q, rerank)
       else {
         val cells = q.select(explode(ivfPqProbeCol(cents)(col("embedding"),
             sqrt(vecDot(col("embedding"), col("embedding"))))).as("p"))
@@ -1478,7 +1537,8 @@ object LlmOps {
           case org.apache.spark.sql.types.IntegerType => cells.map(_.toInt)
           case _ => cells
         }
-        ivfPqScore(e, cents, cb, index.filter(col("cell").isin(lits: _*)), q)
+        ivfPqScore(e, cents, cb, index.filter(col("cell").isin(lits: _*)), q,
+          rerank)
       }
     }
   }
@@ -3259,9 +3319,15 @@ object LlmOps {
     "l_ivfpq_ann" -> ((s, d) => {
       val (e, cents, cb) = ivfPqPrep(s, d)
       // index built inline here (same spelling trainIvfPqIndex persists);
-      // the streaming twin s_ivfpq_topk scores over the PERSISTED copy
-      ivfPqScore(e, cents, cb, ivfPqAssign(e, cents, cb),
-        e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")))
+      // the streaming twin s_ivfpq_topk scores over the PERSISTED copy.
+      // The rerank bound derives from the index's own cell histogram
+      // (override-or-occupancy — one skinny aggregate, the index-build
+      // cost the persisted path pays in trainIvfPqIndex), so the default
+      // recall tracks corpus growth instead of decaying with it.
+      val index = ivfPqAssign(e, cents, cb)
+      ivfPqScore(e, cents, cb, index,
+        e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+        ivfPqRerankOf(index))
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -4616,7 +4682,13 @@ object LlmOps {
          |    SELECT q_id, neighbor_id,
          |      row_number() OVER (PARTITION BY q_id
          |        ORDER BY adc_dist, neighbor_id) AS srn
-         |    FROM scored) WHERE srn <= $IVFPQ_RERANK
+         |    FROM scored) WHERE srn <= ${ivfPqRerankOverride
+               .map(_.toString).getOrElse(
+                 // the engine's occupancy rule replayed over the oracle's
+                 // own assignment CTE: max cell count / 25, floored at 256
+                 "(SELECT greatest(256, CAST(ceil(CAST(max(cnt) AS DOUBLE)" +
+                 " / 25.0) AS BIGINT)) FROM" +
+                 " (SELECT cell, count(*) AS cnt FROM asn GROUP BY cell))")}
          |), rerank AS (
          |  SELECT s.q_id, s.neighbor_id,
          |    ${sqlDot("eq.embedding", "en.embedding")} / (eq.nrm * en.nrm) AS cosine

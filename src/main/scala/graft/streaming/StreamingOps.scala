@@ -963,7 +963,7 @@ object StreamingOps {
     "s_ivfpq_topk" -> ((s, d) => {
       val indexDir = tmp("graft-ivfpq-index-")
       graft.LlmOps.trainIvfPqIndex(s, d, indexDir)
-      val scorer = graft.LlmOps.ivfPqScorer(s, d, s.read.parquet(indexDir))
+      val scorer = graft.LlmOps.ivfPqScorer(s, d, indexDir)
       val queries = readEmbeddingsStream(s, d)
         .select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") < 5)

@@ -58,6 +58,40 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq rerank: occupancy rule, defensive knob parse, persisted meta") {
+    // the occupancy rule the r19 sf10 sweep measured: 2.5k/cell sits at
+    // the ceiling on the 256 floor, 25k/cell derives the ~1k that
+    // recovers it
+    assert(LlmOps.ivfPqRerankFor(0L) === 256)
+    assert(LlmOps.ivfPqRerankFor(2500L) === 256)
+    assert(LlmOps.ivfPqRerankFor(25000L) === 1000)
+    assert(LlmOps.ivfPqRerankFor(1000000L) === 40000)
+    // knob parse: read per call (post-load changes visible), failures
+    // name the knob instead of crashing class-load opaquely
+    try {
+      sys.props("graft.ivfpq.rerank") = "64"
+      assert(LlmOps.ivfPqRerankOverride === Some(64))
+      sys.props("graft.ivfpq.rerank") = "not-a-number"
+      val e1 = intercept[IllegalArgumentException](LlmOps.ivfPqRerankOverride)
+      assert(e1.getMessage.contains("GRAFT_IVFPQ_RERANK"))
+      sys.props("graft.ivfpq.rerank") = "-3"
+      val e2 = intercept[IllegalArgumentException](LlmOps.ivfPqRerankOverride)
+      assert(e2.getMessage.contains("positive"))
+    } finally sys.props.remove("graft.ivfpq.rerank")
+    // the trained index persists its computed bound under _meta, and the
+    // underscore keeps it invisible to plain index readers
+    val dir = graft.streaming.StreamingOps.tmp("spec-ivfpq-")
+    LlmOps.trainIvfPqIndex(spark, d, dir)
+    val meta = spark.read.parquet(s"$dir/_meta").collect()
+    assert(meta.length === 1)
+    val occ = meta(0).getAs[Long]("max_occupancy")
+    assert(meta(0).getAs[Long]("rerank") === LlmOps.ivfPqRerankFor(occ).toLong)
+    val index = spark.read.parquet(dir)
+    assert(!index.columns.contains("rerank"),
+      "the _meta sidecar leaked into the index read")
+    assert(index.count() === Tables.embeddings(spark, d).count())
+  }
+
   test("exact dedup collapses every mirrored doc into a 2-copy group") {
     val groups = run("l_exact_dedup").collect()
     assert(groups.length === 500)

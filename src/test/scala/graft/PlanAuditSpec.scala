@@ -180,12 +180,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // index has cells.
     val dir = graft.streaming.StreamingOps.tmp("audit-ivfpq-")
     LlmOps.trainIvfPqIndex(spark, d, dir)
-    val index = spark.read.parquet(dir)
-    val nCells = index.select("cell").distinct().count()
+    val nCells = spark.read.parquet(dir).select("cell").distinct().count()
     val queries = Tables.embeddings(spark, d)
       .filter(org.apache.spark.sql.functions.col("vec_id") < 2)
       .select("vec_id", "embedding")
-    val served = LlmOps.ivfPqScorer(spark, d, index)(queries)
+    val served = LlmOps.ivfPqScorer(spark, d, dir)(queries)
     val plan = served.queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan)
     assert(pf.nonEmpty, s"no cell partition filter on the index scan:\n${plan.take(2000)}")
