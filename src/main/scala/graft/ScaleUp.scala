@@ -40,6 +40,27 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
+  /** Vocabulary long-tail sizing (r19 verdict task 3): the stacked-copy
+    * tagging scales document COUNT with the factor but vocabulary only
+    * linearly in the tag (sf10 = 500k docs yet 3,100 words), so the
+    * vocab-bounded operators — the BPE learner's driver collect, the
+    * heavy-hitters partials, the LM bigram-model join — were never
+    * exercised at realistic width. Each factor unit plants
+    * TAIL_WORDS_PER_COPY fresh words (sf1 ⇒ 30k, sf10 ⇒ 300k, sf30 ⇒
+    * 900k distinct) as APPENDED documents of TAIL_DOC_WORDS globally
+    * unique words each. The tail is constructed to leave every carried
+    * stress counter bit-identical: TAIL_DOC_WORDS < LlmOps.DUPSPAN_K, so
+    * tail docs produce ZERO positional grams (no coverage change and no
+    * poly-mod birthday collisions against existing grams — P ≈ 2^30, a
+    * gram-bearing tail WOULD collide at sf30 gram counts); every word is
+    * frequency-1 (no heavy-hitter, no near-dup shingle overlap); and
+    * `source` follows the corpus's src(doc_id % 20) closed form, so the
+    * url/domain invariants' doc_id % 400 identity stays exact. */
+  private[graft] val TAIL_WORDS_PER_COPY = 3000L
+  private[graft] val TAIL_DOC_WORDS = 4
+  private[graft] def tailDocCount(n: Int): Long =
+    TAIL_WORDS_PER_COPY * n / TAIL_DOC_WORDS
+
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val n = args(2).toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -119,7 +140,7 @@ object ScaleUp {
     write(stack(ev)((d, i) => d
       .withColumn("event_id", col("event_id") + lit(es * i))
       .withColumn("user_id", col("user_id") + lit(cs * i))), "events")
-    write(stack(docs)((d, i) => {
+    val stackedDocs = stack(docs)((d, i) => {
       val tagged =
         if (i == 0) d
         else d.withColumn("text",
@@ -127,7 +148,25 @@ object ScaleUp {
       tagged
         .withColumn("doc_id", col("doc_id") + lit(ds * i))
         .withColumn("n_chars", length(col("text")).cast("long"))
-    }), "documents")
+    })
+    // the vocabulary long-tail (see the sizing note above): doc_ids
+    // continue densely past the stacked copies; words "qz<g>" are
+    // globally unique (base vocab carries no qz-prefixed words and copy
+    // tags only append to existing words); source/lang follow the
+    // corpus's deterministic residue maps
+    val tail = spark.range(0, tailDocCount(n), 1, 32)
+      .select((col("id") + lit(ds * n)).as("doc_id"), col("id").as("t"))
+      .withColumn("text", concat_ws(" ",
+        (0 until TAIL_DOC_WORDS).map(j => concat(lit("qz"),
+          (col("t") * TAIL_DOC_WORDS + j).cast("string"))): _*))
+      .withColumn("lang", element_at(
+        lit(Array("en", "de", "es", "fr", "zh")),
+        (pmod(col("doc_id"), lit(5L)) + 1).cast("int")))
+      .withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    write(stackedDocs.unionByName(tail), "documents")
     write(stack(emb)((d, i) => {
       // Circular rotation alone has PERIOD dim in i (i·7 mod 64 cycles):
       // copy 64 would be bit-identical to copy 0, silently planting exact

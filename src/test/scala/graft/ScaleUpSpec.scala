@@ -22,10 +22,41 @@ class ScaleUpSpec extends AnyFunSuite {
 
   test("row counts: fact tables scale exactly xN, fixed dims do not") {
     for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
-      "events", "documents", "embeddings"))
+      "events", "embeddings"))
       assert(s(t).count() === 2 * o(t).count(), t)
+    // documents additionally carry the vocabulary long-tail
+    assert(s("documents").count() ===
+      2 * o("documents").count() + ScaleUp.tailDocCount(2))
     for (t <- Seq("region", "nation"))
       assert(s(t).count() === o(t).count(), t)
+  }
+
+  test("vocabulary long-tail: sf-scaled width, gramless docs, residue-true source") {
+    val docStride = o("documents").agg(max(col("doc_id"))).head().getLong(0) + 1
+    val tail = s("documents").filter(col("doc_id") >= docStride * 2)
+      .cache()
+    assert(tail.count() === ScaleUp.tailDocCount(2))
+    val words = tail.select(explode(split(col("text"), " ")).as("w")).cache()
+    // every tail word is fresh and frequency-1: vocabulary grows by
+    // exactly TAIL_WORDS_PER_COPY per factor unit
+    assert(words.count() === ScaleUp.TAIL_WORDS_PER_COPY * 2)
+    assert(words.distinct().count() === ScaleUp.TAIL_WORDS_PER_COPY * 2)
+    val stacked = s("documents").filter(col("doc_id") < docStride * 2)
+      .select(explode(split(lower(col("text")), " ")).as("w")).distinct()
+    assert(words.join(stacked, "w").count() === 0L,
+      "tail words must not collide with the stacked corpus vocabulary")
+    // gramless by construction: below the dup-span K, so the carried
+    // coverage counters stay bit-identical across fixture regenerations
+    assert(ScaleUp.TAIL_DOC_WORDS < LlmOps.DUPSPAN_K)
+    assert(tail.filter(size(split(col("text"), " ")) >= LlmOps.DUPSPAN_K)
+      .count() === 0L)
+    // source follows the corpus's src(doc_id % 20) closed form — the url
+    // and domain-cap stress invariants' doc_id % 400 identity depends on it
+    assert(tail.filter(col("source") =!=
+      concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")))
+      .count() === 0L)
+    assert(tail.filter(col("n_chars") =!= length(col("text"))).count() === 0L)
+    words.unpersist(); tail.unpersist()
   }
 
   test("foreign keys hold inside every copy: no join loses rows") {
