@@ -1620,6 +1620,19 @@ object LlmOps {
     * 500k-doc corpus, 3,100-word vocab): distributed 126.4 s (~0.116 s/round
     * scheduler floor), local 8.6 s end-to-end — 14.8×, identical
     * learned merges, and the gap grows linearly in K (SURVEY §8.6).
+    * RE-MEASURED at realistic vocab width (r19 verdict task 3 — sf10
+    * regenerated with a 303k-word long tail): local 267.4 s
+    * (~0.26 s/round ⇒ ~0.9 µs per word per round, single-core),
+    * distributed 727.5 s (~0.69 s/round — the per-round pair aggregate
+    * is still too small to amortize task overhead even at 32 threads),
+    * identical merges again — local wins 2.7× at 300k words, so the
+    * single-node crossover by WIDTH does not exist. The real switch
+    * point is driver MEMORY, not speed: the collect is ~100 B/word
+    * (~30 MB at 300k words, ~10 GB at 100M), so flip
+    * `graft.bpe.distributed` when the (word, count) table approaches
+    * driver heap — or on a real cluster, when per-round local work
+    * (~0.9 µs × vocab) dwarfs a parallel aggregate's floor, which at
+    * K=30k production rounds means vocabularies past ~10M words.
     * The distributed loop is kept under
     * `graft.bpe.distributed` for the equality spec + A/B; both paths
     * fold merges with the SAME BpeKernels functions, so they cannot
