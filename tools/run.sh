@@ -5,8 +5,10 @@ CLS="$1"; shift
 # git sha with "-dirty" when this is set, so an artifact built from
 # uncommitted changes can't stamp a clean-looking commit. Explicit
 # SPARK_GRAFT_DIRTY (even empty) wins over the probe.
+# Code paths only: an untracked BENCH_*.json from the previous run must
+# not dirty-stamp the next artifact — the stamp binds artifact to CODE.
 if [ -z "${SPARK_GRAFT_DIRTY+x}" ] && command -v git >/dev/null 2>&1 \
-   && [ -n "$(git -C /root/repo status --porcelain 2>/dev/null)" ]; then
+   && [ -n "$(git -C /root/repo status --porcelain -- src build.sbt tools 2>/dev/null)" ]; then
   export SPARK_GRAFT_DIRTY=1
 fi
 exec java \
