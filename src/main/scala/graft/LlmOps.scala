@@ -1421,11 +1421,17 @@ object LlmOps {
     // (underscore = invisible to plain index readers): the serving
     // scorer loads the index's own R instead of relying on an exported
     // env var — a 100×-scale default, not a toy setting (r19 verdict).
+    // persist the OCCUPANCY-RULE value, never the live override: the
+    // override is a serve-time A/B knob (it wins at every read point),
+    // while _meta is the index's own durable default — baking a
+    // transient override in here would make an index trained under an
+    // A/B serve a different shortlist than the oracle's
+    // override-or-occupancy fallback once the override is unset
+    // (r20 review finding).
     val written = s.read.parquet(dir)
     val occ = written.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head().getLong(0)
-    val rerank = ivfPqRerankOverride.getOrElse(ivfPqRerankFor(occ))
-    s.range(1).select(lit(rerank.toLong).as("rerank"),
+    s.range(1).select(lit(ivfPqRerankFor(occ).toLong).as("rerank"),
         lit(occ).as("max_occupancy"))
       .write.mode("overwrite").parquet(s"$dir/_meta")
   }
@@ -3337,7 +3343,13 @@ object LlmOps {
       // (override-or-occupancy — one skinny aggregate, the index-build
       // cost the persisted path pays in trainIvfPqIndex), so the default
       // recall tracks corpus growth instead of decaying with it.
+      // persisted: the occupancy aggregate (rerank derivation) and the
+      // ADC probe join both consume the assignment — without the persist
+      // the full PQ-encode pass over the corpus would run twice
+      // (r20 review finding); Bench/Verify clearCache between queries
+      // bounds the entry's lifetime
       val index = ivfPqAssign(e, cents, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ivfPqScore(e, cents, cb, index,
         e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
         ivfPqRerankOf(index))

@@ -90,6 +90,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!index.columns.contains("rerank"),
       "the _meta sidecar leaked into the index read")
     assert(index.count() === Tables.embeddings(spark, d).count())
+    // an index trained UNDER a live override still persists the
+    // occupancy-rule value: the override is a serve-time knob, and
+    // baking it into _meta would diverge from the oracle's
+    // override-or-occupancy fallback once the override is unset
+    val dir2 = graft.streaming.StreamingOps.tmp("spec-ivfpq2-")
+    try {
+      sys.props("graft.ivfpq.rerank") = "64"
+      LlmOps.trainIvfPqIndex(spark, d, dir2)
+    } finally sys.props.remove("graft.ivfpq.rerank")
+    val meta2 = spark.read.parquet(s"$dir2/_meta").head()
+    assert(meta2.getAs[Long]("rerank") ===
+      LlmOps.ivfPqRerankFor(meta2.getAs[Long]("max_occupancy")).toLong,
+      "_meta must carry the occupancy-rule value, not a transient override")
   }
 
   test("exact dedup collapses every mirrored doc into a 2-copy group") {
