@@ -58,6 +58,61 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: html construct+extract round-trips random adversarial texts") {
+    import spark.implicits._
+    // alphabet deliberately includes the escape metacharacters and the
+    // entity fragments (lt/gt/amp/;) so random draws form strings like
+    // "&lt;" or "a&amp;b" — the escape→decode pair must round-trip them
+    // exactly (decode order &amp;-last is what this falsifies)
+    val rnd = new scala.util.Random(2020L)
+    val alphabet = "ab &<>\t\n;ltgampq".toCharArray
+    val tricky = Seq("&lt;", "&amp;", "&gt;", "&amp;lt;", "a&b<c>d",
+      "<script>", "</article>", "   ", "& lt;&a mp;")
+    val texts = (0 until 48).map { i =>
+      if (i < tricky.length) tricky(i)
+      else (0 until (1 + rnd.nextInt(60)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val rows = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = LlmOps.htmlExtractProjection(rows).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val tagline = "Read more & subscribe <now>"
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = (t.replaceAll("\\s+", " ").trim + " " + tagline).trim
+      val (title, links, main) = got(i.toLong)
+      assert(main === want,
+        s"roundtrip failed for codepoints ${t.map(_.toInt).mkString(",")}")
+      assert(title === s"Doc $i" && links === i % 4 + 1)
+    }
+  }
+
+  test("property: url admission across random ordered batch splits equals the batch row") {
+    // any doc_id-ordered micro-batching of the feed (including empty
+    // batches) must reproduce the batch row's duplicate groups through
+    // the maintained index — the first-come ≡ min-id equivalence the
+    // s_url_dedup oracle contract rests on
+    val docsT = Tables.documents(spark, d)
+    val end = docsT.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val want = run("l_url_dedup").collect().map(_.toSeq).toSeq
+    val rnd = new scala.util.Random(777L)
+    for (trial <- 0 until 3) {
+      val cuts = (Seq(0L, end) ++
+        Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong().abs % end))
+        .distinct.sorted
+      val idxDir = graft.streaming.StreamingOps.tmp(s"prop-url-idx-$trial-")
+      val admDir = graft.streaming.StreamingOps.tmp(s"prop-url-adm-$trial-")
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), b) =>
+        LlmOps.urlAdmitBatch(
+          docsT.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          b.toLong, idxDir, admDir)
+      }
+      val got = LlmOps.urlAdmitGroups(spark, admDir).collect().map(_.toSeq).toSeq
+      assert(got === want, s"trial $trial split at ${cuts.mkString(",")}")
+    }
+  }
+
   test("ivfpq rerank: occupancy rule, defensive knob parse, persisted meta") {
     // the occupancy rule the r19 sf10 sweep measured: 2.5k/cell sits at
     // the ceiling on the 256 floor, 25k/cell derives the ~1k that
