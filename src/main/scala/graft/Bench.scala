@@ -244,7 +244,13 @@ object Bench {
     val streamSummary =
       if (!streamOn) ""
       else s""""streaming_total_sec":${j3(streamTotal)},"n_streaming":${streamResults.size},"""
-    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","sha":"$sha",$noteField$streamSummary$calib,"n_batch":${results.size},"queries_path":"$outAbs","sf":"$sfDir"}""")
+    // stop() BEFORE the summary println: the driver parses the LAST stdout
+    // line, and in a merged 2>&1 capture anything Spark's shutdown path
+    // writes after the summary would displace it. Paired with build.sbt's
+    // StdoutOutput + showSuccess := false (r20 verdict task 1), the line
+    // below is the final, unprefixed stdout line of the sbt invocation.
     spark.stop()
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","sha":"$sha",$noteField$streamSummary$calib,"n_batch":${results.size},"queries_path":"$outAbs","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

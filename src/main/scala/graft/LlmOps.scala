@@ -657,12 +657,33 @@ object LlmOps {
   private[graft] def urlAdmitBatch(batch: DataFrame, batchId: Long,
                                    indexDir: String, admitDir: String): Unit = {
     val s = batch.sparkSession
-    val canon = withCanonicalUrl(docUrls(batch))
-      .select(col("doc_id"), col("url_canon"))
+    val canon = urlCanonFrame(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import graft.streaming.StreamingOps.{namedDir, numberedDirs}
     val priorDirs = namedDir(s, indexDir, "seed").toSeq ++
       numberedDirs(s, indexDir, "b").filter(_._1 < batchId).map(_._2)
+    val log = urlAdmitDecision(canon, priorDirs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    log.write.mode("overwrite").parquet(s"$admitDir/b$batchId")
+    log.filter(col("admitted")).select(col("doc_id"), col("url_canon"))
+      .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+    log.unpersist()
+    canon.unpersist()
+  }
+
+  /** (doc_id, url_canon) of one arriving batch — the canonicalized frame
+    * [[urlAdmitBatch]] decides over; shared with PlanDump so committed
+    * plan evidence is generated by the production spelling. */
+  private[graft] def urlCanonFrame(batch: DataFrame): DataFrame =
+    withCanonicalUrl(docUrls(batch)).select(col("doc_id"), col("url_canon"))
+
+  /** The per-batch admission DECISION frame of [[urlAdmitBatch]]:
+    * (doc_id, url_canon, admitted, dup_of) for one canonicalized batch
+    * against the index-so-far. Split out so the plan is inspectable
+    * (PlanDump) and testable outside a stream drain. */
+  private[graft] def urlAdmitDecision(canon: DataFrame,
+                                      priorDirs: Seq[String]): DataFrame = {
+    val s = canon.sparkSession
     // vs the index-so-far: the index holds exactly one (doc_id, url_canon)
     // row per admitted URL, so the equi-join yields ≤1 verdict per doc
     val vsIndex: DataFrame =
@@ -673,22 +694,26 @@ object LlmOps {
             .select(col("url_canon"), col("doc_id").as("i_id")),
           Seq("url_canon"))
         .select(col("doc_id"), col("i_id").as("dup_of"))
+    // in-batch duplicates via ONE per-URL min aggregate + join-back, not a
+    // batch self-join (r20 verdict: the self-join materialized g(g-1)/2
+    // rows for a URL appearing g times in a micro-batch — and a hot
+    // re-crawled URL is exactly the input URL dedup exists for). Result
+    // identical by construction: the old pairs were reduced with
+    // min(dup_of) anyway, and min over all smaller in-batch ids IS the
+    // group min — so emitting (doc_id, group_min) for every non-min doc
+    // feeds the same value into the rejected-min aggregate. Work is now
+    // linear in batch size: one map-side-combined hash aggregate over the
+    // canonical key + one key-only hash join.
     val inBatch = canon.join(
-        canon.select(col("url_canon"), col("doc_id").as("o_id")),
+        canon.groupBy(col("url_canon")).agg(min(col("doc_id")).as("o_id")),
         Seq("url_canon"))
       .filter(col("doc_id") > col("o_id"))
       .select(col("doc_id"), col("o_id").as("dup_of"))
     val rejected = vsIndex.unionByName(inBatch)
       .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
-    val log = canon.join(rejected, Seq("doc_id"), "left")
+    canon.join(rejected, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url_canon"),
         col("dup_of").isNull.as("admitted"), col("dup_of"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    log.write.mode("overwrite").parquet(s"$admitDir/b$batchId")
-    log.filter(col("admitted")).select(col("doc_id"), col("url_canon"))
-      .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
-    log.unpersist()
-    canon.unpersist()
   }
 
   /** Streaming URL-level dedup WITH index maintenance (the s_url_dedup

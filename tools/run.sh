@@ -11,7 +11,7 @@ CLS="$1"; shift
 # reads), falling back to this script's own checkout.
 GRAFT_REPO="${SPARK_GRAFT_REPO:-$(cd "$(dirname "$0")/.." && pwd)}"
 if [ -z "${SPARK_GRAFT_DIRTY+x}" ] && command -v git >/dev/null 2>&1 \
-   && [ -n "$(git -C "$GRAFT_REPO" status --porcelain -- src build.sbt tools 2>/dev/null)" ]; then
+   && [ -n "$(git -C "$GRAFT_REPO" status --porcelain -- src project build.sbt tools 2>/dev/null)" ]; then
   export SPARK_GRAFT_DIRTY=1
 fi
 exec java \
