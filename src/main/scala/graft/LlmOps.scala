@@ -659,6 +659,16 @@ object LlmOps {
     val s = batch.sparkSession
     val canon = urlCanonFrame(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fail-fast on null canonical keys (r20 ADVICE): a null url_canon
+    // never matches an equi-join, so this twin would silently ADMIT every
+    // null row while the batch row's groupBy(url_canon) collapses them
+    // into one group — an oracle divergence that would otherwise surface
+    // only as an unexplained hash mismatch. Unreachable with the planted
+    // feed (source is never null); the check reads the just-persisted
+    // batch-sized frame and exits on the first hit.
+    require(canon.filter(col("url_canon").isNull).isEmpty,
+      "urlAdmitBatch: null url_canon in arriving batch — canonicalization " +
+        "must produce a key for every row (stream/batch dedup would diverge)")
     import graft.streaming.StreamingOps.{namedDir, numberedDirs}
     val priorDirs = namedDir(s, indexDir, "seed").toSeq ++
       numberedDirs(s, indexDir, "b").filter(_._1 < batchId).map(_._2)
@@ -727,7 +737,17 @@ object LlmOps {
     * `admitDir/b<i>` holds each batch's per-doc verdict
     * (doc_id, url_canon, admitted, dup_of) and `indexDir` the grown
     * canonical-URL index — a URL admitted in batch N rejects its
-    * re-crawls from batch N+1 on. */
+    * re-crawls from batch N+1 on.
+    *
+    * ORDERED-FEED CONTRACT (r20 ADVICE): sharing l_url_dedup's oracle
+    * (first-come admission ≡ min-id canon) requires micro-batches to
+    * arrive in doc_id order ACROSS batches (within a batch the per-URL
+    * min aggregate is order-free). The drive below satisfies it by
+    * construction: the documents table is one file, AvailableNow lists
+    * with the default latestFirst=false and no maxFilesPerTrigger, so the
+    * whole feed lands in batch 0. A deployment replaying an UNORDERED
+    * multi-file feed keeps a correct first-come dedup but must not expect
+    * equality with the min-id batch oracle. */
   def streamUrlDedup(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.StreamingOps
     val indexDir = StreamingOps.tmp("graft-url-idx-")
