@@ -3701,11 +3701,16 @@ object LlmOps {
     // loop.
     "l_dedup_clusters" -> ((s, d) => {
       val labels = dedupLabels(s, d)
-      val sized = labels.groupBy(col("label"))
-        .agg(count(lit(1)).as("n_members"))
-        .select(col("label").as("sz_label"), col("n_members"))
+      // cluster size via ONE window over the label partition (r21, guide
+      // §2.4): the former agg + join-back spelling shuffled the label
+      // frame twice (aggregate exchange + join re-alignment, planned as a
+      // SortMergeJoin because the CC loop's lineage-truncated output has
+      // no partitioning Catalyst can see) to attach a count the window
+      // computes in the single label exchange. Identical result: count
+      // over an unbounded label partition IS the per-label count.
       labels
-        .join(sized, col("label") === col("sz_label"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("label").as("cluster_id"), col("v").as("doc_id"),
           col("n_members"), (col("v") === col("label")).as("keep"))
         .orderBy(col("cluster_id"), col("doc_id"))

@@ -93,8 +93,19 @@ object Parity {
     // projection (the chain columns are functionally dependent), so the
     // graph-join reconstruction is verified against first principles.
     "k3_chain" -> ((s, d) => {
-      val e = CtsParity.edges(ce(s, d))
-        .select(col("rel"), col("src_key"), col("dst_key"))
+      // build ONLY the 3 chain relations, filtered BEFORE the dedup
+      // exchange (r21, guide §2.3): the full edges() frame distincts all
+      // 5 relations and this query then discards WITH_STATUS and
+      // PERFORMED_BY — both ACTION-keyed (unique per event, so map-side
+      // combine never collapses them): ~2/5 of the exchange's rows were
+      // shuffled to be thrown away. The 3-column distinct is identical to
+      // edges()'s 5-column one restricted to these rels (kinds are
+      // functionally determined by rel — the edges() invariant).
+      val e = ce(s, d).select(explode(CtsParity.edgeArray).as("e"))
+        .select(col("e.rel").as("rel"), col("e.src_key").as("src_key"),
+          col("e.dst_key").as("dst_key"))
+        .filter(col("rel").isin("APPLIED_ON", "MEMBER_OF", "LOCATED_AT"))
+        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def hop(rel: String, src: String, dst: String) =
         e.filter(col("rel") === rel)
