@@ -30,6 +30,45 @@ object Iso {
         dir
       })
       LlmOps.dupSpanCut(s, d, s.read.parquet(p))
+    }),
+    // RETIRED r20 spellings of the two queries the r21 optimization round
+    // restructured — kept as diagnostic rows so the plan-change claims
+    // stay re-measurable via a SAME-JVM interleaved A/B (pass e.g.
+    // `k3_chain d_chain_r20 k3_chain d_chain_r20` — duplicate names
+    // re-run, so old/new samples alternate inside one session and one
+    // host window; recompile-and-swap A/Bs on this box read window
+    // drift, not code).
+    "d_chain_r20" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ce = operators.CtsParity.toCloudEvents(
+        operators.CtsParity.eventsAsTraces(Tables.events(s, d)))
+      val e = operators.CtsParity.edges(ce)
+        .select(col("rel"), col("src_key"), col("dst_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def hop(rel: String, src: String, dst: String) =
+        e.filter(col("rel") === rel)
+          .select(col("src_key").as(src), col("dst_key").as(dst))
+      hop("APPLIED_ON", "action", "resource")
+        .join(hop("MEMBER_OF", "resource2", "tenant"),
+          col("resource") === col("resource2"))
+        .join(hop("LOCATED_AT", "tenant2", "region"),
+          col("tenant") === col("tenant2"))
+        .groupBy(col("region"), col("tenant"))
+        .agg(count_distinct(col("action")).as("n_actions"),
+          count_distinct(col("resource")).as("n_resources"))
+        .orderBy(col("region"), col("tenant"))
+    }),
+    "d_clusters_r20" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val labels = LlmOps.dedupLabels(s, d)
+      val sized = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("label").as("sz_label"), col("n_members"))
+      labels
+        .join(sized, col("label") === col("sz_label"))
+        .select(col("label").as("cluster_id"), col("v").as("doc_id"),
+          col("n_members"), (col("v") === col("label")).as("keep"))
+        .orderBy(col("cluster_id"), col("doc_id"))
     }))
 
   def main(args: Array[String]): Unit = {

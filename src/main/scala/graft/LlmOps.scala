@@ -2336,7 +2336,7 @@ object LlmOps {
     labels
   }
 
-  private def dedupLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def dedupLabels(s: SparkSession, d: String): DataFrame =
     connectedComponents(nearDupPairs(s, d).select(col("d1"), col("d2")))
 
   /** Target language proportions for the mixing stage (en 40%, four
