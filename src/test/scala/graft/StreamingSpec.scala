@@ -560,6 +560,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(indexed.toSeq === Seq(1L, 5L, 7L))
   }
 
+  test("urlAdmitDecision (linear aggregate) equals the retired pair-join semantics on a hot-URL batch") {
+    // r21: the in-batch duplicate detector became a per-URL min aggregate
+    // + join-back (linear) instead of a canon⋈canon self-join (g(g-1)/2
+    // rows for a URL appearing g times). This pins the equality on the
+    // exact shape the rewrite exists for — one URL re-crawled g=60 times
+    // in ONE micro-batch, plus a fresh URL and an index hit — against
+    // the retired spelling reconstructed verbatim below.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc_ids ≡ 3 (mod 400), same source ⇒ one canonical URL, 60 copies;
+    // 6 is a fresh URL; the prior index already holds the canon of 2
+    // (doc_id = -398 ≡ 2 mod 400 is not constructible — index rows are
+    // (doc_id, url_canon) pairs, so plant the canon of doc 2 directly)
+    val hot = (0 until 60).map(i => (3L + 400L * i, "web"))
+    val batch = (hot :+ (6L -> "web") :+ (2L -> "web"))
+      .toDF("doc_id", "source")
+    val canon = LlmOps.urlCanonFrame(batch)
+    val priorDir = java.nio.file.Files.createTempDirectory("url-prior-").toString
+    // prior index: doc 2's URL was admitted earlier under id -7 (smaller
+    // than every batch id, so the index verdict must win the min)
+    LlmOps.urlCanonFrame(Seq(2L -> "web").toDF("doc_id", "source"))
+      .withColumn("doc_id", lit(-7L))
+      .select(col("doc_id"), col("url_canon"))
+      .write.mode("overwrite").parquet(priorDir)
+    val got = LlmOps.urlAdmitDecision(canon, Seq(priorDir))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // retired r20 spelling: self-join pair enumeration + min reduction
+    val s = spark
+    val vsIndex = canon.join(
+        s.read.schema(canon.schema).parquet(priorDir)
+          .select(col("url_canon"), col("doc_id").as("i_id")),
+        Seq("url_canon"))
+      .select(col("doc_id"), col("i_id").as("dup_of"))
+    val inBatch = canon.join(
+        canon.select(col("url_canon"), col("doc_id").as("o_id")),
+        Seq("url_canon"))
+      .filter(col("doc_id") > col("o_id"))
+      .select(col("doc_id"), col("o_id").as("dup_of"))
+    val rejected = vsIndex.unionByName(inBatch)
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+    val want = canon.join(rejected, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url_canon"),
+        col("dup_of").isNull.as("admitted"), col("dup_of"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got === want, "linear decision diverged from the pair-join semantics")
+    // and the semantics themselves: min-id hot doc admitted, 59 re-crawls
+    // reject to it, fresh URL admitted, index hit rejects to the prior id
+    assert(got(3L) === (true, -1L) && got(6L) === (true, -1L))
+    assert(got(2L) === (false, -7L))
+    assert(hot.drop(1).forall { case (id, _) => got(id) === (false, 3L) })
+  }
+
   test("streaming per-domain cap equals the batch l_domain_cap row-for-row") {
     val spark = TestSpark.spark
     val got = graft.streaming.StreamingOps.queries("s_domain_cap")(
