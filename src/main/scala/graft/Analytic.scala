@@ -105,7 +105,16 @@ object Analytic {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val gapUs = 8L * 3600 * 1000000 // 8 h in microseconds, exact longs
       val prevUs = lag(unix_micros(col("ts")), 1).over(w)
+      // range-partition the feed ONCE on the shared key (r21, guide
+      // §2.4): RangePartitioning(user_id) clusters equal keys, so both
+      // windows AND the (user_id, session_idx) aggregate run on it
+      // exchange-free, and the final ORDER BY — whose leading key it
+      // orders — collapses to a local sort. Former plan: one hash
+      // exchange for the windows + one range exchange of the session
+      // rows; now: one range exchange of the skinny feed. Equal keys
+      // colocate under range partitioning, so the result is unchanged.
       Tables.events(s, d)
+        .repartitionByRange(col("user_id"))
         .withColumn("new_s",
           when(prevUs.isNull || unix_micros(col("ts")) - prevUs > gapUs, 1L)
             .otherwise(0L))
@@ -167,8 +176,11 @@ object Analytic {
     // keys drop out of the materialized state, exactly like a Delta/
     // Iceberg MERGE ... WHEN MATCHED AND op='D' THEN DELETE.
     "w_cdc_apply" -> ((s, d) => {
+      // same one-exchange discipline as w_sessionize (r21, guide §2.4):
+      // both windows and the final ORDER BY key on user_id
       val log = Tables.events(s, d).select(
-        col("user_id"), col("ts"), col("event_id"), col("value"), cdcOp.as("op"))
+          col("user_id"), col("ts"), col("event_id"), col("value"), cdcOp.as("op"))
+        .repartitionByRange(col("user_id"))
       val wLatest = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)
       log.withColumn("rn", row_number().over(wLatest))

@@ -58,6 +58,55 @@ object Iso {
           count_distinct(col("resource")).as("n_resources"))
         .orderBy(col("region"), col("tenant"))
     }),
+    "d_array_fns_r20" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(
+          col("l_orderkey"),
+          array_join(col("lines"), ",").as("lines_csv"),
+          size(col("lines")).cast("long").as("n_lines"),
+          element_at(col("lines"), 1).as("first_line"),
+          array_contains(col("lines"), 1).as("has_line1"))
+        .orderBy(col("l_orderkey"))
+    }),
+    "d_sessionize_r20" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapUs = 8L * 3600 * 1000000
+      val prevUs = lag(unix_micros(col("ts")), 1).over(w)
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(prevUs.isNull || unix_micros(col("ts")) - prevUs > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_s")).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+    "d_cdc_apply_r20" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val W = org.apache.spark.sql.expressions.Window
+      val log = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        graft.Analytic.cdcOp.as("op"))
+      val wLatest = W.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      log.withColumn("rn", row_number().over(wLatest))
+        .withColumn("n_changes",
+          count(lit(1)).over(W.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("user_id"), col("op").as("last_op"),
+          col("value").as("last_value"), col("ts").as("last_ts"),
+          col("n_changes"))
+        .orderBy(col("user_id"))
+    }),
     "d_clusters_r20" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val labels = LlmOps.dedupLabels(s, d)

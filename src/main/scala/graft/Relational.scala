@@ -246,7 +246,17 @@ object Relational {
     // sorted array (collect_list alone is order-nondeterministic;
     // sort_array pins it), with size/element/contains probes.
     "q_array_fns" -> ((s, d) => {
+      // ONE exchange serves both keyed operations (r21, guide §2.4): the
+      // aggregate and the final ORDER BY share the l_orderkey key, so
+      // range-partitioning the SKINNY input (two numeric columns) up
+      // front lets the aggregate run exchange-free (RangePartitioning
+      // clusters equal keys) and the global sort collapse to a local
+      // sort — where the former plan hash-exchanged the collect_list
+      // partials AND range-exchanged the rendered CSV output rows.
+      // Result identical: partitioning changes placement, not content.
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
         .select(
