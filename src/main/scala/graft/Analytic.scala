@@ -46,6 +46,14 @@ object Analytic {
     }),
 
     // top-k per group: k best-priced orders per customer via ranked window.
+    // NOT given the w_sessionize one-exchange treatment (r21): the rk<=3
+    // filter lets Spark 4 insert a PARTIAL WindowGroupLimit BELOW the
+    // window's hash exchange, so only each map partition's top-3-per-key
+    // rows cross the wire — a pre-repartitionByRange would ship every
+    // row instead. Interleaved sf10 A/B measured the range spelling at
+    // parity-to-worse (2.58 vs 2.48 s) and strictly more shuffled bytes;
+    // reverted. The lesson generalizes: rank-filtered windows already
+    // prune below their exchange, unfiltered windows don't.
     "w_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))

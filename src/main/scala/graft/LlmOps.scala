@@ -3708,7 +3708,13 @@ object LlmOps {
       // no partitioning Catalyst can see) to attach a count the window
       // computes in the single label exchange. Identical result: count
       // over an unbounded label partition IS the per-label count.
+      // range-partitioned on the shared key so the window AND the final
+      // (cluster_id, doc_id) sort — whose leading key it orders — run on
+      // ONE exchange (the w_sessionize discipline; the CC output has no
+      // partitioning Catalyst can see, so without this the window pays a
+      // hash exchange and the sort a range exchange)
       labels
+        .repartitionByRange(col("label"))
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy(col("label"))))
         .select(col("label").as("cluster_id"), col("v").as("doc_id"),
