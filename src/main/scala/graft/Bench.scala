@@ -230,9 +230,15 @@ object Bench {
             v > 0 && prev.get(n).exists(pv =>
               pv > 0 && v > pv * ratio && v > pv + margin)
           }.map { case (n, _) =>
-            val ts = (1 to 3).map(_ =>
+            // same bpe.noMemo discipline as the pass loop (r21 ADVICE): an
+            // isolated l_bpe_train re-run must time REAL training, not the
+            // session memo the suite already trained
+            val ts = (1 to 3).map { _ =>
+              if (n == "l_bpe_train") sys.props("graft.bpe.noMemo") = "1"
               try runOnce(SparkEntry.queries(n))
-              catch { case _: Throwable => -1.0 })
+              catch { case _: Throwable => -1.0 }
+              finally sys.props.remove("graft.bpe.noMemo")
+            }
             n -> (if (ts.forall(_ < 0)) -1.0 else ts.filter(_ >= 0).min)
           }
         }
@@ -307,7 +313,9 @@ object Bench {
     // writes after the summary would displace it. Paired with build.sbt's
     // StdoutOutput + showSuccess := false (r20 verdict task 1), the line
     // below is the final, unprefixed stdout line of the sbt invocation.
-    spark.stop()
+    // a shutdown-path failure must not suppress the driver-contract line
+    // (r21 ADVICE): the summary is the whole point of the run
+    try spark.stop() catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","sha":"$sha",$noteField$streamSummary$calib,"n_batch":${results.size},"queries_path":"$outAbs","sf":"$sfDir"}""")
     System.out.flush()
   }

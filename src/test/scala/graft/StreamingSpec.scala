@@ -577,7 +577,10 @@ class StreamingSpec extends AnyFunSuite {
     val batch = (hot :+ (6L -> "web") :+ (2L -> "web"))
       .toDF("doc_id", "source")
     val canon = LlmOps.urlCanonFrame(batch)
-    val priorDir = java.nio.file.Files.createTempDirectory("url-prior-").toString
+    // routed through StreamingOps.tmp so the dir is registered for
+    // JVM-exit deletion (r21 ADVICE: createTempDirectory here leaked one
+    // url-prior-* dir per test run)
+    val priorDir = graft.streaming.StreamingOps.tmp("url-prior-")
     // prior index: doc 2's URL was admitted earlier under id -7 (smaller
     // than every batch id, so the index verdict must win the min)
     LlmOps.urlCanonFrame(Seq(2L -> "web").toDF("doc_id", "source"))
