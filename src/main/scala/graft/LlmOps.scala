@@ -620,15 +620,17 @@ object LlmOps {
     // a fresh checkpoint over an existing indexDir would overwrite b0
     // while stale b1+ dirs still count as "index-so-far". Same contract
     // as cdcApplyInto's versioned state.
-    docs.writeStream
-      .option("checkpointLocation", Option(checkpointDir).getOrElse(
-        java.nio.file.Files.createTempDirectory("graft-admit-ckpt-").toString))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch, batchId, indexDir, admitDir)
-      }
-      .start().awaitTermination()
+    graft.streaming.StreamingOps.withDrainParallelism(docs) {
+      docs.writeStream
+        .option("checkpointLocation", Option(checkpointDir).getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-admit-ckpt-").toString))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          admitBatch(batch, batchId, indexDir, admitDir)
+        }
+        .start().awaitTermination()
+    }
   }
 
   /** One micro-batch of the streaming URL-dedup admission loop
@@ -752,14 +754,17 @@ object LlmOps {
     import graft.streaming.StreamingOps
     val indexDir = StreamingOps.tmp("graft-url-idx-")
     val admitDir = StreamingOps.tmp("graft-url-admit-")
-    StreamingOps.readDocumentsStream(s, d).writeStream
-      .option("checkpointLocation", StreamingOps.tmp("graft-url-ckpt-"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        urlAdmitBatch(batch, batchId, indexDir, admitDir)
-      }
-      .start().awaitTermination()
+    val docs = StreamingOps.readDocumentsStream(s, d)
+    StreamingOps.withDrainParallelism(docs) {
+      docs.writeStream
+        .option("checkpointLocation", StreamingOps.tmp("graft-url-ckpt-"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          urlAdmitBatch(batch, batchId, indexDir, admitDir)
+        }
+        .start().awaitTermination()
+    }
     urlAdmitGroups(s, admitDir)
   }
 
@@ -1449,8 +1454,14 @@ object LlmOps {
     * `PartitionFilters: [cell IN …]`, pinned by PlanAuditSpec — instead
     * of reading all codes and filtering in the join. */
   private[graft] def trainIvfPqIndex(s: SparkSession, d: String,
-                                     dir: String): Unit = {
-    val (e, cents, cb) = ivfPqPrep(s, d)
+                                     dir: String): Unit =
+    trainIvfPqIndexWith(ivfPqPrep(s, d), s, dir)
+
+  private def trainIvfPqIndexWith(
+      prep: (DataFrame, Array[(Long, Array[Float], Double)],
+        Array[(Long, IndexedSeq[Long])]),
+      s: SparkSession, dir: String): Unit = {
+    val (e, cents, cb) = prep
     // repartition BY CELL before the partitioned write: without it every
     // task writes a sliver into every cell dir (cells × tasks small
     // files — the classic partitionBy explosion; measured ~2 s of extra
@@ -1549,10 +1560,31 @@ object LlmOps {
     * the PartitionFilters entry). Lossless by construction: the ADC join
     * keeps only cell === q_cell rows, a subset of the filter. */
   private[graft] def ivfPqScorer(s: SparkSession, d: String,
-                                 indexDir: String): DataFrame => DataFrame = {
+                                 indexDir: String): DataFrame => DataFrame =
+    ivfPqScorerWith(ivfPqPrep(s, d), s, indexDir)
+
+  /** [[trainIvfPqIndex]] + [[ivfPqScorer]] for one train-then-serve
+    * invocation (the s_ivfpq_topk shape) sharing ONE [[ivfPqPrep]]: the
+    * centroid and codebook collects are two driver jobs over the pruned
+    * embedding scan, and running prep in both halves repeated them —
+    * identical rows both times (the corpus is immutable within an
+    * invocation). Same train-then-probe semantics, two fewer jobs and
+    * one fewer pruned scan pair per invocation (r22, guide §1.2 — don't
+    * compute things twice). */
+  private[graft] def ivfPqTrainAndServe(s: SparkSession, d: String,
+                                        indexDir: String): DataFrame => DataFrame = {
+    val prep = ivfPqPrep(s, d)
+    trainIvfPqIndexWith(prep, s, indexDir)
+    ivfPqScorerWith(prep, s, indexDir)
+  }
+
+  private def ivfPqScorerWith(
+      prep: (DataFrame, Array[(Long, Array[Float], Double)],
+        Array[(Long, IndexedSeq[Long])]),
+      s: SparkSession, indexDir: String): DataFrame => DataFrame = {
     import graft.functions.HashExprs.vecDot
     val index = s.read.parquet(indexDir)
-    val (e, cents, cb) = ivfPqPrep(s, d)
+    val (e, cents, cb) = prep
     // serving R: the live override wins (A/B seam), else the bound the
     // index was BUILT with (`_meta`), else — for a pre-meta index — the
     // occupancy rule recomputed from the index itself. Resolved once at
@@ -1952,14 +1984,17 @@ object LlmOps {
     import graft.streaming.StreamingOps
     val idxDir = StreamingOps.tmp("graft-dupspan-idx-")
     val covDir = StreamingOps.tmp("graft-dupspan-cov-")
-    StreamingOps.readDocumentsStream(s, d).writeStream
-      .option("checkpointLocation", StreamingOps.tmp("graft-dupspan-ckpt-"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dupSpanBatch(batch, batchId, idxDir, covDir)
-      }
-      .start().awaitTermination()
+    val docs = StreamingOps.readDocumentsStream(s, d)
+    StreamingOps.withDrainParallelism(docs) {
+      docs.writeStream
+        .option("checkpointLocation", StreamingOps.tmp("graft-dupspan-ckpt-"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          dupSpanBatch(batch, batchId, idxDir, covDir)
+        }
+        .start().awaitTermination()
+    }
     // explicit schema: a zero-batch drain (empty source dir) leaves
     // covDir without files, and schema INFERENCE would throw where the
     // batch detect row returns its empty frame

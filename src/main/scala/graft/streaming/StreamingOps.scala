@@ -272,6 +272,100 @@ object StreamingOps {
     }
   }
 
+  /** Bytes on disk behind a streaming frame's file sources, read off the
+    * plan's StreamingRelation leaves (honoring each source's
+    * pathGlobFilter, so a glob-filtered sf-dir source counts only its
+    * table's file, not its neighbors). A frame that unions the feed with
+    * itself counts the bytes twice — correct, since the drain ingests
+    * both copies. Returns -1 when no file source is found or any probe
+    * fails: the caller then leaves the session parallelism alone. */
+  private def feedBytes(df: DataFrame): Long = try {
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+    // the ANALYZED plan: Spark 4.1's DataStreamReader leaves an
+    // UnresolvedDataSource in the raw logical plan; the StreamingRelation
+    // only exists after analysis. A single-path source carries its path
+    // in options("path"), not in dataSource.paths.
+    val rels = df.queryExecution.analyzed.collect {
+      case r: StreamingRelation =>
+        (r.dataSource.paths ++ r.dataSource.options.get("path"),
+          r.dataSource.options.get("pathGlobFilter"))
+    }
+    if (rels.isEmpty) -1L
+    else rels.map { case (paths, glob) =>
+      paths.map { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        glob match {
+          case Some(g) =>
+            Option(fs.globStatus(new org.apache.hadoop.fs.Path(path, g)))
+              .map(_.map(st =>
+                if (st.isFile) st.getLen
+                else fs.getContentSummary(st.getPath).getLength).sum)
+              .getOrElse(0L)
+          case None =>
+            if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+        }
+      }.sum
+    }.sum
+  } catch { case _: Exception => -1L }
+
+  /** Feed-per-partition target for [[withDrainParallelism]] — each
+    * shuffle/state partition of a drain should own at least this much
+    * source data before another partition is worth its fixed costs. */
+  private[graft] val DrainTargetBytesPerPartition = 32L << 20
+
+  /** Data-size-derived shuffle/state-partition count for ONE drain
+    * (guide §2.2 — size partitions by bytes, never by core count): a
+    * stateful micro-batch pays fixed per-partition costs every trigger —
+    * one state-store commit (delta file + fsync) per store per
+    * partition, a shuffle-block matrix, one sink file per non-empty
+    * partition — so partitions beyond what the DATA needs are pure
+    * overhead (the stream-stream joins run 4 stores × partitions ×
+    * batches commits: at local[32] that is 100s of kilobyte files for a
+    * 2 MB feed). Derived = ceil(feed bytes / 32 MB), clamped to
+    * [1, session shuffle.partitions]. NOT local-tuned: the cap is the
+    * session's own configured parallelism, so at production scale
+    * (feed ≫ partitions × 32 MB) the clamp returns the session value
+    * unchanged and this helper is the identity — it only ever SHRINKS
+    * the partition count when the feed is provably too small to fill
+    * it, which is precisely the regime where per-partition fixed costs
+    * dominate. */
+  private[graft] def drainPartitions(sessionPartitions: Int, bytes: Long): Int = {
+    val derived = ((bytes + DrainTargetBytesPerPartition - 1) /
+      DrainTargetBytesPerPartition).toInt
+    math.max(1, math.min(sessionPartitions, derived))
+  }
+
+  /** Run one drain (`body` must contain the `.start().awaitTermination()`)
+    * with `spark.sql.shuffle.partitions` set to [[drainPartitions]] of the
+    * frame's [[feedBytes]], restoring the session value afterwards — the
+    * streaming planner snapshots the conf at `.start()`, so the override
+    * scopes to exactly this query; the batch tail every streaming row
+    * runs over its drained sink still plans at session parallelism. */
+  private[graft] def withDrainParallelism[T](df: DataFrame)(body: => T): T = {
+    val s = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    // kill switch (system property for in-process A/Bs, env for the CLI
+    // harnesses): GRAFT_DRAIN_ADAPTIVE=0 drains at the raw session
+    // parallelism — the pre-r22 behavior — so the derived-count win stays
+    // re-measurable on one binary instead of a recompile-and-swap A/B
+    val adaptiveOn = sys.props.get("graft.drain.adaptive")
+      .orElse(sys.env.get("GRAFT_DRAIN_ADAPTIVE")).forall(_ != "0")
+    val bytes = if (adaptiveOn) feedBytes(df) else -1L
+    if (bytes < 0) body
+    else {
+      val session = try s.conf.get(key).toInt
+        catch { case _: Exception => s.sparkContext.defaultParallelism }
+      val old = s.conf.getOption(key)
+      s.conf.set(key, drainPartitions(session, bytes).toString)
+      try body
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+  }
+
   /** Drain `df` to completion under AvailableNow into an idempotent
     * per-batch parquet sink (deterministic `b<batchId>` directory +
     * overwrite: a redelivered batch rewrites its own directory). Returns
@@ -279,14 +373,16 @@ object StreamingOps {
   private[graft] def drainToParquet(df: DataFrame, mode: String): String = {
     val out = tmp("graft-sink-")
     stateStoreConf(df.sparkSession)
-    df.writeStream
-      .option("checkpointLocation", tmp("graft-ckpt-"))
-      .trigger(Trigger.AvailableNow())
-      .outputMode(mode)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/b$batchId")
-      }
-      .start().awaitTermination()
+    withDrainParallelism(df) {
+      df.writeStream
+        .option("checkpointLocation", tmp("graft-ckpt-"))
+        .trigger(Trigger.AvailableNow())
+        .outputMode(mode)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/b$batchId")
+        }
+        .start().awaitTermination()
+    }
     out
   }
 
@@ -359,14 +455,16 @@ object StreamingOps {
   private def drainMapped(stream: DataFrame, f: DataFrame => DataFrame): DataFrame = {
     val out = tmp("graft-sink-")
     stateStoreConf(stream.sparkSession)
-    stream.writeStream
-      .option("checkpointLocation", tmp("graft-ckpt-"))
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        f(batch).write.mode("overwrite").parquet(s"$out/b$batchId")
-      }
-      .start().awaitTermination()
+    withDrainParallelism(stream) {
+      stream.writeStream
+        .option("checkpointLocation", tmp("graft-ckpt-"))
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          f(batch).write.mode("overwrite").parquet(s"$out/b$batchId")
+        }
+        .start().awaitTermination()
+    }
     readDrained(stream, f, out)
   }
 
@@ -421,14 +519,16 @@ object StreamingOps {
                           keys: Seq[String]): DataFrame = {
     val stateDir = tmp("graft-graph-")
     stateStoreConf(stream.sparkSession)
-    stream.writeStream
-      .option("checkpointLocation", tmp("graft-ckpt-"))
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graphUpsertBatch(batch, batchId, stateDir, rows, keys)
-      }
-      .start().awaitTermination()
+    withDrainParallelism(stream) {
+      stream.writeStream
+        .option("checkpointLocation", tmp("graft-ckpt-"))
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graphUpsertBatch(batch, batchId, stateDir, rows, keys)
+        }
+        .start().awaitTermination()
+    }
     readDrained(stream, rows, stateDir)
   }
 
@@ -751,15 +851,17 @@ object StreamingOps {
                                   checkpointDir: String = null): String = {
     val s = stream.sparkSession
     stateStoreConf(s)
-    stream.writeStream
-      .option("checkpointLocation",
-        Option(checkpointDir).getOrElse(tmp("graft-cdc-ckpt-")))
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cdcMergeBatch(batch, batchId, stateDir)
-      }
-      .start().awaitTermination()
+    withDrainParallelism(stream) {
+      stream.writeStream
+        .option("checkpointLocation",
+          Option(checkpointDir).getOrElse(tmp("graft-cdc-ckpt-")))
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          cdcMergeBatch(batch, batchId, stateDir)
+        }
+        .start().awaitTermination()
+    }
     // current state = highest version written (FS-API listing: the state
     // root is hdfs/s3a-portable like every maintained-index dir)
     val vs = numberedDirs(s, stateDir, "v").map(_._1)
@@ -962,8 +1064,9 @@ object StreamingOps {
     // answer equals the batch row over the same index.
     "s_ivfpq_topk" -> ((s, d) => {
       val indexDir = tmp("graft-ivfpq-index-")
-      graft.LlmOps.trainIvfPqIndex(s, d, indexDir)
-      val scorer = graft.LlmOps.ivfPqScorer(s, d, indexDir)
+      // train + serve share ONE ivfPqPrep (r22): the codebook collects
+      // ran twice per invocation before — identical rows both times
+      val scorer = graft.LlmOps.ivfPqTrainAndServe(s, d, indexDir)
       val queries = readEmbeddingsStream(s, d)
         .select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") < 5)

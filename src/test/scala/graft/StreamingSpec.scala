@@ -744,4 +744,35 @@ class StreamingSpec extends AnyFunSuite {
         "late data beyond the watermark must not resurrect a finalized window")
     } finally q.stop()
   }
+
+  test("drainPartitions derives state-partition count from feed bytes, capped by session parallelism") {
+    val T = StreamingOps.DrainTargetBytesPerPartition
+    // tiny feed → 1 partition regardless of core count (the sf0.1 regime:
+    // per-partition state-store commit cost dominates kilobyte state)
+    assert(StreamingOps.drainPartitions(32, 2L << 20) === 1)
+    assert(StreamingOps.drainPartitions(32, 0L) === 1)
+    // ceil at the boundary
+    assert(StreamingOps.drainPartitions(32, T) === 1)
+    assert(StreamingOps.drainPartitions(32, T + 1) === 2)
+    // big feed → clamp to session parallelism: at production scale the
+    // helper is the identity on the configured partition count
+    assert(StreamingOps.drainPartitions(32, 100L * T) === 32)
+    assert(StreamingOps.drainPartitions(512, 100L * T) === 100)
+  }
+
+  test("withDrainParallelism scopes the partition override to the drain and restores the session conf") {
+    val spark = TestSpark.spark
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // a real file-source stream over the shared sf dir: feedBytes resolves
+    // through the glob-filtered source, so the drain runs at the derived
+    // (tiny-feed ⇒ 1) partition count and the session value comes back
+    val stream = StreamingOps.readEventsStream(spark, TestSpark.sfDir)
+    var inside = -1
+    StreamingOps.withDrainParallelism(stream) {
+      inside = spark.conf.get(key).toInt
+    }
+    assert(inside === 1, s"tiny feed must drain at 1 partition, got $inside")
+    assert(spark.conf.get(key) === before, "session conf must be restored")
+  }
 }
