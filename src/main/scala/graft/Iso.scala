@@ -107,6 +107,59 @@ object Iso {
           col("n_changes"))
         .orderBy(col("user_id"))
     }),
+    // r22 k3_pagerank probes (VERDICT task 4): split the shared
+    // link/vertex build from the per-iteration cost, and A/B two
+    // spellings that attack the per-iteration lnk re-exchange the
+    // committed plan shows (Exchange over InMemoryTableScan per
+    // iteration — the AQE-cached plan reports no output partitioning,
+    // so ENSURE_REQUIREMENTS re-shuffles the cached link frame 4x).
+    "d_pr_build" -> ((s, d) =>
+      operators.CtsParity.pageRank(operators.CtsParity.linkPairs(
+        operators.CtsParity.toCloudEvents(
+          operators.CtsParity.eventsAsTraces(Tables.events(s, d)))), iters = 0)),
+    "d_pr_lckpt" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ce = operators.CtsParity.toCloudEvents(
+        operators.CtsParity.eventsAsTraces(Tables.events(s, d)))
+      val links = operators.CtsParity.linkPairs(ce).select(
+          concat_ws("|", col("src_kind"), col("src_key")).as("src"),
+          concat_ws("|", col("dst_kind"), col("dst_key")).as("dst"))
+        .distinct()
+      // localCheckpoint instead of persist: LogicalRDD carries the
+      // executed plan's outputPartitioning, which an AQE-cached
+      // InMemoryRelation loses
+      val lnk = links.withColumn("outdeg",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .localCheckpoint()
+      val verts = lnk.select(col("src").as("node"))
+        .unionAll(lnk.select(col("dst").as("node")))
+        .distinct()
+        .localCheckpoint()
+      val zero = verts.select(col("node"), lit(0L).as("contrib"))
+      var ranks = verts.select(col("node"), lit(1000000000L).as("pr_fixed"))
+      for (_ <- 1 to 4) {
+        val contribs = lnk.hint("shuffle_hash")
+          .join(ranks, lnk("src") === ranks("node"))
+          .select(lnk("dst").as("node"), expr("pr_fixed div outdeg").as("contrib"))
+        ranks = contribs.unionAll(zero)
+          .groupBy(col("node"))
+          .agg(expr("CAST(150000000 + (85 * sum(contrib)) div 100 AS BIGINT)")
+            .as("pr_fixed"))
+      }
+      ranks.orderBy(col("pr_fixed").desc, col("node")).limit(20)
+        .select(col("node"), col("pr_fixed"),
+          (col("pr_fixed").cast("double") / lit(1.0e9)).as("pr"))
+    }),
+    "d_pr_noaqe" -> ((s, d) => {
+      val k = "spark.sql.adaptive.enabled"
+      val old = s.conf.get(k)
+      s.conf.set(k, "false")
+      try Parity.queries("k3_pagerank")(s, d)
+        .write.format("noop").mode("overwrite").save()
+      finally s.conf.set(k, old)
+      s.emptyDataFrame
+    }),
     "d_clusters_r20" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val labels = LlmOps.dedupLabels(s, d)
