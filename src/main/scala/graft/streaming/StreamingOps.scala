@@ -311,8 +311,24 @@ object StreamingOps {
 
   /** Feed-per-partition target for [[withDrainParallelism]] — each
     * shuffle/state partition of a drain should own at least this much
-    * source data before another partition is worth its fixed costs. */
-  private[graft] val DrainTargetBytesPerPartition = 32L << 20
+    * source data before another partition is worth its fixed costs.
+    * Sizing: a partition's per-trigger fixed cost (state-store commit +
+    * task dispatch) is ~10 ms; the most compute-dense stateful row here
+    * (the interval stream-stream join at sf1: ~3.5 s of single-core work
+    * per feed-MB — its pair OUTPUT grows superlinearly with feed density)
+    * amortizes that in well under 100 KB, and even scan-speed stateless
+    * drains (~100 MB/s/core) amortize it by ~1 MB. 4 MB gives an order
+    * of magnitude of slack for cheaper operators while still collapsing
+    * kilobyte feeds to one partition. Measured at TWO SFs (the r22 first
+    * cut used 32 MB and regressed s_stream_join at sf1 10.7 -> 70 s by
+    * single-partitioning a 2×20 MB feed whose join compute — not the
+    * per-partition fixed cost — dominates there; 4 MB restores the
+    * parallelism: see OPTIMIZATION_r22.md). Env/prop-tunable so a
+    * deployment can re-derive it from its own operator cost profile. */
+  private[graft] def DrainTargetBytesPerPartition: Long =
+    sys.props.get("graft.drain.targetBytes")
+      .orElse(sys.env.get("GRAFT_DRAIN_TARGET_BYTES"))
+      .map(_.toLong).getOrElse(4L << 20)
 
   /** Data-size-derived shuffle/state-partition count for ONE drain
     * (guide §2.2 — size partitions by bytes, never by core count): a
@@ -322,10 +338,11 @@ object StreamingOps {
     * partition — so partitions beyond what the DATA needs are pure
     * overhead (the stream-stream joins run 4 stores × partitions ×
     * batches commits: at local[32] that is 100s of kilobyte files for a
-    * 2 MB feed). Derived = ceil(feed bytes / 32 MB), clamped to
+    * 2 MB feed). Derived = ceil(feed bytes /
+    * [[DrainTargetBytesPerPartition]]), clamped to
     * [1, session shuffle.partitions]. NOT local-tuned: the cap is the
     * session's own configured parallelism, so at production scale
-    * (feed ≫ partitions × 32 MB) the clamp returns the session value
+    * (feed ≫ partitions × target) the clamp returns the session value
     * unchanged and this helper is the identity — it only ever SHRINKS
     * the partition count when the feed is provably too small to fill
     * it, which is precisely the regime where per-partition fixed costs
