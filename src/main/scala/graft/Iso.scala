@@ -151,6 +151,44 @@ object Iso {
         .select(col("node"), col("pr_fixed"),
           (col("pr_fixed").cast("double") / lit(1.0e9)).as("pr"))
     }),
+    // r22 maintained-index read-amplification probe (VERDICT task 6):
+    // drive the URL admission loop as 8 doc_id-ordered micro-batches
+    // (the StressCheck slicing) and print each batch's wall — batch N
+    // reads the N prior index dirs, so growth in batch-wall vs batch id
+    // IS the amplification. Prints diagnostics; the ISO line times the
+    // whole drive.
+    "d_url_multibatch" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docsT = Tables.documents(s, d)
+      val idx = graft.streaming.StreamingOps.tmp("iso-url-idx-")
+      val adm = graft.streaming.StreamingOps.tmp("iso-url-admit-")
+      val B = 8
+      val idsEnd = docsT.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      (0 until B).foreach { i =>
+        val t0 = System.nanoTime()
+        LlmOps.urlAdmitBatch(
+          docsT.filter(col("doc_id") >= lit(i * idsEnd / B) &&
+            col("doc_id") < lit((i + 1) * idsEnd / B)),
+          i.toLong, idx, adm)
+        println(f"URLBATCH $i wall=${(System.nanoTime() - t0) / 1e9}%.3f")
+      }
+      s.emptyDataFrame
+    }),
+    // r22 CC pass-count probe (VERDICT task 5): passes the production
+    // loop takes on the REAL near-dup graph vs an adversarial 512-chain —
+    // the large-star/small-star decision input (it pays >=2 joins/pass
+    // unconditionally, so it can only win if real pass counts were high).
+    "d_cc_passes" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      LlmOps.dedupLabels(s, d).write.format("noop").mode("overwrite").save()
+      println(s"CCPASSES real=${LlmOps.ccLastPasses.get()}")
+      val chain = s.range(0, 511).select(
+        (col("id") + 1).as("d1"), col("id").as("d2"))
+      LlmOps.connectedComponents(chain)
+        .write.format("noop").mode("overwrite").save()
+      println(s"CCPASSES chain512=${LlmOps.ccLastPasses.get()}")
+      s.emptyDataFrame
+    }),
     "d_pr_noaqe" -> ((s, d) => {
       val k = "spark.sql.adaptive.enabled"
       val old = s.conf.get(k)

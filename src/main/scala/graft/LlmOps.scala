@@ -2368,8 +2368,17 @@ object LlmOps {
     // one real cluster — fail loudly instead
     require(changed == 0L,
       s"connectedComponents: label propagation did not converge within $iters passes")
+    // diagnostic only (r22 VERDICT task 5): how many passes the LAST CC
+    // run took — read by the Iso probes to decide whether a
+    // large-star/small-star rewrite could reduce pass count (it cannot
+    // when the dominant graphs converge in 1 verification pass)
+    ccLastPasses.set(iters)
     labels
   }
+
+  /** Pass count of the most recent [[connectedComponents]] run —
+    * measurement seam only, no query reads it. */
+  private[graft] val ccLastPasses = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   private[graft] def dedupLabels(s: SparkSession, d: String): DataFrame =
     connectedComponents(nearDupPairs(s, d).select(col("d1"), col("d2")))
