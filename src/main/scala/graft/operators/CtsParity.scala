@@ -150,23 +150,32 @@ object CtsParity {
     * with no fold-order gymnastics. The quantization error (≤1e-9 per edge
     * per iteration) is orders below anything a ranking consumer can see.
     *
-    * Scale shape: ONE shuffle per iteration. The link frame is persisted
-    * pre-partitioned on `src`, and the rank frame always arrives
-    * hash-partitioned on `node` (it is the output of the previous
-    * iteration's aggregate), so the contribution join needs NO exchange;
-    * dangling-in vertices are handled by unioning a (node, 0) frame into
+    * Scale shape: the link frame is persisted pre-partitioned on `src`
+    * and the rank frame arrives hash-partitioned on `node`. r22 CORRECTION
+    * to the r14 claim that the contribution join therefore needs no
+    * exchange: an AQE-cached InMemoryRelation reports no output
+    * partitioning at plan time, so the planner DOES insert an
+    * ENSURE_REQUIREMENTS exchange over the cached link frame each
+    * iteration (plans/r22/k3_pagerank_before.txt) — and that exchange is
+    * LOAD-BEARING at scale: it is where AQE right-sizes the shuffled-hash
+    * join's build partitions. The r22 attempt to remove it
+    * (localCheckpoint, which carries partitioning) won 0.67× at sf0.1 but
+    * OOM'd the hash-map build at sf10 under 8 AND 16 GB driver heaps
+    * (32 concurrent fixed-width builds, no AQE sizing), and was REVERTED
+    * — re-measurable via the Iso rows d_pr_build/d_pr_lckpt/d_pr_noaqe.
+    * Dangling-in vertices are handled by unioning a (node, 0) frame into
     * the same dst-keyed aggregate instead of a join-back (a left join
     * per iteration would be a second and third exchange — measured 3×
     * slower). The loop's working set is (node, rank) pairs, never the
     * event feed. Iteration count is fixed (no convergence count()
-    * actions); the link/vertex frames materialize eagerly (two
-    * localCheckpoint jobs at construction — see the r22 note at the
-    * checkpoint below), and the iteration chain runs as one job when the
-    * final action fires. Lifecycle: checkpoint blocks are freed by the
-    * ContextCleaner when the result frame is dropped; each invocation
-    * materializes fresh (no cross-invocation reuse).
+    * actions), so the whole run is a single job when the final action
+    * fires. Cache lifecycle: the persisted link/vertex frames cannot be
+    * unpersisted here (the result is lazy); repeated invocations reuse
+    * the same cache entries (CacheManager dedups by plan) and the
+    * harness clears caches between queries.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // input may carry duplicate (src, dst) pairs (e.g. the raw per-event
     // fan-out from linkPairs — passing it UN-deduped here saves the
     // caller's wider 5-column distinct); one narrow distinct suffices
@@ -174,38 +183,22 @@ object CtsParity {
         concat_ws("|", col("src_kind"), col("src_key")).as("src"),
         concat_ws("|", col("dst_kind"), col("dst_key")).as("dst"))
       .distinct()
-    // outdegree via a window over src: ONE exchange, and the frame comes
-    // out hash-partitioned on src — exactly what the per-iteration
-    // contribution join wants (agg + join-back would be three exchanges
-    // and lose the partitioning). localCheckpoint, NOT persist (r22): an
-    // AQE-cached InMemoryRelation reports NO output partitioning to the
-    // outer planner (its AdaptiveSparkPlan is unfinalized at plan time),
-    // so every iteration's join re-exchanged the cached link frame —
-    // 4 extra Exchanges in the r21 plan (plans/r22/k3_pagerank_before
-    // .txt, Exchange over InMemoryTableScan per iteration). A
-    // localCheckpoint materializes eagerly and its LogicalRDD CARRIES the
-    // executed plan's partitioning, so the join is exchange-free again on
-    // the link side. Measured iso sf0.1: 3.02 -> 2.04 s; AQE-off was
-    // A/B'd as the alternative fix and lost (3.15 s — it preserves cache
-    // partitioning but forfeits runtime coalescing everywhere else).
-    // Fault tolerance: localCheckpoint blocks die with an executor; this
-    // is the single-JVM harness spelling, a cluster run points
-    // spark.checkpoint.dir at reliable storage and swaps in checkpoint()
-    // — same seam as the BPE train loop. Blocks are freed by the
-    // ContextCleaner once the result frame is dropped (clearCache alone
-    // does not free RDD blocks — same lifecycle note as the CC loop).
+    // outdegree via a window over src: ONE exchange, and the persisted
+    // frame comes out hash-partitioned on src — exactly what the
+    // per-iteration contribution join wants (agg + join-back would be
+    // three exchanges and lose the partitioning)
     val lnk = links.withColumn("outdeg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint()
-    // vertices from the CHECKPOINTED link frame, not from `links`: the
-    // links lineage is scan+explode+distinct, and deriving verts from it
-    // ran that chain twice more (one full scan + exchange per union side —
+      .persist(MEMORY_AND_DISK)
+    // vertices from the CACHED link frame, not from `links`: the links
+    // lineage is scan+explode+distinct, and deriving verts from it ran
+    // that chain twice more (one full scan + exchange per union side —
     // read in the r9 plan audit as the query's largest fixed cost);
-    // re-projecting lnk's materialized rows costs one distinct exchange
+    // re-projecting lnk's cached rows costs one distinct exchange only
     val verts = lnk.select(col("src").as("node"))
       .unionAll(lnk.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .persist(MEMORY_AND_DISK)
     val zero = verts.select(col("node"), lit(0L).as("contrib"))
     var ranks = verts.select(col("node"), lit(1000000000L).as("pr_fixed"))
     for (_ <- 1 to iters) {
